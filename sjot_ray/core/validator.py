@@ -1,0 +1,903 @@
+"""SJOT validation walker — full reference semantics, compile-once caches.
+
+Reimplements the behavior of the reference validator
+(/root/reference/index.js:109-757 ``sjot_validate``, :760-917 union runtime,
+:920-966 bounds, :969-1065 ``@extends``, :1068-1099 root type, :1102-1163
+type refs, :1194-1244 defaults, :1247-1269 errors) in Python — NOT a port of
+its execution strategy: where the reference re-parses range strings and
+re-builds ``RegExp`` objects and union dispatch tables on every visit
+(index.js:392, 545, 676, 764-766), we parse/compile each distinct type
+string once and cache union dispatch tables per union object. Observable
+semantics preserved, including the quirks:
+
+* ``long`` bounds are ±2^47 (index.js:508-512), ``ulong`` upper bound
+  compares as an IEEE double;
+* ``date``/``time``/``datetime`` are lexical-only regexes (no calendar);
+* ``base64`` does not require length ≡ 0 mod 4;
+* sets are sorted **in place** by JS ``String()`` order, duplicates detected
+  by strict equality of adjacent elements (index.js:294-299);
+* optional-with-default properties are injected, absent no-default optionals
+  are deleted, null array/tuple/set items are replaced by item-type defaults
+  (mutation semantics, index.js:185-187, 248-250, 306-308, 429-437);
+* first error wins — validation stops at the first violation;
+* a document carrying ``"@sjot"`` under an ``any``/``object`` context is
+  validated against its embedded schema (index.js:111-131);
+* object data against ``date``/``time``/``datetime`` always fails (the
+  reference's ``!data.constructor.name != "Date"`` coercion, index.js:333).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from functools import lru_cache
+
+from .errors import SJOTSchemaError, SJOTValidationError
+from .jsutil import is_float_value, js_string
+from .ranges import bounds_check, compile_bounds, compile_range, range_check
+
+# ---------------------------------------------------------------------------
+# string-format regexes (specs from the reference, index.js:696-743)
+
+FORMAT_PATTERNS = {
+    "base64": r"[0-9A-Za-z+/]*=?=?",
+    "hex": r"[0-9A-Fa-f]*",
+    "uuid": r"(urn:uuid:)?[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-"
+            r"[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}",
+    "date": r"\d{4}-\d{2}-\d{2}",
+    "time": r"\d{2}:\d{2}:\d{2}(\.\d{1,6})?([-+]\d{2}:?\d{2}|Z)?",
+    "datetime": r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
+                r"([-+]\d{2}:?\d{2}|Z)?",
+    "duration": r"-?P(-?[0-9,.]*Y)?(-?[0-9,.]*M)?(-?[0-9,.]*W)?(-?[0-9,.]*D)?"
+                r"(T(-?[0-9,.]*H)?(-?[0-9,.]*M)?(-?[0-9,.]*S)?)?",
+}
+FORMAT_RES = {k: re.compile(v) for k, v in FORMAT_PATTERNS.items()}
+
+_NUMERIC_TYPES = frozenset(
+    ["byte", "short", "int", "long", "ubyte", "ushort", "uint", "ulong",
+     "integer", "float", "double", "number"]
+)
+_STRINGY_TYPES = frozenset(
+    ["string", "base64", "hex", "uuid", "date", "time", "datetime",
+     "duration", "char"]
+)
+# JS doubles: 2^64-1 rounds to 2^64; long bounds are exact in doubles.
+_ULONG_MAX = float(18446744073709551615)
+_INT_BOUNDS = {
+    "byte": (-128, 127),
+    "short": (-32768, 32767),
+    "int": (-2147483648, 2147483647),
+    "long": (-140737488355328, 140737488355327),  # ±2^47 quirk
+    "ubyte": (0, 255),
+    "ushort": (0, 65535),
+    "uint": (0, 4294967295),
+    "ulong": (0, _ULONG_MAX),
+}
+
+
+@lru_cache(maxsize=8192)
+def compile_regex_type(pattern: str):
+    """Compile a ``(regex)`` type / property matcher once (vs per visit,
+    index.js:392, 676). Anchored like JS ``^pattern$`` via fullmatch."""
+    try:
+        return re.compile(pattern)
+    except re.error as e:
+        raise SJOTSchemaError(str(e), pattern) from None
+
+
+def js_strict_eq(a, b) -> bool:
+    """JS ``===`` for JSON values (1 === 1.0 but 1 !== true, 1 !== "1")."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b  # objects/arrays compare by identity in JS
+
+
+def _is_ref(type_str: str) -> bool:
+    """A string type containing ``#`` that is not a regex, array, or set is a
+    type reference (index.js:137)."""
+    return (
+        "#" in type_str
+        and not type_str.startswith("(")
+        and not type_str.endswith("]")
+        and not type_str.endswith("}")
+    )
+
+
+def is_union(type_) -> bool:
+    """``[[t1, t2, …]]`` with at least two branches (index.js:1717-1726)."""
+    return (
+        isinstance(type_, list)
+        and len(type_) == 1
+        and isinstance(type_[0], list)
+        and len(type_[0]) > 1
+    )
+
+
+class _ExternalLoadDisabled(Exception):
+    pass
+
+
+def load_external_schema(url: str):  # pragma: no cover - no network in engine
+    """External ``URI#type`` schema fetch hook (reference does a synchronous
+    XHR, index.js:1166-1191). The engine resolves cross-schema refs from the
+    in-memory registry (schema arrays with ``@id``); network fetch at
+    validation time is disabled by design — register schemas up front."""
+    raise _ExternalLoadDisabled(f"external schema loading disabled: {url}")
+
+
+def roottype(sjot):
+    """``@root`` or the unique non-@ named type (index.js:1068-1099)."""
+    if isinstance(sjot, dict) and "@root" in sjot:
+        t = sjot["@root"]
+        if not (isinstance(t, str) and t.endswith("#")):
+            return t
+        raise SJOTSchemaError("root refers to a root", "schema")
+    root = None
+    for prop in sjot:
+        if not prop.startswith("@"):
+            if root is not None:
+                raise SJOTSchemaError(
+                    f"has no unique root {root}, also found {prop}", "schema")
+            root = prop
+    if root is not None:
+        return sjot[root]
+    raise SJOTSchemaError("has no @root", "schema")
+
+
+def reftype(sjots, type_str, sjot, typepath=""):
+    """Resolve ``[URI]#[name]`` (index.js:1102-1163); rejects ref-to-ref
+    ("spaghetti"); cross-schema refs resolved from the ``@id`` registry."""
+    h = type_str.find("#")
+    prop = type_str[h + 1:]
+    if h <= 0:
+        if prop == "":
+            return roottype(sjot)
+        if not (isinstance(sjot, dict) and prop in sjot):
+            raise SJOTSchemaError(
+                f"missing named type referenced by {prop}",
+                f"{typepath}/{type_str}")
+        t = sjot[prop]
+        if isinstance(t, str) and _is_ref(t):
+            raise SJOTSchemaError(
+                "spaghetti references to named types not permitted",
+                f"{typepath}/{t}")
+        return t
+    uri = type_str[:h]
+    for s in sjots:
+        if isinstance(s, dict) and s.get("@id") == uri:
+            if prop == "":
+                return roottype(s)
+            if prop not in s:
+                raise SJOTSchemaError(
+                    f"schema {uri} missing named type referenced by {prop}",
+                    f"{typepath}/{type_str}")
+            t = s[prop]
+            if isinstance(t, str) and _is_ref(t):
+                raise SJOTSchemaError(
+                    "spaghetti references to named types not permitted",
+                    f"{typepath}/{t}")
+            return t
+    try:
+        loaded = load_external_schema(uri)
+        if loaded.get("@id", uri) != uri:
+            raise SJOTSchemaError(
+                f'schema "{uri}" load error due to @id URL mismatch',
+                f"{typepath}/{type_str}")
+        loaded["@id"] = uri
+        sjots.append(loaded)
+        return reftype(sjots, type_str, sjot, typepath)
+    except _ExternalLoadDisabled as e:
+        raise SJOTSchemaError(
+            f'no type {prop} found in "{uri}" {e}',
+            f"{typepath}/{type_str}") from None
+
+
+def extend_type(sjots, type_, sjot, typepath=""):
+    """Expand ``@extends`` into the type in place, once (index.js:969-1065).
+
+    ``@one/@any/@all`` propsets concatenate; ``@dep`` entries merge; final
+    bases cannot be extended; property overrides are rejected. ``@extends``
+    is set to None afterward to mark the expansion memoized.
+    """
+    if "@extends" not in type_:
+        return
+    basename = type_["@extends"]
+    type_["@extends"] = None
+    if basename is None:
+        return
+    if not isinstance(basename, str):
+        raise SJOTSchemaError("@extends does not refer to an object", typepath)
+    base = reftype(sjots, basename, sjot, typepath)
+    if not isinstance(base, dict):
+        raise SJOTSchemaError("@extends does not refer to an object", typepath)
+    extend_type(sjots, base, sjot, typepath)
+    for prop in list(base.keys()):
+        if prop.startswith("@"):
+            if prop == "@final":
+                if base[prop]:
+                    raise SJOTSchemaError(
+                        f"@extends {basename} that is final", typepath)
+            elif prop in ("@one", "@any", "@all"):
+                if prop in type_:
+                    type_[prop] = type_[prop] + base[prop]
+                else:
+                    type_[prop] = base[prop]
+            elif prop == "@dep":
+                if "@dep" not in type_:
+                    type_[prop] = {}
+                for name, deps in base[prop].items():
+                    if name in type_[prop]:
+                        cur = type_[prop][name]
+                        if isinstance(cur, str):
+                            cur = [cur]
+                        if isinstance(deps, str):
+                            cur = cur + [deps]
+                        else:
+                            cur = cur + deps
+                        type_[prop][name] = cur
+                    else:
+                        type_[prop][name] = deps
+        else:
+            if prop in type_:
+                raise SJOTSchemaError(
+                    f"overriding of {basename}/{prop} is not permitted",
+                    f"{typepath}/{prop}")
+            type_[prop] = base[prop]
+
+
+def default_value(value, sjots, data, type_, sjot, datapath="", typepath=""):
+    """Default for ``"prop?default"`` / null replacement (index.js:1194-1244):
+    numbers parse the default text (0 for ``"null"``), strings take it
+    literally ("" for ``"null"``), booleans compare to ``"true"``; arrays,
+    sets, objects, and non-string types default to null."""
+    from .jsutil import parse_float_js
+
+    if not isinstance(type_, str) or type_.endswith("]") or type_.endswith("}"):
+        return None
+    if "#" in type_ and not type_.startswith("("):
+        type_ = reftype(sjots, type_, sjot, typepath)
+    if not isinstance(type_, str) or type_.endswith("]") or type_.endswith("}"):
+        return None
+    if type_ == "null":
+        return None
+    if type_ in ("boolean", "true", "false"):
+        return value == "true"
+    if type_ in _NUMERIC_TYPES:
+        if value == "null":
+            return 0
+        return _as_json_number(parse_float_js(value))
+    if type_ in ("object", "array"):
+        return None
+    if not type_.startswith("(") and re.search(r"\d", type_):
+        if value == "null":
+            return 0
+        return _as_json_number(parse_float_js(value))
+    return "" if value == "null" else value
+
+
+def _as_json_number(f: float):
+    """Collapse integral floats to ints (JS has one number type)."""
+    import math as _math
+
+    if _math.isnan(f) or _math.isinf(f):
+        return f
+    return int(f) if f == int(f) else f
+
+
+# ---------------------------------------------------------------------------
+# union dispatch (compiled once per union object and cached, vs rebuilt on
+# every validation call in the reference — index.js:764-766, TODO at :1729)
+
+class _UnionSlots:
+    __slots__ = ("n", "b", "x", "s", "o", "p", "t", "v", "d")
+
+    def __init__(self):
+        self.n = None; self.b = None; self.x = None; self.s = None
+        self.o = None; self.p = None
+        self.t = None; self.v = None; self.d = None
+
+
+def build_union_dispatch(sjots, branch, itemtype, sjot, typepath, union, n):
+    """Accumulate one union branch into the per-depth dispatch table
+    (mirrors index.js:1730-2043). ``union`` maps depth→_UnionSlots; key 0
+    holds the ``any`` cut-off depth."""
+    if isinstance(itemtype, str):
+        i = len(itemtype)
+        while i > 0:
+            if itemtype[i - 1] == "]":
+                i = itemtype.rfind("[", 0, i - 1)
+            elif itemtype[i - 1] == "}":
+                i = itemtype.rfind("{", 0, i - 1)
+            else:
+                break
+            n += 1
+        itemtype = itemtype[:i]
+        if "#" in itemtype and not itemtype.startswith("("):
+            return build_union_dispatch(
+                sjots, branch, reftype(sjots, itemtype, sjot, typepath),
+                sjot, typepath, union, n)
+
+    if itemtype == "char" and n > 0:
+        n -= 1
+        itemtype = "string"
+    elif itemtype == "array":
+        n += 1
+        itemtype = "any"
+    elif isinstance(itemtype, list):
+        if len(itemtype) == 0:
+            n += 1
+            itemtype = "any"
+        elif len(itemtype) == 1 or (len(itemtype) > 1
+                                    and isinstance(itemtype[1], (int, float))
+                                    and not isinstance(itemtype[1], bool)):
+            if is_union(itemtype):
+                raise SJOTSchemaError("nested unions are not permitted", typepath)
+            n += 1
+            if isinstance(itemtype[0], (int, float)) and not isinstance(itemtype[0], bool):
+                itemtype = "any"
+            else:
+                return build_union_dispatch(
+                    sjots, branch, itemtype[0], sjot, typepath, union, n)
+        elif isinstance(itemtype[0], (int, float)) and not isinstance(itemtype[0], bool):
+            n += 1
+            if isinstance(itemtype[1], (int, float)) and not isinstance(itemtype[1], bool):
+                itemtype = "any"
+            else:
+                return build_union_dispatch(
+                    sjots, branch, itemtype[1], sjot, typepath, union, n)
+        else:
+            n += 1
+            itemtype = "any"  # tuples are represented by "any[]"
+
+    cutoff = union.get(0)
+    if cutoff is not None and n >= cutoff:
+        raise SJOTSchemaError("union requires distinct types", typepath)
+    slots = union.get(n)
+    if slots is None:
+        slots = union[n] = _UnionSlots()
+
+    if isinstance(itemtype, str):
+        if itemtype == "null":
+            if slots.n is not None:
+                raise SJOTSchemaError("union has multiple null types", typepath)
+            slots.n = branch
+        elif itemtype in ("boolean", "true", "false"):
+            if n > 1 and slots.b is not None:
+                raise SJOTSchemaError("union has multiple boolean types", typepath)
+            slots.b = branch
+        elif itemtype in _NUMERIC_TYPES:
+            if n > 1 and slots.x is not None:
+                raise SJOTSchemaError("union has multiple numeric types", typepath)
+            slots.x = branch
+        elif itemtype in _STRINGY_TYPES:
+            if n > 1 and slots.s is not None:
+                raise SJOTSchemaError("union has multiple string types", typepath)
+            slots.s = branch
+        elif itemtype == "any":
+            for depth, sl in union.items():
+                if depth != 0 and depth >= n and sl is not None and (
+                        sl.n is not None or sl.b is not None or sl.x is not None
+                        or sl.s is not None or sl.o is not None or sl.p is not None):
+                    raise SJOTSchemaError("union requires distinct types", typepath)
+            union[0] = n
+        elif itemtype == "atom":
+            if slots.b is not None or slots.x is not None or slots.s is not None:
+                raise SJOTSchemaError("union has multiple atomic types", typepath)
+            slots.b = branch
+            slots.x = branch
+            slots.s = branch
+        elif itemtype == "object":
+            if slots.o is not None or slots.p is not None:
+                raise SJOTSchemaError("union requires distinct object types", typepath)
+            slots.o = branch
+        elif itemtype.startswith("("):
+            if n > 1 and slots.s is not None:
+                raise SJOTSchemaError("union has multiple string array types", typepath)
+            slots.s = branch
+        else:
+            if n > 1 and slots.x is not None:
+                raise SJOTSchemaError("union has multiple numeric array types", typepath)
+            slots.x = branch
+    elif isinstance(itemtype, dict):
+        if "@if" in itemtype:
+            when = itemtype["@if"]
+            if not isinstance(when, str):
+                raise SJOTSchemaError("@if value is not a property name", typepath)
+            if "@then" not in itemtype:
+                raise SJOTSchemaError(f'@if "{when}" has no @then object', typepath)
+            then = itemtype["@then"]
+            if isinstance(then, str) and _is_ref(then):
+                then = reftype(sjots, then, sjot, typepath)
+            if not isinstance(then, dict):
+                raise SJOTSchemaError("@then value is not an object type", typepath)
+            found = None
+            for prop in then:
+                if not prop.startswith("@") and not prop.startswith("("):
+                    q = prop.find("?")
+                    name = prop[:q] if q != -1 else prop
+                    if name == when:
+                        found = prop
+                        break
+            if found is None:
+                raise SJOTSchemaError(
+                    f'@if "{when}" is not a property of @then object', typepath)
+            if slots.t is None:
+                slots.t, slots.v, slots.d = [when], [then[found]], [then]
+            else:
+                slots.t.append(when)
+                slots.v.append(then[found])
+                slots.d.append(then)
+        else:
+            if slots.o is not None:
+                raise SJOTSchemaError("union requires distinct object types", typepath)
+            prevp = slots.p
+            empty = True
+            for prop in itemtype:
+                if prop.startswith("@"):
+                    continue
+                if prop.startswith("("):
+                    # a regex-prop object claims the whole object slot
+                    if slots.o is not None:
+                        raise SJOTSchemaError(
+                            "union requires distinct object types", typepath)
+                    slots.o = branch
+                    empty = False
+                    break
+                q = prop.find("?")
+                name = prop[:q] if q != -1 else prop
+                if q == -1:
+                    empty = False
+                if prevp is not None and name in prevp:
+                    raise SJOTSchemaError(
+                        "union requires distinct object types", typepath)
+                if slots.p is None:
+                    slots.p = {}
+                slots.p[name] = branch
+            if empty:
+                if slots.o is not None or prevp is not None:
+                    raise SJOTSchemaError(
+                        "union requires distinct object types", typepath)
+                slots.o = branch
+
+
+class Context:
+    """Per-validation-session caches (compiled once, reused across calls)."""
+
+    def __init__(self):
+        self.union_cache: dict[int, dict] = {}
+
+    def union_dispatch(self, sjots, type_, sjot, typepath):
+        key = id(type_[0])
+        table = self.union_cache.get(key)
+        if table is None:
+            table = {}
+            for i, branch in enumerate(type_[0]):
+                build_union_dispatch(
+                    sjots, branch, branch, sjot,
+                    f"{typepath}[[{i}]]", table, 1)
+            self.union_cache[key] = table
+        return table
+
+
+# ---------------------------------------------------------------------------
+# the walker
+
+def _err(what, data, type_, datapath, typepath):
+    raise SJOTValidationError(what, data, type_, datapath, typepath)
+
+
+def validate_value(sjots, data, type_, sjot, datapath="$", typepath="/@root",
+                   ctx: Context | None = None):
+    """Validate (and normalize, in place) one JSON value against a type.
+
+    Raises SJOTValidationError on the first violation; returns the possibly
+    replaced value (callers writing container slots use the return).
+    """
+    if ctx is None:
+        ctx = Context()
+
+    if type_ == "any":
+        if isinstance(data, dict) and "@sjot" in data:
+            sjoot = data["@sjot"]
+            if isinstance(sjoot, list):
+                return validate_value(
+                    sjots + sjoot, data, roottype(sjoot[0]), sjoot[0],
+                    datapath, typepath + "{" + datapath + ".@sjot}", ctx)
+            if isinstance(sjoot, str) and sjoot not in ("any", "object"):
+                return validate_value(
+                    sjots, data, sjoot, sjot,
+                    datapath, typepath + "{" + datapath + ".@sjot}", ctx)
+            if isinstance(sjoot, dict):
+                return validate_value(
+                    sjots + [sjoot], data, roottype(sjoot), sjoot,
+                    datapath, typepath + "{" + datapath + ".@sjot}", ctx)
+            raise SJOTSchemaError(f"Invalid @sjot schema {datapath}")
+        return data
+
+    if isinstance(type_, str) and _is_ref(type_):
+        return validate_value(
+            sjots, data, reftype(sjots, type_, sjot, typepath), sjot,
+            datapath, f"{typepath}/{type_}", ctx)
+
+    if is_union(type_):
+        return _validate_union(sjots, data, type_, sjot, datapath, typepath, ctx)
+
+    # --- null -------------------------------------------------------------
+    if data is None:
+        if type_ == "null":
+            return data
+        _err("value", data, type_, datapath, typepath)
+
+    # --- arrays -----------------------------------------------------------
+    if isinstance(data, list):
+        return _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx)
+
+    # --- objects ----------------------------------------------------------
+    if isinstance(data, dict):
+        return _validate_object(sjots, data, type_, sjot, datapath, typepath, ctx)
+
+    # --- booleans ---------------------------------------------------------
+    if isinstance(data, bool):
+        if (type_ == "boolean" or type_ == "atom"
+                or (data and type_ == "true")
+                or (not data and type_ == "false")):
+            return data
+        _err("value", data, type_, datapath, typepath)
+
+    # --- numbers ----------------------------------------------------------
+    if isinstance(data, (int, float)):
+        if isinstance(data, int) and abs(data) > 2**53:
+            # JS numbers are doubles: JSON.parse loses integer precision
+            # beyond 2^53, and comparisons happen on the rounded value
+            data = float(data)
+        isfloat = is_float_value(data)
+        if type_ in ("atom", "number", "float", "double"):
+            return data
+        if type_ == "integer":
+            if isfloat:
+                _err("value", data, type_, datapath, typepath)
+            return data
+        b = _INT_BOUNDS.get(type_) if isinstance(type_, str) else None
+        if b is not None:
+            if data < b[0] or data > b[1] or isfloat:
+                _err("value", data, type_, datapath, typepath)
+            return data
+        if not isinstance(type_, str):
+            _err("value", data, type_, datapath, typepath)
+        if range_check(compile_range(type_), data, isfloat):
+            return data
+        _err("value", data, type_, datapath, typepath)
+
+    # --- strings ----------------------------------------------------------
+    if isinstance(data, str):
+        if type_ in ("string", "char[]", "atom"):
+            return data
+        if not isinstance(type_, str):
+            _err("value", data, type_, datapath, typepath)
+        if type_.startswith("("):
+            if compile_regex_type(type_).fullmatch(data):
+                return data
+        elif type_[:4] == "char":
+            if type_ == "char":
+                if len(data) == 1:
+                    return data
+            else:
+                if not bounds_check(compile_bounds(type_, 5), len(data)):
+                    _err("length", len(data), type_, datapath, typepath)
+                return data
+        else:
+            fmt = FORMAT_RES.get(type_)
+            if fmt is not None and fmt.fullmatch(data):
+                return data
+        _err("value", data, type_, datapath, typepath)
+
+    # anything else (non-JSON value, e.g. Python object) mirrors the
+    # reference's typeof-default branch (index.js:751-753)
+    raise SJOTSchemaError("is not a valid type", f"{typepath}/{type_}")
+
+
+def _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx):
+    if type_ == "array" or type_ == "any[]":
+        return data
+
+    if isinstance(type_, list):
+        n_type = len(type_)
+        if n_type == 0:
+            return data
+
+        def _num(x):
+            return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+        def _item_pass(i, itemtype, tp):
+            if data[i] is None:
+                data[i] = default_value(
+                    "null", sjots, None, itemtype, sjot,
+                    f"{datapath}[{i}]", tp)
+            validate_value(sjots, data[i], itemtype, sjot,
+                           f"{datapath}[{i}]", tp, ctx)
+
+        if n_type == 1:
+            if _num(type_[0]):
+                if len(data) != type_[0]:
+                    _err("length", type_[0], "any", datapath, typepath + "[]")
+            else:
+                for i in range(len(data)):
+                    _item_pass(i, type_[0], typepath + "[]")
+            return data
+        if _num(type_[1]):
+            # [type,m] or [n,m]
+            if len(data) > type_[1]:
+                _err("length", type_[1], type_[0], datapath, typepath + "[]")
+            if _num(type_[0]):
+                if len(data) < type_[0]:
+                    _err("length", type_[0], "any", datapath, typepath + "[]")
+            else:
+                for i in range(len(data)):
+                    _item_pass(i, type_[0], typepath + "[]")
+            return data
+        if _num(type_[0]):
+            # [n,type] or [n,type,m]
+            if len(data) < type_[0]:
+                _err("length", type_[0], type_[1], datapath, typepath + "[]")
+            if n_type > 2 and _num(type_[2]) and len(data) > type_[2]:
+                _err("length", type_[2], type_[1], datapath, typepath + "[]")
+            for i in range(len(data)):
+                _item_pass(i, type_[1], typepath + "[]")
+            return data
+        # tuple
+        if len(data) != n_type:
+            _err("array of length", len(data), type_, datapath, typepath)
+        for i in range(len(data)):
+            if data[i] is None:
+                data[i] = default_value(
+                    "null", sjots, None, type_[i], sjot,
+                    f"{datapath}[{i}]", typepath + "[]")
+            validate_value(sjots, data[i], type_[i], sjot,
+                           f"{datapath}[{i}]", typepath + "[]", ctx)
+        return data
+
+    if isinstance(type_, str):
+        if type_.endswith("]"):
+            i = type_.rfind("[")
+            itemtype = type_[:i]
+            if not bounds_check(compile_bounds(type_, i + 1), len(data)):
+                _err("length", len(data), type_, datapath, typepath)
+            for j in range(len(data)):
+                if data[j] is None:
+                    data[j] = default_value(
+                        "null", sjots, None, itemtype, sjot,
+                        f"{datapath}[{j}]", typepath)
+                validate_value(sjots, data[j], itemtype, sjot,
+                               f"{datapath}[{j}]", typepath, ctx)
+            return data
+        if type_.endswith("}"):
+            # set: array of unique atoms; reference sorts the input in place
+            # by String() order then rejects adjacent strict-equal duplicates
+            i = type_.rfind("{")
+            itemtype = type_[:i]
+            if _is_ref(itemtype):
+                itemtype = reftype(sjots, itemtype, sjot, typepath)
+                if not isinstance(itemtype, str):
+                    _err("value", data, type_, datapath, typepath)
+            orig_len = len(data)
+            data.sort(key=js_string)
+            deduped = [e for k, e in enumerate(data)
+                       if k == 0 or not js_strict_eq(e, data[k - 1])]
+            if len(deduped) != orig_len:
+                _err("value", data, type_, datapath, typepath)
+            if not bounds_check(compile_bounds(type_, i + 1), len(deduped)):
+                _err("length", len(deduped), type_, datapath, typepath)
+            for j in range(len(deduped)):
+                item = deduped[j]
+                if item is None:
+                    item = default_value(
+                        "null", sjots, None, itemtype, sjot,
+                        f"{datapath}[{j}]", typepath)
+                validate_value(sjots, item, itemtype, sjot,
+                               f"{datapath}[{j}]", typepath, ctx)
+            return data
+
+    _err("value", data, type_, datapath, typepath)
+
+
+def _validate_object(sjots, data, type_, sjot, datapath, typepath, ctx):
+    if type_ == "object":
+        # any object; may carry an embedded @sjot schema
+        return validate_value(sjots, data, "any", sjot, datapath, typepath, ctx)
+
+    if type_ in ("date", "time", "datetime"):
+        # reference quirk: objects always fail here (index.js:330-335)
+        _err("value", data, type_, datapath, typepath)
+
+    if isinstance(type_, list):
+        # JS typeof [] === "object": the reference's object-property walk
+        # iterates a list type's indices as string props ("0", "1", …), so
+        # object data against an array type demands those keys be present
+        type_ = {str(i): t for i, t in enumerate(type_)}
+    if not isinstance(type_, dict):
+        _err("value", data, type_, datapath, typepath)
+
+    if "@extends" in type_:
+        extend_type(sjots, type_, sjot, typepath)
+
+    isfinal = bool(type_.get("@final", False))
+    matched_props = {} if isfinal else None
+
+    for prop, proptype in type_.items():
+        if prop.startswith("@"):
+            if prop == "@one":
+                for pset in proptype:
+                    if sum(1 for p in pset if p in data) != 1:
+                        _err(f"requires one of {','.join(pset)} properties",
+                             data, "", datapath, typepath + "/@one")
+            elif prop == "@any":
+                for pset in proptype:
+                    if not any(p in data for p in pset):
+                        _err(f"requires any of {','.join(pset)} properties",
+                             data, "", datapath, typepath + "/@any")
+            elif prop == "@all":
+                for pset in proptype:
+                    if any(p in data for p in pset) and \
+                            not all(p in data for p in pset):
+                        _err(f"requires all or none of {','.join(pset)}"
+                             " properties",
+                             data, "", datapath, typepath + "/@all")
+            elif prop == "@dep":
+                for name, deps in proptype.items():
+                    if name in data and \
+                            (not isinstance(deps, str) or deps not in data) and \
+                            (not isinstance(deps, list)
+                             or not all(p in data for p in deps)):
+                        _err(f"requires {js_string(deps)}", data, "",
+                             f"{datapath}.{name}", typepath + "/@dep")
+        elif prop.startswith("("):
+            matcher = compile_regex_type(prop)
+            for name in list(data.keys()):
+                if matcher.fullmatch(name):
+                    validate_value(sjots, data[name], proptype, sjot,
+                                   f"{datapath}.{name}",
+                                   f"{typepath}/{prop}", ctx)
+                    if isfinal:
+                        matched_props[name] = None
+        else:
+            q = prop.find("?")
+            if q == -1:
+                if prop not in data:
+                    _err("should be present", data, "",
+                         f"{datapath}.{prop}", typepath)
+                validate_value(sjots, data[prop], proptype, sjot,
+                               f"{datapath}.{prop}", f"{typepath}/{prop}", ctx)
+                if isfinal:
+                    matched_props[prop] = None
+            else:
+                name = prop[:q]
+                if name in data and data[name] is not None:
+                    validate_value(sjots, data[name], proptype, sjot,
+                                   f"{datapath}.{name}",
+                                   f"{typepath}/{prop}", ctx)
+                elif q < len(prop) - 1:
+                    data[name] = default_value(
+                        prop[q + 1:], sjots, data, proptype, sjot,
+                        f"{datapath}.{name}", f"{typepath}/{prop}")
+                    validate_value(sjots, data[name], proptype, sjot,
+                                   f"{datapath}.{name}",
+                                   f"{typepath}/{prop}", ctx)
+                elif name in data:
+                    del data[name]
+                if isfinal:
+                    matched_props[name] = None
+
+    if isfinal:
+        for prop in data:
+            if prop != "@sjot" and prop not in matched_props:
+                _err("additional property should not be present", data, "",
+                     f"{datapath}.{prop}", typepath + "/@final")
+    return data
+
+
+def _validate_union(sjots, data, type_, sjot, datapath, typepath, ctx):
+    union = ctx.union_dispatch(sjots, type_, sjot, typepath)
+    cutoff = union.get(0)
+
+    n = 1
+    item = data
+    while isinstance(item, list):
+        n += 1
+        if len(item) == 0:
+            if (cutoff is not None and n >= cutoff) or union.get(n) is not None:
+                return data
+            _err("value", data, type_, datapath, typepath)
+        item = item[0]
+
+    if cutoff is not None and n >= cutoff:
+        return data
+
+    slots = union.get(n)
+    if slots is not None:
+        if item is None:
+            if slots.n is None:
+                _err("value", data, type_, datapath, typepath)
+            return validate_value(sjots, data, slots.n, sjot,
+                                  datapath, typepath, ctx)
+        if isinstance(item, bool):
+            slot = slots.b
+        elif isinstance(item, (int, float)):
+            slot = slots.x
+        elif isinstance(item, str):
+            slot = slots.s
+        else:
+            slot = "object"
+
+        if slot == "object":
+            if slots.o is not None:
+                return validate_value(sjots, data, slots.o, sjot,
+                                      datapath, typepath, ctx)
+            if slots.t is not None:
+                for i, disc in enumerate(slots.t):
+                    if disc in item:
+                        try:
+                            validate_value(sjots, item[disc], slots.v[i],
+                                           sjot, datapath, typepath, ctx)
+                        except (SJOTValidationError, SJOTSchemaError):
+                            continue
+                        return validate_value(sjots, data, slots.d[i], sjot,
+                                              datapath, typepath, ctx)
+            if slots.p is not None:
+                # first data property (streaming order) that names a branch
+                for prop in item:
+                    if prop in slots.p:
+                        return validate_value(sjots, data, slots.p[prop],
+                                              sjot, datapath, typepath, ctx)
+        elif slot is not None:
+            if n > 1:
+                return validate_value(sjots, data, slot, sjot,
+                                      datapath, typepath, ctx)
+            for branch in type_[0]:
+                try:
+                    return validate_value(sjots, data, branch, sjot,
+                                          datapath, typepath, ctx)
+                except (SJOTValidationError, SJOTSchemaError):
+                    continue
+
+    _err("value", data, type_, datapath, typepath)
+
+
+# ---------------------------------------------------------------------------
+# public API (mirrors SJOT.validate / SJOT.valid, index.js:28-76)
+
+def validate(data, type_=None, schema=None, ctx: Context | None = None):
+    """Validate ``data``; raises on the first violation, returns True."""
+    sjots = schema
+    if isinstance(schema, str):
+        sjots = json.loads(schema)
+    if type_ in ("#", "@root"):
+        type_ = None
+    if type_ is None:
+        if sjots is None:
+            type_ = "any"
+        elif isinstance(sjots, list) and len(sjots) > 0:
+            type_ = roottype(sjots[0])
+        elif isinstance(sjots, dict):
+            type_ = roottype(sjots)
+        else:
+            raise SJOTSchemaError("is not a SJOT schema object",
+                                  type(sjots).__name__)
+    if isinstance(sjots, list) and len(sjots) > 0:
+        validate_value(sjots, data, type_, sjots[0], "$", "/@root", ctx)
+    else:
+        validate_value([sjots], data, type_, sjots, "$", "/@root", ctx)
+    return True
+
+
+def valid(data, type_=None, schema=None, ctx: Context | None = None) -> bool:
+    """Boolean wrapper around :func:`validate`."""
+    try:
+        return validate(data, type_, schema, ctx)
+    except (SJOTValidationError, SJOTSchemaError):
+        return False
