@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in sjot_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline at smoke scale: deterministic interleaved
+  corpus → actor-pool columnar SJOT validation → verdict + violation
+  columns (Dataset).
+* ``queries()`` — one entry per implemented operator/pipeline
+  (SURVEY.md §2); each callable takes ``sf_dir``.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
+  sketch/sampling/inference pipelines are rows-only by design.
 """
 
 from __future__ import annotations
@@ -20,25 +19,113 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from sjot_ray.pipelines.flagship import read_corpus, validated
+
+    ds = validated(read_corpus(2_000, seed=42), batch_size=1024)
+    # materialize the small smoke result so schema/row-count are stable
+    return ds.materialize()
+
+
+def _flagship_summary(sf_dir: str):
+    """Flagship interleaved-corpus validation summary, corpus size scaled
+    off the sf's events row count (deterministic seed 42)."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.flagship import read_corpus, validated, verdict_summary
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_docs = max(2_000, 2 * n_events)
+    summary = verdict_summary(validated(read_corpus(num_docs, seed=42)))
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(summary)
+
+
+def _flagship_violations(sf_dir: str):
+    """Violation rows of the flagship corpus (first 1000, deterministic)."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.flagship import read_corpus, validated, violations
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_docs = max(2_000, 2 * n_events)
+    v = violations(validated(read_corpus(num_docs, seed=42)))
+    return v.sort("doc_id").limit(1000)
+
+
+def _dangling_media(sf_dir: str):
+    """Referential check on the flagship corpus media refs (Bloom + exact
+    broadcast semi-join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.flagship import read_corpus
+    from sjot_ray.pipelines.wide_checks import referential_check
+    from sjot_ray.sources.gen import media_catalog
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_docs = max(2_000, 2 * n_events)
+    ds = read_corpus(num_docs, seed=42)
+
+    def media_rows(t: pa.Table) -> pa.Table:
+        flat = t["spans"].combine_chunks().flatten()
+        mr = flat.field("media_ref")
+        doc = t["doc_id"].combine_chunks().take(
+            __import__("numpy").repeat(
+                __import__("numpy").arange(t.num_rows),
+                pc.fill_null(pc.list_value_length(t["spans"]), 0)
+                .to_numpy(zero_copy_only=False).astype("int64")))
+        tb = pa.table({"doc_id": doc, "media_ref": mr})
+        return tb.filter(pc.is_valid(mr))
+
+    refs = ds.map_batches(media_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dangling = referential_check(refs, "media_ref", media_catalog())
+    return dangling.groupby("media_ref").count()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sjot_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    d: dict[str, Callable[[str], Any]] = {
+        name: getattr(Q, f"q_{name}") for name in Q.ORACLE_SQL
+    }
+    # non-SQL-expressible pipelines (rows-only checks)
+    d["flagship_interleaved"] = _flagship_summary
+    d["flagship_violations"] = _flagship_violations
+    d["flagship_dangling_media"] = _dangling_media
+    try:
+        from sjot_ray.pipelines import dedup as D
+
+        d["dedup_minhash_lsh"] = D.q_minhash_near_dups
+        d["dedup_simhash"] = D.q_simhash_near_dups
+        d["dedup_embedding_cosine"] = D.q_embedding_near_dups
+        d["dedup_ngram_jaccard"] = D.q_ngram_jaccard_pairs
+    except ImportError:
+        pass
+    try:
+        from sjot_ray.pipelines import infer as I
+
+        d["infer_schema_events"] = I.q_infer_events_props
+    except ImportError:
+        pass
+    try:
+        from sjot_ray.pipelines import drift as DR
+
+        d["drift_lineitem_price"] = DR.q_drift_lineitem_price
+    except ImportError:
+        pass
+    try:
+        from sjot_ray.pipelines import multimodal as MM
+
+        d["multimodal_media_meta"] = MM.q_media_meta
+    except ImportError:
+        pass
+    return d
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sjot_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

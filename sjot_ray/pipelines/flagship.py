@@ -1,0 +1,104 @@
+"""Flagship pipeline: interleaved-document corpus → validate → verdicts +
+violation rows + normalized output (+ wide table-level checks), end to end
+on Ray Data streaming execution.
+
+Scale design (the 100 TB shape):
+* the read is a parquet scan with column pruning; blocks stream through an
+  actor-pool ``map_batches`` holding the compiled automaton (built once per
+  actor) — embarrassingly parallel, no shuffle;
+* violations/verdicts are extra COLUMNS of the same stream (no second
+  pass); the violations table is a filtered projection;
+* the only wide operations are the explicitly-keyed table-level checks in
+  ``wide_checks`` (partial-aggregate → tiny final merge, never a raw-row
+  shuffle);
+* output is partitioned parquet (one file per block range) so a rerun can
+  skip finished partitions.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ..sources.gen import FLAGSHIP_SCHEMA, interleaved_parquet
+from ..stages.validate import ValidateInterleavedDocs, violations_view
+
+
+def read_corpus(num_docs: int, seed: int = 42,
+                override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Deterministic corpus as a Dataset (generated/cached parquet)."""
+    path = interleaved_parquet(num_docs, seed)
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(path, **kw)
+
+
+def validated(ds: "ray.data.Dataset", schema=None, *,
+              concurrency=None, batch_size: int = 8192,
+              normalize: bool = True) -> "ray.data.Dataset":
+    """Corpus → validated stream (verdict + violation columns appended).
+
+    The schema is broadcast once via ``ray.put``; each actor compiles its
+    automaton in ``__init__``.
+    """
+    schema_arg = schema if schema is not None else FLAGSHIP_SCHEMA
+    if concurrency is None:
+        # autoscaling actor pool sized to the session CPUs; leaves head
+        # room for the read and downstream stages
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        ValidateInterleavedDocs,
+        fn_constructor_kwargs={"schema": schema_arg, "normalize": normalize},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def violations(ds_validated: "ray.data.Dataset",
+               id_column: str = "doc_id") -> "ray.data.Dataset":
+    """Violation rows (doc_id, datapath, typepath, what, value_repr, rule)."""
+    return ds_validated.map_batches(
+        lambda t: violations_view(t, id_column),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def verdict_summary(ds_validated: "ray.data.Dataset"):
+    """Tiny driver-side summary: pass/fail counts + per-rule histogram.
+    Partial-aggregated inside map_batches; the groupby runs over one row
+    per (rule × batch)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = pa.table({
+            "rule": pc.fill_null(t["v_rule"], "PASS"),
+        }).group_by("rule").aggregate([([], "count_all")])
+        return g.rename_columns(["rule", "n"])
+
+    out = (ds_validated.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+           .groupby("rule").sum("n"))
+    pdf = out.to_pandas()
+    pdf = pdf.rename(columns={"sum(n)": "n"})
+    return pdf.sort_values("rule").reset_index(drop=True)
+
+
+def run_flagship(num_docs: int, *, seed: int = 42, out_dir: str | None = None,
+                 concurrency=None, batch_size: int = 8192):
+    """End-to-end: read → validate → (optionally) write partitioned parquet
+    of the validated stream and the violations table; returns the summary
+    DataFrame. This is the pipeline `bench.py` times."""
+    ds = validated(read_corpus(num_docs, seed), concurrency=concurrency,
+                   batch_size=batch_size)
+    if out_dir is not None:
+        ds.write_parquet(f"{out_dir}/validated")
+        summary = verdict_summary(
+            ray.data.read_parquet(f"{out_dir}/validated"))
+    else:
+        summary = verdict_summary(ds)
+    return summary

@@ -1,0 +1,575 @@
+"""Operator-coverage query suite over the driver's parquet tables.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pyarrow Table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL the driver
+runs side-by-side (column names match exactly — the correctness gate
+hashes values under sorted column names). Non-SQL-expressible pipelines
+(sketches, MinHash/SimHash, schema inference, the flagship corpus) have no
+oracle entry and get the driver's rows-only check.
+
+Every query is written Ray-Data-first and scale-shaped:
+* aggregates pre-reduce inside ``map_batches`` (one partial row per key
+  per batch) before the small keyed shuffle;
+* joins broadcast the small side via ``ray.put`` — no shuffle join;
+* top-k = per-batch partial top-k, tiny final sort;
+* reads prune columns at the source.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..columnar.table_validator import TableValidator
+from ..stages.validate import ValidateInterleavedDocs, ValidateJsonColumn
+
+
+
+
+def _round(arr, ndigits: int):
+    """DuckDB-compatible rounding (half away from zero; pyarrow/numpy
+    default to half-to-even which diverges on exact halves)."""
+    return pc.round(arr, ndigits, round_mode="half_towards_infinity")
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _t(ds) -> pa.Table:
+    """Materialize a SMALL result dataset to one Arrow table."""
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+# ---------------------------------------------------------------------------
+# validation queries (SURVEY §2.2 as table predicates)
+
+DOCS_SCHEMA = {
+    "@root": "#Document",
+    "Document": {
+        "doc_id": "0..",
+        "text": "string",
+        "lang": "(en|de|fr)",
+        "source": "(src[0-9])",
+        "n_chars": "0..300",
+    },
+}
+
+EVENT_PROPS_SCHEMA = {"@root": "#Props", "Props": {"k": "0..50"}}
+
+
+def q_validate_documents(sf_dir: str):
+    """Columnar SJOT validation of the documents table: verdict + first
+    failing rule's typepath (first-error-wins, schema order)."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = ds.map_batches(
+        ValidateInterleavedDocs,
+        fn_constructor_kwargs={"schema": DOCS_SCHEMA, "extras_column": None,
+                               "normalize": False},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+    return _t(out.map_batches(
+        lambda t: t.select(["doc_id", "verdict", "v_typepath"]),
+        batch_format="pyarrow"))
+
+
+def q_violations_documents(sf_dir: str):
+    """Violation rows for the documents table (reference-format paths)."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = ds.map_batches(
+        ValidateInterleavedDocs,
+        fn_constructor_kwargs={"schema": DOCS_SCHEMA, "extras_column": None,
+                               "normalize": False},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.invert(t["verdict"]))
+        return bad.select(["doc_id", "v_datapath", "v_typepath",
+                           "v_value_repr"]).rename_columns(
+            ["doc_id", "datapath", "typepath", "value_repr"])
+    return _t(out.map_batches(project, batch_format="pyarrow"))
+
+
+def q_validate_events_props(sf_dir: str):
+    """Row-engine (full SJOT generality) validation of the events.props
+    JSON column — the generic fallback path, distributed."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = ds.map_batches(
+        ValidateJsonColumn,
+        fn_constructor_kwargs={"schema": EVENT_PROPS_SCHEMA,
+                               "column": "props"},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    return _t(out.map_batches(
+        lambda t: t.select(["event_id", "verdict"]),
+        batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# wide checks as queries
+
+def q_uniqueness_events_user(sf_dir: str):
+    """user_ids with more than one event + multiplicity (exact, partial
+    count per batch → groupby-sum over partials)."""
+    from .wide_checks import duplicate_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return _t(duplicate_keys(ds, "user_id"))
+
+
+def q_referential_orders_customer(sf_dir: str):
+    """Anti-join: orders whose o_custkey is not in customer (broadcast
+    Bloom + exact set, no shuffle). Returns summary counts."""
+    from .wide_checks import referential_check
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    dangling = referential_check(orders, "o_custkey", _t(customer),
+                                 "c_custkey")
+    n_dangling = dangling.count()
+    n_total = orders.count()
+    return pa.table({"total_orders": [n_total],
+                     "dangling_orders": [n_dangling]})
+
+
+def q_column_stats_lineitem(sf_dir: str):
+    """Exact column stats via mergeable per-batch partials."""
+    from .wide_checks import column_stats
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    t = column_stats(ds, ["l_quantity", "l_extendedprice"])
+
+    return pa.table({
+        "column": t["column"],
+        "n": t["n"].cast(pa.int64()),
+        "nulls": t["nulls"].cast(pa.int64()),
+        "min_v": _round(t["min"], 3),
+        "max_v": _round(t["max"], 3),
+        "mean_v": _round(t["mean"], 3),
+    })
+
+
+# ---------------------------------------------------------------------------
+# relational ops (groupby / join / sort / limit) — Ray-Data-first
+
+def q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1 shape: partial aggregate per batch inside map_batches,
+    then a tiny keyed groupby over partials."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_qty", "sum_price", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .sum(["sum_qty", "sum_price", "n"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": _round(t["sum(sum_qty)"], 2),
+            "avg_price": _round(
+                pc.divide(t["sum(sum_price)"],
+                          pc.cast(t["sum(n)"], pa.float64())), 2),
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer on custkey — customer is the small side,
+    broadcast once via ray.put; groupby over partials."""
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"]))
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist())))
+
+    class AddSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
+            t = t.append_column("segment", pa.array(seg, pa.string()))
+            g = t.group_by("segment").aggregate(
+                [("o_totalprice", "sum"), ([], "count_all")])
+            return g.rename_columns(["segment", "revenue", "n_orders"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (orders.map_batches(AddSegment, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+           .groupby("segment").sum(["revenue", "n_orders"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": t["segment"],
+            "revenue": _round(t["sum(revenue)"], 2),
+            "n_orders": pc.cast(t["sum(n_orders)"], pa.int64()),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    """Top-20 documents by n_chars: per-batch partial top-k, tiny final
+    sort (no global shuffle sort)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=20, sort_keys=[("n_chars", "descending"),
+                                ("doc_id", "ascending")])
+        return t.take(idx)
+
+    top = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    idx = pc.select_k_unstable(
+        top, k=20, sort_keys=[("n_chars", "descending"),
+                              ("doc_id", "ascending")])
+    return top.take(idx)
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped: tumbling 1-hour windows per event_type (events is
+    an ordered log; the window key is computed per batch, then a keyed
+    aggregate over partials)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({
+            "event_type": t["event_type"], "hour": hour,
+            "value": t["value"],
+        }).group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "sum_value", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "hour"]).sum(["sum_value", "n"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": t["hour"],
+            "sum_value": _round(t["sum(sum_value)"], 3),
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_lang_distribution(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"),
+                                          ([], "count_all")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang").sum(["sum_chars", "n_docs"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["sum(n_docs)"], pa.int64()),
+            "avg_chars": _round(
+                pc.divide(pc.cast(t["sum(sum_chars)"], pa.float64()),
+                          pc.cast(t["sum(n_docs)"], pa.float64())), 3),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops)
+
+
+
+def _np_round_away(x, ndigits: int):
+    m = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counts, vectorized (count_substring_regex)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n_tok, pa.int64())})
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+def q_text_quality(sf_dir: str):
+    """Quality metrics per doc: token count, mean token length,
+    type-token ratio (distinct/total tokens), all vectorized."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        n_tok = pc.list_value_length(toks)
+        flat = toks.combine_chunks().flatten() \
+            if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        tok_len = pc.utf8_length(flat)
+        lengths = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lengths) - lengths
+        tl = tok_len.to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = np.add.reduceat(tl, starts) if len(tl) else np.zeros(0)
+        sums = np.where(lengths > 0, sums, 0.0)
+        # distinct tokens per row (lexsort trick)
+        parent = np.repeat(np.arange(t.num_rows), lengths)
+        vals = np.asarray(flat.to_pylist(), dtype=object)
+        order = np.lexsort((vals, parent))
+        p_s, v_s = parent[order], vals[order]
+        newgrp = np.ones(len(p_s), dtype=bool)
+        newgrp[1:] = (p_s[1:] != p_s[:-1]) | (v_s[1:] != v_s[:-1])
+        distinct = np.bincount(p_s[newgrp], minlength=t.num_rows)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(lengths, pa.int64()),
+            "avg_token_len": pa.array(
+                _np_round_away(sums / np.maximum(lengths, 1), 3)),
+            "ttr": pa.array(_np_round_away(distinct / np.maximum(lengths, 1), 3)),
+        })
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup on a content key (first-3-token prefix): group → keep
+    min doc_id; hash-partitioned groupby over pre-reduced partials."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        key = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+        g = pa.table({"key": key, "doc_id": t["doc_id"]}) \
+            .group_by("key").aggregate([("doc_id", "min"),
+                                        ([], "count_all")])
+        return g.rename_columns(["key", "keep_id", "n"])
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("key").aggregate(Min("keep_id", alias_name="keep_id"),
+                                     Sum("n", alias_name="n")))
+    t = _t(agg)
+    return pa.table({
+        "key": t["key"],
+        "keep_id": pc.cast(t["keep_id"], pa.int64()),
+        "n": pc.cast(t["n"], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: the query matrix (vec_id < n_queries) is
+    broadcast; each batch computes a partial top-k via one float64 matmul;
+    a tiny final merge re-ranks. Scale path: IVF/LSH bucketing (see
+    dedup.py) — this is the exact baseline."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = _t(ds.filter(lambda r: r["vec_id"] < n_queries))
+    q_ids = np.asarray(qt["vec_id"].to_pylist())
+    Q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.Qn = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            ids = np.asarray(t["vec_id"].to_pylist())
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = self.Qn @ Xn.T                       # (q, batch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(S.shape[0]):
+                mask = ids != self.q_ids[qi]         # exclude self
+                s = S[qi][mask]
+                nb = ids[mask]
+                top = np.argsort(-s, kind="stable")[:k]
+                out_q.extend([int(self.q_ids[qi])] * len(top))
+                out_n.extend(nb[top].tolist())
+                out_s.extend(s[top].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "score": pa.array(out_s, pa.float64())})
+
+    parts = _t(ds.map_batches(PartialTopK, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4)))
+    pdf = parts.to_pandas()
+    pdf["score_r"] = pdf["score"].round(5)
+    pdf = pdf.sort_values(["query_id", "score_r", "neighbor_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id").head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — names match the Ray outputs exactly
+
+ORACLE_SQL: dict[str, str] = {
+    "validate_documents": """
+        SELECT doc_id,
+               (regexp_full_match(lang, '(en|de|fr)')
+                AND regexp_full_match(source, '(src[0-9])')
+                AND n_chars <= 300 AND n_chars >= 0) AS verdict,
+               CASE
+                 WHEN NOT regexp_full_match(lang, '(en|de|fr)')
+                   THEN '/@root/#Document/lang'
+                 WHEN NOT regexp_full_match(source, '(src[0-9])')
+                   THEN '/@root/#Document/source'
+                 WHEN n_chars > 300 OR n_chars < 0
+                   THEN '/@root/#Document/n_chars'
+               END AS v_typepath
+        FROM documents
+    """,
+    "violations_documents": """
+        SELECT doc_id,
+               CASE
+                 WHEN NOT regexp_full_match(lang, '(en|de|fr)')
+                   THEN '$.lang'
+                 WHEN NOT regexp_full_match(source, '(src[0-9])')
+                   THEN '$.source'
+                 ELSE '$.n_chars' END AS datapath,
+               CASE
+                 WHEN NOT regexp_full_match(lang, '(en|de|fr)')
+                   THEN '/@root/#Document/lang'
+                 WHEN NOT regexp_full_match(source, '(src[0-9])')
+                   THEN '/@root/#Document/source'
+                 ELSE '/@root/#Document/n_chars' END AS typepath,
+               CASE
+                 WHEN NOT regexp_full_match(lang, '(en|de|fr)') THEN lang
+                 WHEN NOT regexp_full_match(source, '(src[0-9])') THEN source
+                 ELSE CAST(n_chars AS VARCHAR) END AS value_repr
+        FROM documents
+        WHERE NOT (regexp_full_match(lang, '(en|de|fr)')
+                   AND regexp_full_match(source, '(src[0-9])')
+                   AND n_chars <= 300 AND n_chars >= 0)
+    """,
+    "validate_events_props": """
+        SELECT event_id,
+               (TRY_CAST(json_extract(props, '$.k') AS DOUBLE) IS NOT NULL
+                AND TRY_CAST(json_extract(props, '$.k') AS DOUBLE) >= 0
+                AND TRY_CAST(json_extract(props, '$.k') AS DOUBLE) <= 50)
+                 AS verdict
+        FROM events
+    """,
+    "uniqueness_events_user": """
+        SELECT user_id, COUNT(*) AS n
+        FROM events GROUP BY user_id HAVING COUNT(*) > 1
+    """,
+    "referential_orders_customer": """
+        SELECT COUNT(*) AS total_orders,
+               COUNT(*) FILTER (o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) AS dangling_orders
+        FROM orders
+    """,
+    "column_stats_lineitem": """
+        SELECT 'l_quantity' AS "column", COUNT(*) AS n,
+               COUNT(*) - COUNT(l_quantity) AS nulls,
+               ROUND(MIN(l_quantity), 3) AS min_v,
+               ROUND(MAX(l_quantity), 3) AS max_v,
+               ROUND(AVG(l_quantity), 3) AS mean_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               COUNT(*) - COUNT(l_extendedprice),
+               ROUND(MIN(l_extendedprice), 3),
+               ROUND(MAX(l_extendedprice), 3),
+               ROUND(AVG(l_extendedprice), 3)
+        FROM lineitem
+    """,
+    "q1_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice) / COUNT(*), 2) AS avg_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "segment_revenue": """
+        SELECT c_mktsegment AS segment,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "top_docs_by_chars": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               ROUND(SUM(value), 3) AS sum_value, COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "lang_distribution": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(SUM(n_chars) * 1.0 / COUNT(*), 3) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "token_counts": """
+        SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS tok
+          FROM documents)
+        SELECT doc_id, len(tok) AS n_tokens,
+               ROUND(list_sum(list_transform(tok, t -> length(t))) * 1.0
+                     / greatest(len(tok), 1), 3) AS avg_token_len,
+               ROUND(len(list_distinct(tok)) * 1.0
+                     / greatest(len(tok), 1), 3) AS ttr
+        FROM toks
+    """,
+    "dedup_exact": """
+        WITH keyed AS (
+          SELECT doc_id,
+                 array_to_string(regexp_extract_all(text, '\\S+')[1:3], ' ')
+                   AS key
+          FROM documents)
+        SELECT key, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM keyed GROUP BY key
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             scored AS (
+               SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ROUND(list_cosine_similarity(q.qe, e.embedding), 5)
+                        AS score_r
+               FROM q CROSS JOIN embeddings e
+               WHERE e.vec_id != q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score_r DESC, neighbor_id) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """,
+}

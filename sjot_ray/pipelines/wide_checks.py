@@ -1,0 +1,200 @@
+"""Table-level checks (north rule): uniqueness, referential integrity,
+distribution drift, column stats — each designed as partial-per-batch →
+tiny final merge, never a raw-row all-to-all shuffle.
+
+* uniqueness: per-batch ``group_by(key).count`` partials (one row per key
+  per batch) → global ``groupby(key).sum`` over the much smaller partials
+  → filter n>1. Approximate distinct-count variant via mergeable HLL
+  partials (one sketch row per batch).
+* referential: the small build side is collected once, hashed into a Bloom
+  filter + exact set, broadcast via ``ray.put``, probed inside
+  ``map_batches`` (semi/anti-join without a shuffle).
+* drift: per-batch KLL sketch partials merged on the driver; compare
+  quantile vectors of current vs baseline.
+* column stats: per-batch (count, nulls, min, max, sum, sumsq) partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..state.sketches import BloomFilter, HyperLogLog, KLLSketch, hash64
+
+
+# -- uniqueness --------------------------------------------------------------
+
+def duplicate_keys(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+    """Keys appearing more than once, with their multiplicities."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by(key).aggregate([([], "count_all")])
+        return g.rename_columns([key, "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(key).sum("n"))
+    return agg.filter(lambda row: row["sum(n)"] > 1) \
+              .map_batches(lambda t: t.rename_columns([key, "n"]),
+                           batch_format="pyarrow")
+
+
+def distinct_count_hll(ds: "ray.data.Dataset", column: str,
+                       p: int = 14) -> float:
+    """Approximate distinct count: one HLL partial per batch, merged on
+    the driver (sketch rows are ~16 KiB each)."""
+    def partial(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        arr = t[column]
+        valid = pc.drop_null(arr)
+        if len(valid):
+            h.add_hashes(hash64(valid))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for s in b["sketch"].to_pylist():
+            merged.merge(HyperLogLog.deserialize(s, p))
+    return merged.estimate()
+
+
+# -- referential -------------------------------------------------------------
+
+def referential_check(ds: "ray.data.Dataset", column: str,
+                      catalog: "ray.data.Dataset | pa.Table",
+                      catalog_column: str | None = None,
+                      exact: bool = True):
+    """Anti-join ``ds[column]`` against a catalog key set.
+
+    Build side: the catalog column is hashed into a Bloom filter (and,
+    when ``exact``, the key set) once on the driver and broadcast with
+    ``ray.put`` — every probe task reads it from the object store, nothing
+    is re-shipped per batch and nothing shuffles.
+
+    Returns (dangling_rows Dataset, stats dict).
+    """
+    catalog_column = catalog_column or column
+    if isinstance(catalog, pa.Table):
+        keys = catalog[catalog_column]
+    else:
+        keys = pa.chunked_array(
+            [b[catalog_column] for b in
+             catalog.iter_batches(batch_format="pyarrow")]).combine_chunks()
+    bloom = BloomFilter(max(64, len(keys)), fpp=0.001)
+    bloom.add_hashes(hash64(keys))
+    exact_set = set(keys.to_pylist()) if exact else None
+    side_ref = ray.put((bloom, exact_set))
+
+    class Probe:
+        def __init__(self):
+            self.bloom, self.exact = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            arr = t[column]
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            ok = np.zeros(t.num_rows, dtype=bool)
+            if valid.any():
+                h = hash64(arr)
+                hit = self.bloom.contains_hashes(h)
+                if self.exact is not None and hit.any():
+                    vals = arr.to_pylist()
+                    hit = np.asarray(
+                        [v in self.exact if m else False
+                         for v, m in zip(vals, hit)], dtype=bool)
+                ok = hit & valid
+            return t.append_column("__ref_ok__", pa.array(ok | ~valid))
+
+    probed = ds.map_batches(Probe, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 8))
+    dangling = probed.map_batches(
+        lambda t: t.filter(pc.invert(t["__ref_ok__"])).drop_columns(
+            ["__ref_ok__"]),
+        batch_format="pyarrow")
+    return dangling
+
+
+# -- drift -------------------------------------------------------------------
+
+def kll_sketch_of(ds: "ray.data.Dataset", column: str,
+                  k: int = 200) -> KLLSketch:
+    """Merged KLL sketch of a numeric column (per-batch partials)."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pickle
+
+        sk = KLLSketch(k)
+        arr = pc.drop_null(t[column])
+        if len(arr):
+            sk.add_values(arr.to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([pickle.dumps(sk)], pa.binary())})
+
+    import pickle
+
+    merged = KLLSketch(k)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for s in b["sketch"].to_pylist():
+            merged.merge(pickle.loads(s))
+    return merged
+
+
+def drift_check(ds_current: "ray.data.Dataset",
+                ds_baseline: "ray.data.Dataset", column: str,
+                quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+                threshold: float = 0.1) -> dict:
+    """Quantile-vector drift between two datasets on one column.
+
+    Reports per-quantile values and a normalized max-shift score
+    (|Δq| / IQR of the baseline); ``drifted`` when the score exceeds
+    ``threshold``."""
+    cur = kll_sketch_of(ds_current, column).quantiles(list(quantiles))
+    base = kll_sketch_of(ds_baseline, column).quantiles(list(quantiles))
+    iqr = max(base[-2] - base[1], 1e-12) if len(base) > 2 else 1.0
+    score = float(np.max(np.abs(cur - base)) / iqr)
+    return {
+        "column": column,
+        "quantiles": list(quantiles),
+        "current": [float(x) for x in cur],
+        "baseline": [float(x) for x in base],
+        "max_shift_iqr": score,
+        "drifted": bool(score > threshold),
+    }
+
+
+# -- column stats ------------------------------------------------------------
+
+def column_stats(ds: "ray.data.Dataset", columns: list[str]) -> pa.Table:
+    """Exact per-column stats (n, nulls, min, max, mean, std) via
+    mergeable per-batch partials — no shuffle, one tiny reduce."""
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nulls": [], "min": [], "max": [],
+                "sum": [], "sumsq": []}
+        for c in columns:
+            arr = t[c]
+            nn = pc.drop_null(arr)
+            x = nn.to_numpy(zero_copy_only=False).astype(np.float64) \
+                if len(nn) else np.zeros(0)
+            rows["column"].append(c)
+            rows["n"].append(len(arr))
+            rows["nulls"].append(len(arr) - len(nn))
+            rows["min"].append(float(x.min()) if len(x) else np.nan)
+            rows["max"].append(float(x.max()) if len(x) else np.nan)
+            rows["sum"].append(float(x.sum()))
+            rows["sumsq"].append(float((x * x).sum()))
+        return pa.table(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("column").agg(
+        n=("n", "sum"), nulls=("nulls", "sum"), min=("min", "min"),
+        max=("max", "max"), sum=("sum", "sum"), sumsq=("sumsq", "sum"))
+    g["mean"] = g["sum"] / (g["n"] - g["nulls"]).clip(lower=1)
+    var = g["sumsq"] / (g["n"] - g["nulls"]).clip(lower=1) - g["mean"] ** 2
+    g["std"] = np.sqrt(var.clip(lower=0))
+    return pa.Table.from_pandas(g.reset_index()[
+        ["column", "n", "nulls", "min", "max", "mean", "std"]])
