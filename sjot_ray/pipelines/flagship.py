@@ -35,19 +35,36 @@ def read_corpus(num_docs: int, seed: int = 42,
 
 
 def validated(ds: "ray.data.Dataset", schema=None, *,
-              concurrency=None, batch_size: int = 8192,
-              normalize: bool = True) -> "ray.data.Dataset":
+              concurrency=None, batch_size: int | None = None,
+              normalize: bool = True,
+              use_actors: bool = False) -> "ray.data.Dataset":
     """Corpus → validated stream (verdict + violation columns appended).
 
-    The schema is broadcast once via ``ray.put``; each actor compiles its
-    automaton in ``__init__``.
+    Two execution modes, same compiled automaton:
+
+    * default (``use_actors=False``): stateless tasks + a per-worker
+      validator cache (``make_validate_fn``). The automaton is cheap and
+      deterministic to build, so warm task workers give build-once
+      semantics without actor cold-start, and the scheduler overlaps the
+      stage freely with the read — measurably faster at every CPU count.
+    * ``use_actors=True``: a fixed actor pool holding the validator —
+      the pattern for genuinely heavy state (models, big lookup sides);
+      sized to leave CPU headroom for the read/aggregate stages (a pool
+      that reserves every CPU starves the read and the pipeline stalls).
+
+    ``batch_size=None`` processes one block per call (chunky tasks).
     """
     schema_arg = schema if schema is not None else FLAGSHIP_SCHEMA
+    if not use_actors:
+        from ..stages.validate import make_validate_fn
+
+        return ds.map_batches(
+            make_validate_fn(schema_arg, normalize=normalize),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
     if concurrency is None:
-        # autoscaling actor pool sized to the session CPUs; leaves head
-        # room for the read and downstream stages
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu))
+        concurrency = max(1, min(16, ncpu - 1))
     return ds.map_batches(
         ValidateInterleavedDocs,
         fn_constructor_kwargs={"schema": schema_arg, "normalize": normalize},

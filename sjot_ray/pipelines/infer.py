@@ -1,0 +1,85 @@
+"""Distributed schema inference: snapSJOT as a map + reduce aggregation.
+
+Per batch: snap every JSON document and fold the batch into one partial
+inferred type; driver: fold the (few) partials. The reference infers from
+one document at a time (dev/snapsjot.js:22-33) — this is the same
+unification algebra run as a tree aggregate, which is what makes it usable
+on 10^12 documents."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..core.infer import infer_many, merge_inferred, snap, unify
+
+
+class SnapBatch:
+    def __init__(self, column: str):
+        self.column = column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        root = None
+        for s in t[self.column].to_pylist():
+            if s is None:
+                continue
+            try:
+                doc = json.loads(s) if isinstance(s, (str, bytes)) else s
+            except ValueError:
+                continue
+            typ = snap(doc)
+            root = typ if root is None else _fold(root, typ)
+        return pa.table({"partial": pa.array(
+            [json.dumps(root, sort_keys=True)], pa.string())})
+
+
+def _fold(a, b):
+    u = unify(a, b)
+    if isinstance(u, list) and len(u) == 1 and isinstance(u[0], list) \
+            and len(u[0]) == 1:
+        return u[0][0]
+    return u
+
+
+def infer_json_column(ds: "ray.data.Dataset", column: str) -> dict:
+    """Inferred SJOT schema of a JSON string column."""
+    parts = ds.map_batches(
+        SnapBatch, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    root = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s in b["partial"].to_pylist():
+            if s is None:
+                continue
+            t = json.loads(s)
+            root = t if root is None else _fold(root, t)
+    return {"@note": "SJOT schema inferred from examples", "@root": root}
+
+
+def q_infer_events_props(sf_dir: str):
+    """Infer the schema of events.props; returns it as one JSON row plus a
+    self-check: the inferred schema must validate every source document."""
+    from ..core import check, valid
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["props"])
+    schema = infer_json_column(ds, "props")
+    check_ok = True
+    try:
+        check(json.loads(json.dumps(schema)))
+    except Exception:
+        check_ok = False
+
+    # verify on a sample (distributed full verify = ValidateJsonColumn)
+    sample = [json.loads(r["props"]) for r in ds.take(200)]
+    all_valid = all(valid(d, None, json.loads(json.dumps(schema)))
+                    for d in sample)
+    return pa.table({
+        "schema_json": pa.array([json.dumps(schema, sort_keys=True)]),
+        "schema_admitted": pa.array([check_ok]),
+        "sample_all_valid": pa.array([all_valid]),
+    })

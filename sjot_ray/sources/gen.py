@@ -218,13 +218,28 @@ def generate_interleaved(num_docs: int, seed: int = 42,
 
 def interleaved_parquet(num_docs: int, seed: int = 42,
                         cache_dir: str = "/tmp/sjot_ray_corpus") -> str:
-    """Generate-once parquet cache; returns the file path. Sharded row
-    groups so Ray can parallelize the read."""
+    """Generate-once parquet cache; returns a DIRECTORY of shard files.
+
+    Sharded so the distributed read parallelizes (one read task per file —
+    a single file serializes the scan) and so a resumable run can address
+    shards independently; at real scale the corpus would already arrive
+    sharded."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"interleaved_n{num_docs}_s{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(cache_dir, f"interleaved_n{num_docs}_s{seed}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
         tbl = generate_interleaved(num_docs, seed)
-        pq.write_table(tbl, path, row_group_size=max(4096, num_docs // 64))
+        n_shards = max(1, min(32, num_docs // 16384))
+        per = -(-num_docs // n_shards)
+        for i in range(n_shards):
+            pq.write_table(tbl.slice(i * per, per),
+                           os.path.join(path, f"part-{i:04d}.parquet"),
+                           row_group_size=16384)
+        open(done, "w").write("ok")
     return path
 
 

@@ -55,6 +55,12 @@ class ValidateInterleavedDocs:
                  normalize: bool = True):
         import ray
 
+        # Ray workers inherit OMP_NUM_THREADS=1 → Arrow's CPU pool of 1,
+        # which interacts pathologically with its IO pool on nested
+        # parquet; pin small, sane pools once per actor.
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(4)
+
         if schema is None:
             from ..sources.gen import FLAGSHIP_SCHEMA
 
@@ -150,3 +156,34 @@ def violations_view(batch: pa.Table, id_column: str = "doc_id") -> pa.Table:
     out = bad.select(keep)
     return out.rename_columns(
         ([id_column] if id_column in batch.column_names else []) + _VKEYS)
+
+
+# ---------------------------------------------------------------------------
+# stateless-task variant with a per-worker compiled-automaton cache.
+#
+# Actor pools pin CPUs and cold-start a fresh process per actor; when the
+# stage state is deterministic and cheap to build (a compiled schema), a
+# module-level cache keyed by the schema content gives the same
+# build-once-per-worker behavior on Ray's warm task workers — elastic, no
+# cold-start, and the scheduler can overlap it freely with the read.
+
+_WORKER_VALIDATORS: dict = {}
+
+
+def make_validate_fn(schema, extras_column="_extra_props", normalize=True):
+    """A plain function for ``map_batches`` that lazily builds (once per
+    worker process) the same compiled validator the actor variant holds."""
+    import json
+
+    key = (json.dumps(schema, sort_keys=True), extras_column, normalize)
+
+    def validate_fn(batch: pa.Table) -> pa.Table:
+        v = _WORKER_VALIDATORS.get(key)
+        if v is None:
+            v = ValidateInterleavedDocs(json.loads(key[0]),
+                                        extras_column=extras_column,
+                                        normalize=normalize)
+            _WORKER_VALIDATORS[key] = v
+        return v(batch)
+
+    return validate_fn

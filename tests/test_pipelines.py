@@ -1,0 +1,202 @@
+"""Ray Data pipeline tests (one shared Ray session per pytest run)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+N_DOCS = 4000
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    from sjot_ray.pipelines.flagship import read_corpus
+
+    return read_corpus(N_DOCS, seed=42)
+
+
+def test_flagship_verdicts_match_columnar(ray_session, corpus_ds):
+    import copy
+
+    from sjot_ray.columnar.table_validator import TableValidator
+    from sjot_ray.pipelines.flagship import validated
+    from sjot_ray.sources.gen import FLAGSHIP_SCHEMA, generate_interleaved
+
+    out = validated(corpus_ds).to_pandas().sort_values("doc_id")
+    tv = TableValidator(copy.deepcopy(FLAGSHIP_SCHEMA),
+                        extras_column="_extra_props")
+    local = generate_interleaved(N_DOCS, seed=42)
+    verdict, _, _ = tv.validate_batch(local)
+    expected = (pa.table({"doc_id": local["doc_id"],
+                          "verdict": pa.array(verdict)})
+                .to_pandas().sort_values("doc_id"))
+    assert list(out["verdict"]) == list(expected["verdict"])
+
+
+def test_violations_and_summary(ray_session, corpus_ds):
+    from sjot_ray.pipelines.flagship import validated, verdict_summary, violations
+
+    v = validated(corpus_ds)
+    summary = verdict_summary(v)
+    n_total = summary["n"].sum()
+    assert n_total == N_DOCS
+    n_pass = summary.loc[summary["rule"] == "PASS", "n"].sum()
+    viols = violations(validated(corpus_ds)).to_pandas()
+    assert len(viols) == N_DOCS - n_pass
+    assert set(viols.columns) == {"doc_id", "datapath", "typepath", "what",
+                                  "value_repr", "rule"}
+
+
+def test_wide_checks(ray_session, corpus_ds):
+    from sjot_ray.pipelines import wide_checks as W
+    from sjot_ray.sources.gen import generate_interleaved, media_catalog
+
+    local = generate_interleaved(N_DOCS, seed=42)
+    ids = local["doc_id"].to_pylist()
+    import collections
+
+    true_dups = {k: c for k, c in collections.Counter(ids).items() if c > 1}
+
+    dups = W.duplicate_keys(corpus_ds, "doc_id").to_pandas()
+    assert dict(zip(dups["doc_id"], dups["n"])) == true_dups
+
+    est = W.distinct_count_hll(corpus_ds, "doc_id")
+    true_distinct = len(set(ids))
+    assert abs(est - true_distinct) / true_distinct < 0.05
+
+    def media_rows(t: pa.Table) -> pa.Table:
+        flat = t["spans"].combine_chunks().flatten()
+        mr = flat.field("media_ref")
+        return pa.table({"media_ref": mr}).filter(pc.is_valid(mr))
+
+    refs = corpus_ds.map_batches(media_rows, batch_format="pyarrow")
+    dangling = W.referential_check(refs, "media_ref", media_catalog())
+    got = dangling.to_pandas()["media_ref"]
+    assert len(got) > 0 and all("missing" in r for r in got)
+
+    stats = W.column_stats(
+        corpus_ds.map_batches(media_rows, batch_format="pyarrow")
+        .map_batches(lambda t: pa.table(
+            {"L": pc.utf8_length(t["media_ref"])}), batch_format="pyarrow"),
+        ["L"]).to_pandas()
+    assert stats.iloc[0]["n"] > 0
+
+
+def test_drift_detects_shift(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.wide_checks import drift_check
+
+    rng = np.random.default_rng(0)
+    base = ray.data.from_arrow(pa.table({"x": rng.normal(0, 1, 50_000)}))
+    shifted = ray.data.from_arrow(
+        pa.table({"x": rng.normal(0.5, 1, 50_000)}))
+    same = drift_check(base, base, "x")
+    moved = drift_check(shifted, base, "x")
+    assert not same["drifted"]
+    assert moved["drifted"]
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import minhash_candidates, verify_jaccard
+
+    rng = np.random.default_rng(1)
+    words = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(200):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, 30)))
+    # plant near-dups: copy docs 0-4 with one word changed
+    for j in range(5):
+        ids.append(200 + j)
+        t = texts[j].split()
+        t[5] = "CHANGED"
+        texts.append(" ".join(t))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    pairs_ds = minhash_candidates(ds)
+    batches = list(pairs_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    pairs = pa.concat_tables(batches) if batches else pa.table(
+        {"id_a": [], "id_b": []})
+    verified = verify_jaccard(pairs, tbl, threshold=0.5).to_pandas()
+    found = set(zip(verified["id_a"], verified["id_b"]))
+    for j in range(5):
+        assert (j, 200 + j) in found, (j, found)
+
+
+def test_simhash_identical_docs_collide(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import simhash_fingerprints
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["a b c d", "a b c d", "x y z w"])})
+    fps = simhash_fingerprints(ray.data.from_arrow(tbl)).to_pandas()
+    fp = dict(zip(fps["doc_id"], fps["simhash"]))
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_stub_pipeline(ray_session, corpus_ds):
+    from sjot_ray.pipelines.flagship import validated
+    from sjot_ray.pipelines.multimodal import media_pipeline
+
+    docs = validated(corpus_ds).map_batches(
+        lambda t: t.filter(t["verdict"]), batch_format="pyarrow")
+    feats = media_pipeline(docs).to_pandas()
+    assert len(feats) > 0
+    assert set(feats["kind"]).issubset({"image", "audio", "video", "table"})
+    img = feats[feats["kind"] == "image"]
+    assert (img["width"] > 0).all()
+    assert feats["features"].map(len).eq(16).all()
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from sjot_ray.pipelines.checkpoint import resumable_validate
+    from sjot_ray.sources.gen import interleaved_parquet
+
+    src = interleaved_parquet(20_000, seed=7, cache_dir=str(tmp_path / "src"))
+    out = str(tmp_path / "out")
+
+    r1 = resumable_validate(src, out)
+    assert r1["partitions_skipped"] == 0
+    assert r1["partitions_processed"] == r1["partitions_total"] > 0
+    assert r1["rows"] == 20_000
+
+    r2 = resumable_validate(src, out)
+    assert r2["partitions_processed"] == 0
+    assert r2["partitions_skipped"] == r1["partitions_total"]
+    assert r2["rows"] == 20_000
+
+    # drop one partition → exactly one is redone
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(out, victim))
+    os.remove(os.path.join(out, "_manifest",
+                           victim.replace(".parquet", ".json")))
+    r3 = resumable_validate(src, out)
+    assert r3["partitions_processed"] == 1
+    assert r3["partitions_skipped"] == r1["partitions_total"] - 1
+    assert r3["rows"] == 20_000
+
+
+def test_infer_pipeline(ray_session):
+    import ray.data
+
+    from sjot_ray.core import valid
+    from sjot_ray.pipelines.infer import infer_json_column
+
+    rows = [{"props": f'{{"k": {i}, "tag": "t{i%3}"}}'} for i in range(500)]
+    ds = ray.data.from_items(rows)
+    schema = infer_json_column(ds, "props")
+    import json
+
+    assert valid({"k": 1, "tag": "t0"}, None,
+                 json.loads(json.dumps(schema)))
