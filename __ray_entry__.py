@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # non-SQL-expressible pipelines (rows-only checks)
     d["flagship_interleaved"] = _flagship_summary
+    d["sample_documents"] = Q.q_sample_documents
     d["flagship_violations"] = _flagship_violations
     d["flagship_dangling_media"] = _dangling_media
     try:

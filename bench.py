@@ -55,16 +55,13 @@ def run_bench() -> dict:
     from sjot_ray.sources.gen import interleaved_parquet
 
     num_docs = corpus_docs()
-    # warm: generate/cache corpus + one untimed FULL read so the worker
-    # pool is spawned and each worker pays its one-time parquet-reader
-    # init (~0.5s) outside the measurement; also primes the page cache.
-    # (.count() alone reads only metadata and warms nothing.)
+    # warm: generate/cache corpus, then run the FULL pipeline once
+    # untimed — this spawns the worker pool and pays every per-worker
+    # one-time cost (parquet reader init ~0.5s, validator compile) and
+    # primes the page cache, so the measurement is steady-state
+    # throughput, not session startup.
     interleaved_parquet(num_docs, seed=42)
-    import pyarrow as _pa
-
-    read_corpus(num_docs, seed=42).map_batches(
-        lambda t: _pa.table({"n": [t.num_rows]}),
-        batch_format="pyarrow").count()
+    verdict_summary(validated(read_corpus(num_docs, seed=42)))
 
     t0 = time.time()
     summary = verdict_summary(validated(read_corpus(num_docs, seed=42)))

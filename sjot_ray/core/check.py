@@ -260,8 +260,10 @@ def _check_string_type(sjots, prim, type_, sjot, typepath):
         check_type(sjots, False, True, type_[:i], sjot, typepath)
         return
 
-    if type_ in _PRIMS:
-        return
+    from .validator import FORMAT_PATTERNS
+
+    if type_ in _PRIMS or type_ in FORMAT_PATTERNS:
+        return  # builtins + user-registered formats (register_format)
     if type_ in ("any", "object", "array"):
         if prim:
             raise SJOTSchemaError(

@@ -901,3 +901,27 @@ def valid(data, type_=None, schema=None, ctx: Context | None = None) -> bool:
         return validate(data, type_, schema, ctx)
     except (SJOTValidationError, SJOTSchemaError):
         return False
+
+
+# ---------------------------------------------------------------------------
+# extension surface (SURVEY.md §2.5 E4): custom named string formats.
+# Registered formats become first-class SJOT types in BOTH engines — the
+# row walker reads FORMAT_RES and the columnar compiler reads
+# FORMAT_PATTERNS — mirroring how the reference's format switch works
+# (index.js:694-745), but user-extensible.
+
+def register_format(name: str, pattern: str) -> None:
+    """Register a custom string-format type usable anywhere a builtin
+    format (``hex``, ``uuid``, …) is. ``pattern`` is anchored like the
+    builtins (fullmatch)."""
+    if name in ("string", "char", "any", "object", "array", "atom", "null") \
+            or name in _NUMERIC_TYPES or name in ("boolean", "true", "false"):
+        raise SJOTSchemaError(f"cannot override builtin type {name}")
+    FORMAT_PATTERNS[name] = pattern
+    FORMAT_RES[name] = re.compile(pattern)
+    _STRINGY_TYPES_MUTABLE.add(name)
+
+
+# _STRINGY_TYPES is used for union dispatch; registered formats join it
+_STRINGY_TYPES_MUTABLE = set(_STRINGY_TYPES)
+_STRINGY_TYPES = _STRINGY_TYPES_MUTABLE

@@ -97,11 +97,19 @@ def verdict_summary(ds_validated: "ray.data.Dataset"):
         }).group_by("rule").aggregate([([], "count_all")])
         return g.rename_columns(["rule", "n"])
 
-    out = (ds_validated.map_batches(partial, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-           .groupby("rule").sum("n"))
-    pdf = out.to_pandas()
-    pdf = pdf.rename(columns={"sum(n)": "n"})
+    # the partials are a handful of rows per batch — merging them on the
+    # driver avoids a whole AllToAll stage whose fixed cost would dwarf
+    # the data (the general keyed path is wide_checks.duplicate_keys)
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for b in ds_validated.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for rule, n in zip(b["rule"].to_pylist(), b["n"].to_pylist()):
+            counts[rule] += n
+    pdf = pa.table({"rule": list(counts.keys()),
+                    "n": list(counts.values())}).to_pandas()
     return pdf.sort_values("rule").reset_index(drop=True)
 
 

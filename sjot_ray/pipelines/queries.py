@@ -573,3 +573,200 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# set ops / explode / multi-join / sessionize (coverage: distinct, unnest,
+# broadcast chains, groupby().map_groups ordered windows)
+
+def q_distinct_langs(sf_dir: str):
+    """Distinct values of one column (ds.unique — a keyed shuffle)."""
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def q_embedding_stats(sf_dir: str):
+    """Explode/flatten a list column: per-vector min/max/mean of the
+    embedding values (vectorized flatten + segment reduce)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        starts = np.cumsum(lengths) - lengths
+        mins = np.minimum.reduceat(flat, starts)
+        maxs = np.maximum.reduceat(flat, starts)
+        sums = np.add.reduceat(flat, starts)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "dim": pa.array(lengths),
+            "min_v": _round(pa.array(mins), 5),
+            "max_v": _round(pa.array(maxs), 5),
+            "mean_v": _round(pa.array(sums / np.maximum(lengths, 1)), 5),
+        })
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+def q_nation_revenue(sf_dir: str):
+    """Three-table join (orders⋈customer⋈nation) as a chained broadcast
+    lookup — both dimension sides are small, so nothing shuffles."""
+    cust = _t(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]))
+    nation = _t(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
+    nat = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_name"].to_pylist()))
+    cust_nation = {k: nat.get(v) for k, v in
+                   zip(cust["c_custkey"].to_pylist(),
+                       cust["c_nationkey"].to_pylist())}
+    lookup_ref = ray.put(cust_nation)
+
+    class AddNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k)
+                     for k in t["o_custkey"].to_pylist()]
+            g = t.append_column("n_name", pa.array(names, pa.string())) \
+                .group_by("n_name").aggregate([("o_totalprice", "sum"),
+                                               ([], "count_all")])
+            return g.rename_columns(["n_name", "revenue", "n_orders"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (orders.map_batches(AddNation, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+           .groupby("n_name").sum(["revenue", "n_orders"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": _round(t["sum(revenue)"], 2),
+            "n_orders": pc.cast(t["sum(n_orders)"], pa.int64()),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows: per user, sort events by ts and count sessions
+    split at >30-minute gaps (groupby().map_groups over the ordered log —
+    the streaming-shaped pattern)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(gaps.sum()) + 1],
+        })
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    t = _t(out)
+    return pa.table({
+        "user_id": pc.cast(t["user_id"], pa.int64()),
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+        "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+    })
+
+
+def q_sample_documents(sf_dir: str):
+    """Seeded random sample (deterministic for a fixed block layout);
+    rows-only check by design — sampling is not SQL-reproducible."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return _t(ds.random_sample(0.2, seed=42))
+
+
+ORACLE_SQL.update({
+    "distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "embedding_stats": """
+        SELECT vec_id, len(embedding) AS dim,
+               ROUND(list_min(embedding), 5) AS min_v,
+               ROUND(list_max(embedding), 5) AS max_v,
+               ROUND(list_sum(embedding) / len(embedding), 5) AS mean_v
+        FROM embeddings
+    """,
+    "nation_revenue": """
+        SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "user_sessions": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
+        FROM gaps GROUP BY user_id
+    """,
+})
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Two LARGE sides: explicit partitioned hash join — both sides get a
+    bucket = hash(key) % B column, bucket-wise groupby co-locates matching
+    keys, pairwise pandas merge inside map_groups. No broadcast; only the
+    bucketed rows shuffle, and B bounds per-task memory. (Salting a hot
+    key = widening its bucket id range; keys here are uniform.)"""
+    import pandas as pd
+
+    B = 16
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_quantity"])
+
+    def tag(col):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[col].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "bucket", pa.array((key * 2654435761 % (2**31)) % B))
+        return fn
+
+    tagged = orders.map_batches(tag("o_orderkey"), batch_format="pyarrow") \
+        .union(lineitem.map_batches(tag("l_orderkey"), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["o_orderkey"].notna()][["o_orderkey", "o_totalprice"]]
+        right = g[g["l_orderkey"].notna()][["l_orderkey", "l_quantity"]]
+        m = left.merge(right, left_on="o_orderkey", right_on="l_orderkey")
+        if m.empty:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "n_lines": pd.Series([], dtype="int64"),
+                                 "sum_qty": pd.Series([], dtype="float64")})
+        agg = m.groupby("o_orderkey").agg(
+            n_lines=("l_quantity", "size"),
+            sum_qty=("l_quantity", "sum")).reset_index()
+        agg["o_orderkey"] = agg["o_orderkey"].astype("int64")
+        return agg
+
+    out = tagged.groupby("bucket").map_groups(join_bucket,
+                                              batch_format="pandas")
+    t = _t(out)
+    return pa.table({
+        "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        "n_lines": pc.cast(t["n_lines"], pa.int64()),
+        "sum_qty": _round(pc.cast(t["sum_qty"], pa.float64()), 2),
+    })
+
+
+ORACLE_SQL["order_lineitem_join"] = """
+    SELECT o_orderkey, COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+"""

@@ -156,3 +156,95 @@ def test_fuzz_differential(idx, reference_results):
         assert _errors_agree(ours["error"], ref["error"]), (
             f"diagnostic mismatch on {label}:\n ours={ours['error']!r}\n"
             f"  ref={ref['error']!r}")
+
+
+# ---------------------------------------------------------------------------
+# schema-based fuzz: named types, refs, @extends, defaults, propsets
+
+def rand_schema(rng: random.Random):
+    schema = {}
+    n_named = rng.randint(1, 3)
+    names = [f"T{i}" for i in range(n_named)]
+    for i, name in enumerate(names):
+        obj = {}
+        for w in rng.sample(WORDS, rng.randint(1, 4)):
+            pn = w + ("?" if rng.random() < 0.5 else "")
+            if pn.endswith("?") and rng.random() < 0.4:
+                pn += rng.choice(["7", "hi", "true", "null"])
+            if rng.random() < 0.25 and i + 1 < n_named:
+                obj[pn] = f"#T{rng.randint(i + 1, n_named - 1)}"
+            else:
+                obj[pn] = rand_type(rng, 1)
+        if rng.random() < 0.3 and i + 1 < n_named:
+            obj["@extends"] = f"#T{rng.randint(i + 1, n_named - 1)}"
+        if rng.random() < 0.2:
+            obj["@final"] = True
+        opt = [p.split("?")[0] for p in obj
+               if isinstance(p, str) and p.endswith("?")]
+        if opt and rng.random() < 0.3:
+            obj[rng.choice(["@one", "@any", "@all"])] = [opt]
+        elif len(opt) >= 2 and rng.random() < 0.3:
+            obj["@dep"] = {opt[0]: opt[1]}
+        schema[name] = obj
+    schema["@root"] = "#T0"
+    return schema
+
+
+def rand_doc_for(rng: random.Random, schema, name="T0", depth=2):
+    obj = schema.get(name, {})
+    doc = {}
+    for prop, t in obj.items():
+        if not isinstance(prop, str) or prop.startswith("@"):
+            continue
+        base = prop.split("?")[0]
+        optional = "?" in prop
+        if optional and rng.random() < 0.4:
+            continue
+        if isinstance(t, str) and t.startswith("#") and depth > 0:
+            doc[base] = rand_doc_for(rng, schema, t[1:], depth - 1)
+        else:
+            doc[base] = rand_value(rng, 1)
+    if rng.random() < 0.2:
+        doc[rng.choice(WORDS) + "_x"] = rand_value(rng, 0)
+    return doc
+
+
+def build_schema_cases(seed: int, n: int) -> list[dict]:
+    rng = random.Random(seed)
+    cases = []
+    while len(cases) < n:
+        schema = rand_schema(rng)
+        cases.append({"schema": schema, "mode": "check"})
+        for _ in range(3):
+            if len(cases) >= n:
+                break
+            cases.append({"data": rand_doc_for(rng, schema),
+                          "type": None, "schema": schema,
+                          "mode": "validate"})
+    return cases
+
+
+SCHEMA_CASES = build_schema_cases(4242, 400)
+
+
+@pytest.fixture(scope="module")
+def schema_reference_results():
+    return run_reference(SCHEMA_CASES)
+
+
+@pytest.mark.parametrize("idx", range(len(SCHEMA_CASES)))
+def test_schema_fuzz_differential(idx, schema_reference_results):
+    case = SCHEMA_CASES[idx]
+    ref = schema_reference_results[idx]
+    ours = run_ours(case)
+    label = json.dumps(case)[:240]
+    assert ours["valid"] == ref["valid"], (
+        f"verdict mismatch on {label}: ours={ours} ref={ref}")
+    if case.get("mode") != "check" and ref["valid"]:
+        assert js_value_eq(ours["data"], ref["data"]), (
+            f"normalized mismatch on {label}: ours={ours['data']!r}"
+            f" ref={ref['data']!r}")
+    if not ref["valid"]:
+        assert _errors_agree(ours["error"], ref["error"]), (
+            f"diagnostic mismatch on {label}:\n ours={ours['error']!r}\n"
+            f"  ref={ref['error']!r}")
