@@ -462,8 +462,28 @@ class TableValidator:
                 return fail & _valid_mask(arr), arr
             self._add(rule, ev)
             return
-        if isinstance(rt, list) or rt.endswith("]") or rt.endswith("}"):
+        if isinstance(rt, list) or (
+                (rt.endswith("]") or rt.endswith("}"))
+                and not rt.startswith("char[")):
+            # NB: char[n,m] is a STRING-length type (index.js:679-690),
+            # not a list — it stays on the scalar path below
             self._compile_list_rules(name, rt, typepath, major)
+            return
+
+        if rt.startswith("char[") and rt != "char[]":
+            # char[n,m] diagnostics report the violated LENGTH
+            # (index.js:920-966 passes len as the error datum)
+            rule = Rule(major, 0, name, typepath, "length", rt)
+
+            def ev(tbl, name=name, rt=rt):
+                if name not in tbl.column_names:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                arr = tbl[name]
+                valid = _valid_mask(arr)
+                lengths = np.where(valid, _np(pc.utf8_length(arr)), 0)                     .astype(np.int64)
+                return _length_fail_mask(lengths, valid,
+                                         compile_bounds(rt, 5)), lengths
+            self._add(rule, ev)
             return
 
         rule = Rule(major, 0, name, typepath, "value", rt)
@@ -665,7 +685,9 @@ class TableValidator:
                 self._add(r, ev)
                 minor += 1
 
-            if not isinstance(rt, str) or rt.endswith("]") or rt.endswith("}"):
+            if not isinstance(rt, str) or (
+                    (rt.endswith("]") or rt.endswith("}"))
+                    and not rt.startswith("char[")):
                 raise ColumnarCompileError(
                     "nested containers inside list items: row engine")
             r = Rule(major, minor, list_col, prop_tp, "value", rt,
