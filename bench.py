@@ -13,7 +13,7 @@ one-time synthesis.
 
 --scaling: runs the headline pipeline twice in fresh interpreters at two
 parallelism levels (default num_cpus 2 and 8 — overridable via
-GRAFT_SCALE_LO/HI) on the same fixed 1M-doc corpus and reports both
+GRAFT_SCALE_LO/HI) on the same fixed 2M-doc corpus and reports both
 throughputs plus scaling efficiency (recorded in BASELINE.md). The
 defaults are chosen for THIS sandbox: the host exposes 32 vCPUs but
 sustains only ~10 cores of parallel throughput (measured), so 8→32
@@ -108,7 +108,7 @@ def run_scaling() -> dict:
     # a fixed-size corpus big enough that compute dominates the constant
     # pipeline-startup cost at the LOW level (otherwise the measurement is
     # of Ray session startup, not engine scaling)
-    scale_docs = max(1_000_000, corpus_docs())
+    scale_docs = max(2_000_000, corpus_docs())
 
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", "8"))

@@ -471,6 +471,22 @@ class Context:
 
     def __init__(self):
         self.union_cache: dict[int, dict] = {}
+        # id(type_dict) → (type_dict strong ref, _ObjPlan). The strong ref
+        # pins the dict so CPython cannot reuse its id while cached
+        # (embedded @sjot schemas come from data and would otherwise be
+        # garbage-collected under a colliding id).
+        self.obj_plans: dict[int, tuple] = {}
+
+    def obj_plan(self, type_: dict) -> "_ObjPlan":
+        key = id(type_)
+        hit = self.obj_plans.get(key)
+        if hit is not None:
+            return hit[1]
+        plan = _compile_obj_plan(type_)
+        if len(self.obj_plans) > 10000:  # adversarial embedded-@sjot bound
+            self.obj_plans.clear()
+        self.obj_plans[key] = (type_, plan)
+        return plan
 
     def union_dispatch(self, sjots, type_, sjot, typepath):
         key = id(type_[0])
@@ -483,6 +499,36 @@ class Context:
                     f"{typepath}[[{i}]]", table, 1)
             self.union_cache[key] = table
         return table
+
+
+class _ObjPlan:
+    __slots__ = ("isfinal", "entries")
+
+    def __init__(self, isfinal, entries):
+        self.isfinal = isfinal
+        self.entries = entries
+
+
+def _compile_obj_plan(type_: dict) -> _ObjPlan:
+    """Member plan for one object type, in dict order (entry kinds:
+    0 required, 1 optional, 2 regex-prop, 3 propset, 4 @dep)."""
+    entries = []
+    for prop, proptype in type_.items():
+        if prop.startswith("@"):
+            if prop in ("@one", "@any", "@all"):
+                entries.append((3, prop[1:], proptype))
+            elif prop == "@dep":
+                entries.append((4, list(proptype.items())))
+        elif prop.startswith("("):
+            entries.append((2, prop, compile_regex_type(prop), proptype))
+        else:
+            q = prop.find("?")
+            if q == -1:
+                entries.append((0, prop, proptype))
+            else:
+                tail = prop[q + 1:] if q < len(prop) - 1 else None
+                entries.append((1, prop[:q], prop, proptype, tail))
+    return _ObjPlan(bool(type_.get("@final", False)), entries)
 
 
 # ---------------------------------------------------------------------------
@@ -622,13 +668,24 @@ def _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx):
             validate_value(sjots, data[i], itemtype, sjot,
                            f"{datapath}[{i}]", tp, ctx)
 
+        def _resolve_item(itemtype, tp):
+            # hoist the per-item type-ref deref out of the loop (the
+            # dispatcher would re-resolve for every element; the resolved
+            # type and extended typepath are loop-invariant)
+            while isinstance(itemtype, str) and _is_ref(itemtype):
+                resolved = reftype(sjots, itemtype, sjot, tp)
+                tp = f"{tp}/{itemtype}"
+                itemtype = resolved
+            return itemtype, tp
+
         if n_type == 1:
             if _num(type_[0]):
                 if len(data) != type_[0]:
                     _err("length", type_[0], "any", datapath, typepath + "[]")
             else:
+                it, tp = _resolve_item(type_[0], typepath + "[]")
                 for i in range(len(data)):
-                    _item_pass(i, type_[0], typepath + "[]")
+                    _item_pass(i, it, tp)
             return data
         if _num(type_[1]):
             # [type,m] or [n,m]
@@ -638,8 +695,9 @@ def _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx):
                 if len(data) < type_[0]:
                     _err("length", type_[0], "any", datapath, typepath + "[]")
             else:
+                it, tp = _resolve_item(type_[0], typepath + "[]")
                 for i in range(len(data)):
-                    _item_pass(i, type_[0], typepath + "[]")
+                    _item_pass(i, it, tp)
             return data
         if _num(type_[0]):
             # [n,type] or [n,type,m]
@@ -647,8 +705,9 @@ def _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx):
                 _err("length", type_[0], type_[1], datapath, typepath + "[]")
             if n_type > 2 and _num(type_[2]) and len(data) > type_[2]:
                 _err("length", type_[2], type_[1], datapath, typepath + "[]")
+            it, tp = _resolve_item(type_[1], typepath + "[]")
             for i in range(len(data)):
-                _item_pass(i, type_[1], typepath + "[]")
+                _item_pass(i, it, tp)
             return data
         # tuple
         if len(data) != n_type:
@@ -668,13 +727,19 @@ def _validate_array(sjots, data, type_, sjot, datapath, typepath, ctx):
             itemtype = type_[:i]
             if not bounds_check(compile_bounds(type_, i + 1), len(data)):
                 _err("length", len(data), type_, datapath, typepath)
+            it = itemtype
+            tp = typepath
+            while isinstance(it, str) and _is_ref(it):
+                resolved = reftype(sjots, it, sjot, tp)
+                tp = f"{tp}/{it}"
+                it = resolved
             for j in range(len(data)):
                 if data[j] is None:
                     data[j] = default_value(
-                        "null", sjots, None, itemtype, sjot,
-                        f"{datapath}[{j}]", typepath)
-                validate_value(sjots, data[j], itemtype, sjot,
-                               f"{datapath}[{j}]", typepath, ctx)
+                        "null", sjots, None, it, sjot,
+                        f"{datapath}[{j}]", tp)
+                validate_value(sjots, data[j], it, sjot,
+                               f"{datapath}[{j}]", tp, ctx)
             return data
         if type_.endswith("}"):
             # set: array of unique atoms; reference sorts the input in place
@@ -726,38 +791,43 @@ def _validate_object(sjots, data, type_, sjot, datapath, typepath, ctx):
     if "@extends" in type_:
         extend_type(sjots, type_, sjot, typepath)
 
-    isfinal = bool(type_.get("@final", False))
+    # per-type-dict member plan, compiled on first visit and cached (the
+    # reference re-inspects every property name on every visit; we keep
+    # the same iteration order/semantics with the string parsing hoisted)
+    plan = ctx.obj_plan(type_)
+    isfinal = plan.isfinal
     matched_props = {} if isfinal else None
 
-    for prop, proptype in type_.items():
-        if prop.startswith("@"):
-            if prop == "@one":
-                for pset in proptype:
-                    if sum(1 for p in pset if p in data) != 1:
-                        _err(f"requires one of {','.join(pset)} properties",
-                             data, "", datapath, typepath + "/@one")
-            elif prop == "@any":
-                for pset in proptype:
-                    if not any(p in data for p in pset):
-                        _err(f"requires any of {','.join(pset)} properties",
-                             data, "", datapath, typepath + "/@any")
-            elif prop == "@all":
-                for pset in proptype:
-                    if any(p in data for p in pset) and \
-                            not all(p in data for p in pset):
-                        _err(f"requires all or none of {','.join(pset)}"
-                             " properties",
-                             data, "", datapath, typepath + "/@all")
-            elif prop == "@dep":
-                for name, deps in proptype.items():
-                    if name in data and \
-                            (not isinstance(deps, str) or deps not in data) and \
-                            (not isinstance(deps, list)
-                             or not all(p in data for p in deps)):
-                        _err(f"requires {js_string(deps)}", data, "",
-                             f"{datapath}.{name}", typepath + "/@dep")
-        elif prop.startswith("("):
-            matcher = compile_regex_type(prop)
+    for entry in plan.entries:
+        kind = entry[0]
+        if kind == 0:  # required prop
+            _, prop, proptype = entry
+            if prop not in data:
+                _err("should be present", data, "",
+                     f"{datapath}.{prop}", typepath)
+            validate_value(sjots, data[prop], proptype, sjot,
+                           f"{datapath}.{prop}", f"{typepath}/{prop}", ctx)
+            if isfinal:
+                matched_props[prop] = None
+        elif kind == 1:  # optional prop (with/without default)
+            _, name, prop, proptype, default_tail = entry
+            if name in data and data[name] is not None:
+                validate_value(sjots, data[name], proptype, sjot,
+                               f"{datapath}.{name}",
+                               f"{typepath}/{prop}", ctx)
+            elif default_tail is not None:
+                data[name] = default_value(
+                    default_tail, sjots, data, proptype, sjot,
+                    f"{datapath}.{name}", f"{typepath}/{prop}")
+                validate_value(sjots, data[name], proptype, sjot,
+                               f"{datapath}.{name}",
+                               f"{typepath}/{prop}", ctx)
+            elif name in data:
+                del data[name]
+            if isfinal:
+                matched_props[name] = None
+        elif kind == 2:  # regex property name
+            _, prop, matcher, proptype = entry
             for name in list(data.keys()):
                 if matcher.fullmatch(name):
                     validate_value(sjots, data[name], proptype, sjot,
@@ -765,33 +835,29 @@ def _validate_object(sjots, data, type_, sjot, datapath, typepath, ctx):
                                    f"{typepath}/{prop}", ctx)
                     if isfinal:
                         matched_props[name] = None
-        else:
-            q = prop.find("?")
-            if q == -1:
-                if prop not in data:
-                    _err("should be present", data, "",
-                         f"{datapath}.{prop}", typepath)
-                validate_value(sjots, data[prop], proptype, sjot,
-                               f"{datapath}.{prop}", f"{typepath}/{prop}", ctx)
-                if isfinal:
-                    matched_props[prop] = None
-            else:
-                name = prop[:q]
-                if name in data and data[name] is not None:
-                    validate_value(sjots, data[name], proptype, sjot,
-                                   f"{datapath}.{name}",
-                                   f"{typepath}/{prop}", ctx)
-                elif q < len(prop) - 1:
-                    data[name] = default_value(
-                        prop[q + 1:], sjots, data, proptype, sjot,
-                        f"{datapath}.{name}", f"{typepath}/{prop}")
-                    validate_value(sjots, data[name], proptype, sjot,
-                                   f"{datapath}.{name}",
-                                   f"{typepath}/{prop}", ctx)
-                elif name in data:
-                    del data[name]
-                if isfinal:
-                    matched_props[name] = None
+        elif kind == 3:  # @one / @any / @all
+            _, mode, psets = entry
+            for pset in psets:
+                n_present = sum(1 for p in pset if p in data)
+                if mode == "one" and n_present != 1:
+                    _err(f"requires one of {','.join(pset)} properties",
+                         data, "", datapath, typepath + "/@one")
+                if mode == "any" and n_present == 0:
+                    _err(f"requires any of {','.join(pset)} properties",
+                         data, "", datapath, typepath + "/@any")
+                if mode == "all" and 0 < n_present < len(pset):
+                    _err(f"requires all or none of {','.join(pset)}"
+                         " properties",
+                         data, "", datapath, typepath + "/@all")
+        else:  # kind == 4: @dep
+            _, deps_items = entry
+            for name, deps in deps_items:
+                if name in data and \
+                        (not isinstance(deps, str) or deps not in data) and \
+                        (not isinstance(deps, list)
+                         or not all(p in data for p in deps)):
+                    _err(f"requires {js_string(deps)}", data, "",
+                         f"{datapath}.{name}", typepath + "/@dep")
 
     if isfinal:
         for prop in data:

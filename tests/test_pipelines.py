@@ -200,3 +200,53 @@ def test_infer_pipeline(ray_session):
 
     assert valid({"k": 1, "tag": "t0"}, None,
                  json.loads(json.dumps(schema)))
+
+
+def test_json_stage_embedded_sjot_and_normalized(ray_session):
+    """ValidateJsonColumn: full row-engine generality — embedded @sjot
+    schemas, defaults injected into the normalized JSON output."""
+    import json
+
+    import ray.data
+
+    docs = [
+        '{"@sjot": {"@root": {"x": "int"}}, "x": 1}',     # embedded, valid
+        '{"@sjot": {"@root": {"x": "int"}}, "x": "s"}',   # embedded, invalid
+        '{"a": 2}',                                        # default injected
+        'not json',
+        None,
+    ]
+    ds = ray.data.from_items([{"doc": d} for d in docs])
+    from sjot_ray.stages.validate import ValidateJsonColumn
+
+    out = ds.map_batches(
+        ValidateJsonColumn,
+        fn_constructor_kwargs={
+            "schema": {"@root": "any"}, "column": "doc",
+            "keep_normalized": True},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out["verdict"]) == [True, False, True, False, False]
+    assert out.loc[1, "v_typepath"].endswith("{$.@sjot}/x")
+    assert out.loc[3, "v_what"] == "malformed JSON"
+
+    out2 = ds.limit(3).map_batches(
+        ValidateJsonColumn,
+        fn_constructor_kwargs={
+            "schema": {"@root": {"a?": "int", "b?5": "int",
+                                 "(x)?": "any", "(@sjot)?": "any"}},
+            "column": "doc", "keep_normalized": True},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    norm = json.loads(out2.loc[2, "normalized"])
+    assert norm == {"a": 2, "b": 5}
+
+
+def test_run_flagship_writes_partitioned_output(ray_session, tmp_path):
+    from sjot_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "flag")
+    summary = run_flagship(3000, out_dir=out)
+    import os
+
+    files = os.listdir(f"{out}/validated")
+    assert len(files) >= 1 and all(f.endswith(".parquet") for f in files)
+    assert summary["n"].sum() == 3000
