@@ -192,10 +192,11 @@ def _string_type_to_js(t: str) -> dict:
         out.update(_bounds_to_js(t, 5, "minLength", "maxLength"))
         return out
     if t in FORMAT_PATTERNS:
-        out = {"type": "string", "pattern": f"^({FORMAT_PATTERNS[t]})$"}
-        if t in _FORMAT_NAMES:
-            out["format"] = _FORMAT_NAMES[t]
-        return out
+        # pattern only — no "format" key: the reference's JS2SJOT treats a
+        # property carrying "format" as an empty object type (verified), so
+        # pattern-only output maximizes interop; the pattern alone encodes
+        # the exact SJOT semantics anyway
+        return {"type": "string", "pattern": f"^({FORMAT_PATTERNS[t]})$"}
     if t.startswith("("):
         return {"type": "string", "pattern": f"^{t}$"}
     # numeric range / enum

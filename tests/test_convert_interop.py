@@ -1,0 +1,96 @@
+"""Converter interop with the reference's own converters:
+
+* our ``jsonschema_to_sjot`` must understand the JSON Schema the reference
+  SJOT2JS emits — verdicts preserved end to end;
+* the reference JS2SJOT must understand the JSON Schema our
+  ``sjot_to_jsonschema`` emits — verdicts preserved when validated by the
+  reference engine.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import subprocess
+
+import pytest
+
+from sjot_ray.core import valid
+from sjot_ray.core.convert import jsonschema_to_sjot, sjot_to_jsonschema
+
+_REF_SJOT2JS = r"""
+const fs = require("fs");
+eval(fs.readFileSync("/root/reference/dev/sjot2js.js", "utf8")
+     + ";globalThis.S2J = SJOT2JS;");
+const cases = JSON.parse(fs.readFileSync(0, "utf8"));
+process.stdout.write(JSON.stringify(
+  cases.map(s => S2J.toJSONSchema(s, 4))));
+"""
+
+_REF_JS2SJOT_VALIDATE = r"""
+const fs = require("fs");
+const SJOT = require("/root/reference/index.js");
+eval(fs.readFileSync("/root/reference/dev/js2sjot.js", "utf8")
+     + ";globalThis.J2S = JS2SJOT;");
+const cases = JSON.parse(fs.readFileSync(0, "utf8"));
+const out = cases.map(c => {
+  try {
+    const sjot = J2S.toSJOT(c.jsonschema, 4);
+    try { SJOT.validate(c.doc, null, sjot); return true; }
+    catch (e) { return false; }
+  } catch (e) { return "convert-error: " + e; }
+});
+process.stdout.write(JSON.stringify(out));
+"""
+
+SCHEMAS = [
+    {"@root": {"a": "int", "b?": "string"}},
+    {"@root": {"n": "1..10", "s": "(x+|y)"}},
+    {"@root": {"v": "byte", "f": "number"}},
+    {"@root": {"xs": "string[1,3]"}},
+    {"@root": {"d": "hex", "u": "uuid"}},
+]
+
+DOCS = [
+    ({"a": 1}, 0, True), ({"a": "s"}, 0, False),
+    ({"n": 5, "s": "xx"}, 1, True), ({"n": 11, "s": "xx"}, 1, False),
+    ({"n": 5, "s": "z"}, 1, False),
+    ({"v": 12, "f": 1.5}, 2, True), ({"v": 1000, "f": 1.5}, 2, False),
+    ({"xs": ["a"]}, 3, True), ({"xs": []}, 3, False), ({"xs": [1]}, 3, False),
+    ({"d": "deadbeef", "u": "123e4567-e89b-12d3-a456-426655440000"}, 4, True),
+    ({"d": "xyz", "u": "123e4567-e89b-12d3-a456-426655440000"}, 4, False),
+]
+
+
+@pytest.fixture(scope="module")
+def reference_jsonschemas():
+    out = subprocess.run(["node", "-e", _REF_SJOT2JS],
+                         input=json.dumps(SCHEMAS), capture_output=True,
+                         text=True, check=True).stdout
+    return json.loads(out)
+
+
+@pytest.mark.parametrize("doc,si,expected", DOCS)
+def test_ours_reads_reference_jsonschema(doc, si, expected,
+                                         reference_jsonschemas):
+    """reference SJOT2JS output → our js2sjot → our validator."""
+    back = jsonschema_to_sjot(copy.deepcopy(reference_jsonschemas[si]))
+    assert valid(copy.deepcopy(doc), None, back) == expected, (
+        doc, reference_jsonschemas[si], back)
+
+
+def test_reference_reads_our_jsonschema():
+    """our sjot_to_jsonschema output → reference JS2SJOT → reference
+    validator; verdicts must match our native verdicts."""
+    cases = []
+    expected = []
+    for doc, si, exp in DOCS:
+        js = sjot_to_jsonschema(copy.deepcopy(SCHEMAS[si]))
+        cases.append({"jsonschema": js, "doc": doc})
+        expected.append(exp)
+    out = subprocess.run(["node", "-e", _REF_JS2SJOT_VALIDATE],
+                         input=json.dumps(cases), capture_output=True,
+                         text=True, check=True).stdout
+    results = json.loads(out)
+    for (doc, si, exp), got in zip(DOCS, results):
+        assert got == exp, (doc, SCHEMAS[si], got, exp)
