@@ -1,0 +1,55 @@
+"""Targeted unit tests for core behaviors not exercised elsewhere."""
+
+from __future__ import annotations
+
+import pytest
+
+from sjot_ray.core import SJOT, SJOTSchemaError, valid, validate
+
+
+def test_recursive_schema_bounded_depth():
+    schema = {"@root": "#Node",
+              "Node": {"v": "int", "kids?": "#Node[]"}}
+    doc = {"v": 0}
+    for i in range(1, 50):
+        doc = {"v": i, "kids": [doc]}
+    assert valid(doc, None, schema)
+    bad = {"v": 0}
+    for i in range(1, 50):
+        bad = {"v": i, "kids": [bad]}
+    inner = bad
+    while inner.get("kids"):
+        inner = inner["kids"][0]
+    inner["v"] = "not an int"
+    assert not valid(bad, None, schema)
+
+
+def test_multi_schema_registry_cross_refs():
+    schemas = [
+        {"@id": "app", "@root": "#Doc",
+         "Doc": {"meta": "common#Meta", "n": "int"}},
+        {"@id": "common", "Meta": {"tag": "string"}},
+    ]
+    assert SJOT.validate({"meta": {"tag": "t"}, "n": 1}, None, schemas)
+    assert not valid({"meta": {"tag": 5}, "n": 1}, None, schemas)
+
+
+def test_external_url_loading_disabled():
+    with pytest.raises(SJOTSchemaError, match="no type .* found"):
+        validate(1, "http://example.com/schema#T", [{"@id": "other"}])
+
+
+def test_context_reuse_is_faster_and_equal():
+    import time
+
+    from sjot_ray.core import Context
+
+    schema = {"@root": {"a": "(x+)", "b?": "1..9", "u": [["string", "int"]]}}
+    docs = [{"a": "xx", "b": 5, "u": i} for i in range(2000)]
+    ctx = Context()
+    t0 = time.time()
+    r1 = [valid(dict(d), None, schema, ctx) for d in docs]
+    with_ctx = time.time() - t0
+    assert all(r1)
+    # shared-Context validation must agree with fresh-Context validation
+    assert valid({"a": "y", "u": 1}, None, schema, ctx) is False
