@@ -26,14 +26,16 @@ def test_flagship_verdicts_match_columnar(ray_session, corpus_ds):
     from sjot_ray.pipelines.flagship import validated
     from sjot_ray.sources.gen import FLAGSHIP_SCHEMA, generate_interleaved
 
-    out = validated(corpus_ds).to_pandas().sort_values("doc_id")
+    # doc_id has intentional duplicates (uniqueness-check targets) and Ray
+    # block order is nondeterministic — sort with verdict as a tiebreaker
+    out = validated(corpus_ds).to_pandas().sort_values(["doc_id", "verdict"])
     tv = TableValidator(copy.deepcopy(FLAGSHIP_SCHEMA),
                         extras_column="_extra_props")
     local = generate_interleaved(N_DOCS, seed=42)
     verdict, _, _ = tv.validate_batch(local)
     expected = (pa.table({"doc_id": local["doc_id"],
                           "verdict": pa.array(verdict)})
-                .to_pandas().sort_values("doc_id"))
+                .to_pandas().sort_values(["doc_id", "verdict"]))
     assert list(out["verdict"]) == list(expected["verdict"])
 
 
