@@ -100,7 +100,9 @@ def _fullmatch_mask(arr, pattern: str) -> np.ndarray:
         ok = np.where(valid, _np(m), False).astype(bool)
         return valid & ~ok
     except pa.ArrowInvalid:
-        rx = re.compile(pattern)
+        from ..core.validator import js_regex_to_py
+
+        rx = re.compile(js_regex_to_py(pattern))
         out = np.zeros(len(arr), dtype=bool)
         for i, v in enumerate(arr.to_pylist()):
             if v is not None and rx.fullmatch(v) is None:

@@ -153,8 +153,10 @@ def _check_object_type(sjots, root, type_, sjot, typepath):
         elif prop in ("@one", "@any", "@all", "@dep"):
             _check_propsets(type_, prop, val, typepath)
         elif prop.startswith("("):
+            from .validator import js_regex_to_py
+
             try:
-                re.compile(prop)
+                re.compile(js_regex_to_py(prop))
             except re.error as e:
                 raise SJOTSchemaError(str(e), f"{typepath}/{prop}") from None
         elif root and (prop.endswith("]") or prop.endswith("}")):
@@ -213,8 +215,10 @@ def _check_propsets(type_, prop, propsets, typepath):
         if name.startswith("@"):
             continue
         if name.startswith("("):
+            from .validator import js_regex_to_py
+
             try:
-                matcher = re.compile(name)
+                matcher = re.compile(js_regex_to_py(name))
             except re.error:
                 continue
             for cand in seen:
@@ -270,8 +274,10 @@ def _check_string_type(sjots, prim, type_, sjot, typepath):
                 "is not a primitive type", f"{typepath}/{type_}")
         return
     if type_.startswith("("):
+        from .validator import js_regex_to_py
+
         try:
-            re.compile(type_)
+            re.compile(js_regex_to_py(type_))
         except re.error as e:
             raise SJOTSchemaError(str(e), f"{typepath}/{type_}") from None
         return

@@ -75,12 +75,45 @@ _INT_BOUNDS = {
 }
 
 
+def js_regex_to_py(pattern: str) -> str:
+    """Translate JS-specific regex constructs Python rejects or reads
+    differently: ``[]`` is a valid never-matching empty class in JS
+    (→ ``(?!)``), ``[^]`` matches any character (→ ``[\\s\\S]``), and a
+    ``]`` right after ``[`` closes the class in JS but is a literal in
+    Python."""
+    out = []
+    i = 0
+    n = len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if not in_class and c == "[":
+            if pattern.startswith("[]", i):
+                out.append("(?!)")
+                i += 2
+                continue
+            if pattern.startswith("[^]", i):
+                out.append("[\\s\\S]")
+                i += 3
+                continue
+            in_class = True
+        elif in_class and c == "]":
+            in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @lru_cache(maxsize=8192)
 def compile_regex_type(pattern: str):
     """Compile a ``(regex)`` type / property matcher once (vs per visit,
     index.js:392, 676). Anchored like JS ``^pattern$`` via fullmatch."""
     try:
-        return re.compile(pattern)
+        return re.compile(js_regex_to_py(pattern))
     except re.error as e:
         raise SJOTSchemaError(str(e), pattern) from None
 
