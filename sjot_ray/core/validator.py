@@ -503,7 +503,12 @@ class Context:
     """Per-validation-session caches (compiled once, reused across calls)."""
 
     def __init__(self):
-        self.union_cache: dict[int, dict] = {}
+        # id(union_list) → (union_list strong ref, dispatch table). Like
+        # obj_plans below, the strong ref pins the list so CPython cannot
+        # reuse its id while cached (union lists inside embedded @sjot
+        # schemas come from per-document data; without the pin a later
+        # document's list could collide on id and read a stale table).
+        self.union_cache: dict[int, tuple] = {}
         # id(type_dict) → (type_dict strong ref, _ObjPlan). The strong ref
         # pins the dict so CPython cannot reuse its id while cached
         # (embedded @sjot schemas come from data and would otherwise be
@@ -523,14 +528,17 @@ class Context:
 
     def union_dispatch(self, sjots, type_, sjot, typepath):
         key = id(type_[0])
-        table = self.union_cache.get(key)
-        if table is None:
-            table = {}
-            for i, branch in enumerate(type_[0]):
-                build_union_dispatch(
-                    sjots, branch, branch, sjot,
-                    f"{typepath}[[{i}]]", table, 1)
-            self.union_cache[key] = table
+        hit = self.union_cache.get(key)
+        if hit is not None:
+            return hit[1]
+        table = {}
+        for i, branch in enumerate(type_[0]):
+            build_union_dispatch(
+                sjots, branch, branch, sjot,
+                f"{typepath}[[{i}]]", table, 1)
+        if len(self.union_cache) > 10000:  # adversarial embedded-@sjot bound
+            self.union_cache.clear()
+        self.union_cache[key] = (type_[0], table)
         return table
 
 

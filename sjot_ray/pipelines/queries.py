@@ -41,6 +41,25 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+def _emb_matrix(col) -> np.ndarray:
+    """(n, dim) float64 view of a fixed-width list<float> column —
+    flatten + reshape on the Arrow buffers, no Python list round-trip."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def _t(ds) -> pa.Table:
     """Materialize a SMALL result dataset to one Arrow table."""
     batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
@@ -198,16 +217,17 @@ def q_segment_revenue(sf_dir: str):
     broadcast once via ray.put; groupby over partials."""
     cust = _t(_read(sf_dir, "customer",
                     columns=["c_custkey", "c_mktsegment"]))
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    lookup_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                          cust["c_mktsegment"].combine_chunks()))
 
     class AddSegment:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.vals = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            seg = [self.lookup.get(k) for k in t["o_custkey"].to_pylist()]
-            t = t.append_column("segment", pa.array(seg, pa.string()))
+            # vectorized broadcast probe: index_in + take (null on miss)
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+            t = t.append_column("segment", pc.take(self.vals, idx))
             g = t.group_by("segment").aggregate(
                 [("o_totalprice", "sum"), ([], "count_all")])
             return g.rename_columns(["segment", "revenue", "n_orders"])
@@ -389,9 +409,9 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     a tiny final merge re-ranks. Scale path: IVF/LSH bucketing (see
     dedup.py) — this is the exact baseline."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qt = _t(ds.filter(lambda r: r["vec_id"] < n_queries))
-    q_ids = np.asarray(qt["vec_id"].to_pylist())
-    Q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qt = _t(ds.filter(expr=f"vec_id < {int(n_queries)}"))
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _emb_matrix(qt["embedding"])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, Qn))
 
@@ -400,8 +420,8 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
             self.q_ids, self.Qn = ray.get(q_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            ids = np.asarray(t["vec_id"].to_pylist())
+            X = _emb_matrix(t["embedding"])
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             S = self.Qn @ Xn.T                       # (q, batch)
             out_q, out_n, out_s = [], [], []
@@ -619,21 +639,20 @@ def q_nation_revenue(sf_dir: str):
     lookup — both dimension sides are small, so nothing shuffles."""
     cust = _t(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]))
     nation = _t(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
-    nat = dict(zip(nation["n_nationkey"].to_pylist(),
-                   nation["n_name"].to_pylist()))
-    cust_nation = {k: nat.get(v) for k, v in
-                   zip(cust["c_custkey"].to_pylist(),
-                       cust["c_nationkey"].to_pylist())}
-    lookup_ref = ray.put(cust_nation)
+    # pre-join the two dimension tables once on the driver (both tiny),
+    # broadcast the composed custkey→nation-name map as Arrow arrays
+    nidx = pc.index_in(cust["c_nationkey"],
+                       value_set=nation["n_nationkey"].combine_chunks())
+    cust_names = pc.take(nation["n_name"].combine_chunks(), nidx)
+    lookup_ref = ray.put((cust["c_custkey"].combine_chunks(), cust_names))
 
     class AddNation:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.vals = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k)
-                     for k in t["o_custkey"].to_pylist()]
-            g = t.append_column("n_name", pa.array(names, pa.string())) \
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+            g = t.append_column("n_name", pc.take(self.vals, idx)) \
                 .group_by("n_name").aggregate([("o_totalprice", "sum"),
                                                ([], "count_all")])
             return g.rename_columns(["n_name", "revenue", "n_orders"])
@@ -725,7 +744,10 @@ def q_order_lineitem_join(sf_dir: str):
     key = widening its bucket id range; keys here are uniform.)"""
     import pandas as pd
 
-    B = 16
+    # bucket count scales with the big side so per-task memory stays
+    # bounded as the input grows (≈500K joined rows per bucket target)
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir, "orders")
+    B = int(min(4096, max(16, total // 500_000 + 1)))
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_quantity"])

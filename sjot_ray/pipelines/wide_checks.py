@@ -37,9 +37,9 @@ def duplicate_keys(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
              .groupby(key).sum("n"))
-    return agg.filter(lambda row: row["sum(n)"] > 1) \
-              .map_batches(lambda t: t.rename_columns([key, "n"]),
-                           batch_format="pyarrow")
+    return agg.map_batches(lambda t: t.rename_columns([key, "n"]),
+                           batch_format="pyarrow") \
+              .filter(expr="n > 1")
 
 
 def distinct_count_hll(ds: "ray.data.Dataset", column: str,
@@ -80,15 +80,15 @@ def referential_check(ds: "ray.data.Dataset", column: str,
     """
     catalog_column = catalog_column or column
     if isinstance(catalog, pa.Table):
-        keys = catalog[catalog_column]
+        keys = catalog[catalog_column].combine_chunks()
     else:
         keys = pa.chunked_array(
             [b[catalog_column] for b in
              catalog.iter_batches(batch_format="pyarrow")]).combine_chunks()
     bloom = BloomFilter(max(64, len(keys)), fpp=0.001)
     bloom.add_hashes(hash64(keys))
-    exact_set = set(keys.to_pylist()) if exact else None
-    side_ref = ray.put((bloom, exact_set))
+    exact_keys = keys if exact else None
+    side_ref = ray.put((bloom, exact_keys))
 
     class Probe:
         def __init__(self):
@@ -102,10 +102,9 @@ def referential_check(ds: "ray.data.Dataset", column: str,
                 h = hash64(arr)
                 hit = self.bloom.contains_hashes(h)
                 if self.exact is not None and hit.any():
-                    vals = arr.to_pylist()
-                    hit = np.asarray(
-                        [v in self.exact if m else False
-                         for v, m in zip(vals, hit)], dtype=bool)
+                    # exact confirm: one Arrow hash-set kernel, no Python
+                    hit &= pc.is_in(arr, value_set=self.exact) \
+                        .to_numpy(zero_copy_only=False)
                 ok = hit & valid
             return t.append_column("__ref_ok__", pa.array(ok | ~valid))
 
