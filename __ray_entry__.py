@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d["dedup_minhash_lsh"] = D.q_minhash_near_dups
         d["dedup_simhash"] = D.q_simhash_near_dups
         d["dedup_embedding_cosine"] = D.q_embedding_near_dups
-        d["dedup_ngram_jaccard"] = D.q_ngram_jaccard_pairs
+        # dedup_ngram_jaccard is oracle-checked via queries.ORACLE_SQL
     except ImportError:
         pass
     try:

@@ -3,17 +3,23 @@ training-data-pipeline ops, each shaped for scale:
 
 * exact: content-hash → hash-keyed groupby over per-batch partials.
 * MinHash + LSH: per-batch shingle→minhash signatures (vectorized
-  reduceat), explode to (band, band_hash) keys, groupby bands → candidate
-  pairs → Jaccard verify. Only signatures shuffle, never text.
-* SimHash: 64-bit fingerprints per batch; near-dup = same fingerprint
-  bucket (or small Hamming radius within buckets).
-* n-gram Jaccard verify: exact similarity on candidate pairs only.
+  reduceat), explode to (band, band_hash) keys, groupby bands → ALL
+  within-bucket candidate pairs → distributed Jaccard verify. Only
+  signatures and candidate-pair rows shuffle, never the corpus text.
+* SimHash: 64-bit fingerprints per batch; near-dup = Hamming distance
+  ≤ radius, found by 16-bit-chunk bucketing (pigeonhole: distance ≤3
+  pairs share at least one of four exact 16-bit chunks).
+* n-gram Jaccard verify: exact similarity on candidate pairs only,
+  computed inside a keyed two-round join (each round co-locates one
+  endpoint's shingle-hash set with the pair rows) — the driver never
+  materializes document text.
 * embedding cosine: LSH-style random-hyperplane bucketing, exact cosine
   within buckets (the brute-force exact path lives in
   queries.q_ann_cosine_topk).
 
 All stages are deterministic (fixed seeds) so reruns reproduce byte-equal
-outputs.
+outputs; shingle hashing masks across-row token reads so a row's signature
+never depends on which rows share its batch.
 """
 
 from __future__ import annotations
@@ -25,14 +31,22 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..state.sketches import hash64, minhash_signatures, rehash, simhash
+from ..state.sketches import (hamming_distance64, hash64, minhash_signatures,
+                              rehash, simhash)
 
 NUM_PERM = 64
 BANDS = 16  # 16 bands × 4 rows: catches J≳0.5 pairs with high recall
 
 
 def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int = 5):
-    """Word-k-shingle hashes per row, flattened + offsets (vectorized)."""
+    """Word-k-shingle hashes per row, flattened + offsets (vectorized).
+
+    The rolling k-token combine is masked at row boundaries: shifted token
+    hashes that fall past a row's end contribute a fixed zero instead of
+    the next row's tokens (or, for the final row, np.roll's wrap to the
+    array start). Rows shorter than k tokens therefore hash only their own
+    content — signatures are independent of batch composition.
+    """
     toks = pc.split_pattern_regex(texts, r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -40,29 +54,50 @@ def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int = 5):
     lengths = np.nan_to_num(lengths).astype(np.int64)
     flat = toks.flatten()
     th = hash64(flat)
-    # rolling combine of k consecutive token hashes within each row
-    n_sh = np.maximum(lengths - k + 1, 1)
     row_of = np.repeat(np.arange(len(lengths)), lengths)
-    sh_list = []
+    row_len = np.repeat(lengths, lengths)
+    row_start = np.cumsum(lengths) - lengths
+    pos_in_row = np.arange(len(th)) - np.repeat(row_start, lengths)
     acc = th.copy()
     for j in range(1, k):
         shifted = np.roll(th, -j)
-        acc = rehash(acc ^ shifted, j)
+        shifted = np.where(pos_in_row + j < row_len, shifted, np.uint64(0))
+        # order-sensitive combine: the accumulator is remixed before the
+        # next token is XORed in, so "a b c" and "b a c" hash differently
+        # (a plain rehash(acc ^ shifted) would be commutative in the
+        # first two tokens and collide on adjacent-swap shingles)
+        acc = rehash(acc, j) ^ shifted
     # valid shingle start positions: those with k tokens in the same row
-    starts_all = np.arange(len(th))
-    row_end = np.cumsum(lengths)
-    row_start = row_end - lengths
-    pos_in_row = starts_all - np.repeat(row_start, lengths)
-    valid = pos_in_row <= np.repeat(lengths, lengths) - k
+    valid = pos_in_row <= row_len - k
     # rows shorter than k: use the single whole-row hash (position 0)
     short_rows = lengths < k
-    first_pos = np.repeat(row_start, lengths) == starts_all
-    valid |= first_pos & np.repeat(short_rows, lengths)
+    valid |= (pos_in_row == 0) & np.repeat(short_rows, lengths)
     sh = acc[valid]
     sh_rows = row_of[valid]
     counts = np.bincount(sh_rows, minlength=len(lengths))
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return sh, offsets
+
+
+def _unique_per_row(values: np.ndarray, rows: np.ndarray, n_rows: int):
+    """Sorted-unique values per row id → (flat uniques, int32 offsets)."""
+    if len(values) == 0:
+        return values, np.zeros(n_rows + 1, dtype=np.int32)
+    order = np.lexsort((values, rows))
+    r_s, v_s = rows[order], values[order]
+    keep = np.ones(len(r_s), dtype=bool)
+    keep[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+    r_u, v_u = r_s[keep], v_s[keep]
+    counts = np.bincount(r_u, minlength=n_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return v_u, offsets
+
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _empty_pairs() -> pa.Table:
+    return _PAIR_SCHEMA.empty_table()
 
 
 class MinHashStage:
@@ -85,7 +120,7 @@ class MinHashStage:
             cols = sig[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
             key = cols[:, 0]
             for j in range(1, self.rows_per_band):
-                key = rehash(key ^ cols[:, j], j + 101)
+                key = rehash(key, j + 101) ^ cols[:, j]
             band_ids.append(np.full(n, b, dtype=np.int32))
             band_hashes.append(key)
             ids.append(id_vals)
@@ -100,63 +135,205 @@ class MinHashStage:
 
 def minhash_candidates(ds: "ray.data.Dataset", text_col="text",
                        id_col="doc_id") -> "ray.data.Dataset":
-    """(band, band_hash) buckets with >1 member → candidate groups."""
+    """(band, band_hash) buckets with >1 member → ALL within-bucket pairs.
+
+    Emitting every pair (not anchor-star) is required for recall: a true
+    near-dup pair (b, c) in a bucket whose min-id anchor a matches neither
+    would otherwise be lost. LSH buckets are small by construction, so the
+    triangular blow-up is bounded; duplicates across bands are dropped in
+    the verify join's first round.
+    """
     bands = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
+        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = [], []
-        anchor = ids[0]
-        for other in ids[1:]:
-            a.append(anchor)
-            b.append(other)
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64())})
+            return _empty_pairs()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[iu], pa.int64()),
+                         "id_b": pa.array(ids[ju], pa.int64())})
 
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     return pairs
 
 
-def verify_jaccard(pairs: pa.Table, docs: pa.Table, text_col="text",
-                   id_col="doc_id", k: int = 5,
-                   threshold: float = 0.5) -> pa.Table:
-    """Exact n-gram Jaccard on candidate pairs (small side — candidates
-    only). Deterministic output sorted by (id_a, id_b)."""
-    if pairs.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    import pandas as pd
+# -- distributed Jaccard verify ---------------------------------------------
 
-    uniq = pd.DataFrame({"id_a": pairs["id_a"].to_pandas(),
-                         "id_b": pairs["id_b"].to_pandas()}) \
-        .drop_duplicates().reset_index(drop=True)
-    id_to_text = dict(zip(docs[id_col].to_pylist(),
-                          docs[text_col].to_pylist()))
+def _shingle_set_rows(docs_ds: "ray.data.Dataset", ids_ref,
+                      text_col: str, id_col: str, k: int,
+                      with_sh_a: bool) -> "ray.data.Dataset":
+    """Candidate docs → (key=doc_id, id_a/id_b null, sh=sorted unique
+    shingle hashes) rows, filtered by the broadcast candidate-id set."""
 
-    def shingles(s):
-        ws = s.split()
-        if len(ws) < k:
-            return {tuple(ws)}
-        return {tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+    class ShingleSets:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)  # pa.Array of candidate ids
 
-    ja = []
-    for a, b in zip(uniq["id_a"], uniq["id_b"]):
-        sa, sb = shingles(id_to_text[a]), shingles(id_to_text[b])
-        inter = len(sa & sb)
-        ja.append(inter / max(1, len(sa | sb)))
-    uniq["jaccard"] = np.round(ja, 4)
-    uniq = uniq[uniq["jaccard"] >= threshold]
-    uniq = uniq.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(uniq, preserve_index=False)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[id_col], value_set=self.ids))
+            n = t.num_rows
+            if n == 0:
+                sh_list = pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.int64()))
+                sh_list = sh_list.slice(0, 0)
+            else:
+                sh, offsets = _shingle_hashes(t[text_col], k)
+                rows = np.repeat(np.arange(n), np.diff(offsets))
+                v_u, offs = _unique_per_row(sh, rows, n)
+                sh_list = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(v_u.astype(np.int64)))
+            nulls = pa.nulls(n, pa.int64())
+            cols = {"key": pc.cast(t[id_col], pa.int64()) if n else
+                    pa.array([], pa.int64()),
+                    "id_a": nulls, "id_b": nulls, "sh": sh_list}
+            if with_sh_a:
+                cols["sh_a"] = pa.nulls(n, pa.list_(pa.int64()))
+            return pa.table(cols)
 
+    return docs_ds.map_batches(ShingleSets, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=(1, 8))
+
+
+def distributed_jaccard(pairs: "ray.data.Dataset",
+                        docs_ds: "ray.data.Dataset", text_col="text",
+                        id_col="doc_id", k: int = 5,
+                        threshold: float = 0.5) -> pa.Table:
+    """Exact n-gram Jaccard on candidate pairs via a keyed two-round join.
+
+    Round 1 groups pair rows with id_a's shingle-set row (key = id_a) and
+    attaches ``sh_a``; round 2 groups with id_b's row and computes
+    |A∩B| / |A∪B| from the two sorted-unique hash sets. Only candidate
+    pairs and candidate docs' hash sets shuffle — the corpus text never
+    leaves its read tasks and nothing large lands on the driver. Duplicate
+    pairs (same pair from several LSH bands) are dropped in round 1.
+
+    Returns the (small) verified-pair table sorted by (id_a, id_b).
+    """
+    # pin the (small) candidate-pair dataset in the object store so the
+    # three consumers below don't re-run the LSH candidate generation
+    pairs = pairs.materialize()
+    # broadcast the candidate-id set (ids only — the one driver-side piece)
+    a_ids = pairs.unique("id_a")
+    b_ids = pairs.unique("id_b")
+    cand = np.unique(np.concatenate([
+        np.asarray(a_ids, dtype=np.int64) if len(a_ids) else
+        np.zeros(0, np.int64),
+        np.asarray(b_ids, dtype=np.int64) if len(b_ids) else
+        np.zeros(0, np.int64)]))
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(cand) == 0:
+        return empty
+    ids_ref = ray.put(pa.array(cand, pa.int64()))
+
+    # round 1: key on id_a, attach sh_a ------------------------------------
+    def pair_rows_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["id_a"], "id_a": t["id_a"], "id_b": t["id_b"],
+            "sh": pa.nulls(t.num_rows, pa.list_(pa.int64()))})
+
+    keyed_a = pairs.map_batches(pair_rows_a, batch_format="pyarrow").union(
+        _shingle_set_rows(docs_ds, ids_ref, text_col, id_col, k,
+                          with_sh_a=False))
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g["sh"]).to_numpy(zero_copy_only=False)
+        if not is_doc.any() or is_doc.all():
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.int64())),
+                             "sh_a": pa.array([], pa.list_(pa.int64()))})
+        doc_idx = int(np.flatnonzero(is_doc)[0])
+        p = g.filter(pa.array(~is_doc))
+        # drop duplicate (id_a, id_b) pairs emitted by several bands
+        ib = p["id_b"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(ib, return_index=True)
+        p = p.take(pa.array(np.sort(first)))
+        sh_a = g["sh"].take(pa.array([doc_idx] * p.num_rows, pa.int64()))
+        return pa.table({"key": p["id_b"], "id_a": p["id_a"],
+                         "id_b": p["id_b"],
+                         "sh": pa.nulls(p.num_rows, pa.list_(pa.int64())),
+                         "sh_a": sh_a})
+
+    round1 = keyed_a.groupby("key").map_groups(attach_a,
+                                               batch_format="pyarrow")
+
+    # round 2: key on id_b, attach sh_b and score --------------------------
+    keyed_b = round1.union(
+        _shingle_set_rows(docs_ds, ids_ref, text_col, id_col, k,
+                          with_sh_a=True))
+
+    def score(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g["sh"]).to_numpy(zero_copy_only=False)
+        if not is_doc.any() or is_doc.all():
+            return empty
+        doc_idx = int(np.flatnonzero(is_doc)[0])
+        sh_b = np.asarray(g["sh"][doc_idx].as_py(), dtype=np.int64)
+        p = g.filter(pa.array(~is_doc))
+        sh_a_col = p["sh_a"]
+        if isinstance(sh_a_col, pa.ChunkedArray):
+            sh_a_col = sh_a_col.combine_chunks()
+        flat = sh_a_col.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(sh_a_col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        hit = np.isin(flat, sh_b)
+        inter = np.add.reduceat(hit, starts) if len(flat) else \
+            np.zeros(len(lens))
+        inter = np.where(lens > 0, inter, 0).astype(np.float64)
+        union = lens + len(sh_b) - inter
+        ja = inter / np.maximum(union, 1)
+        return pa.table({"id_a": p["id_a"], "id_b": p["id_b"],
+                         "jaccard": pa.array(ja, pa.float64())})
+
+    scored = keyed_b.groupby("key").map_groups(score, batch_format="pyarrow")
+    out = scored.filter(expr=f"jaccard >= {threshold}")
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(batches) if batches else empty
+    if t.num_rows:
+        t = t.set_column(2, "jaccard",
+                         pc.round(t["jaccard"], 4,
+                                  round_mode="half_towards_infinity"))
+        idx = pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
+                                            ("id_b", "ascending")])
+        t = t.take(idx)
+    return t
+
+
+def near_dup_groups(edges: pa.Table, id_cols=("id_a", "id_b")) -> pa.Table:
+    """Union-find connected components over verified near-dup edges →
+    (doc_id, group_id = min id in component). Runs on the driver over the
+    EDGE list only (edges are the tiny verified output, not the corpus)."""
+    a = edges[id_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges[id_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    members = np.unique(np.concatenate([a, b]))
+    groups = np.asarray([find(int(m)) for m in members], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(members, pa.int64()),
+                     "group_id": pa.array(groups, pa.int64())})
+
+
+# -- SimHash -----------------------------------------------------------------
 
 class SimHashStage:
     def __init__(self, text_col="text", id_col="doc_id"):
@@ -186,6 +363,70 @@ def simhash_fingerprints(ds: "ray.data.Dataset", text_col="text",
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
+def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
+                       text_col="text", id_col="doc_id") -> pa.Table:
+    """All pairs within Hamming distance ≤ radius of each other's SimHash.
+
+    Pigeonhole bucketing: split each 64-bit fingerprint into four 16-bit
+    chunks; any pair at distance ≤3 agrees exactly on at least one chunk,
+    so grouping by (chunk index, chunk value) and verifying within buckets
+    finds every such pair. Only (id, fingerprint) rows shuffle. Buckets
+    are ~n/65536 per chunk for random fingerprints; a pathologically hot
+    chunk value (mass-duplicated text) would need a second-level split on
+    another chunk — not done here.
+    """
+    fps = simhash_fingerprints(ds, text_col, id_col)
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        fp = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        for c in range(4):
+            ck = ((fp >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            parts.append(pa.table({
+                "chunk": pa.array(np.full(len(fp), c, dtype=np.int32)),
+                "ckey": pa.array(ck.astype(np.int32)),
+                id_col: t[id_col],
+                "simhash": t["simhash"]}))
+        return pa.concat_tables(parts)
+
+    def within(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        fp = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(n, k=1)
+        d = hamming_distance64(fp[iu], fp[ju])
+        keep = d <= radius
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "hamming": pa.array(d[keep], pa.int64())})
+
+    pairs = (fps.map_batches(explode_chunks, batch_format="pyarrow")
+             .groupby(["chunk", "ckey"])
+             .map_groups(within, batch_format="pyarrow"))
+    # dedupe pairs found via multiple agreeing chunks
+    agg = pairs.groupby(["id_a", "id_b"]).min("hamming")
+    t = agg.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
+        batch_format="pyarrow")
+    batches = list(t.iter_batches(batch_format="pyarrow", batch_size=None))
+    out = pa.concat_tables(batches) if batches else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())})
+    if out.num_rows:
+        out = out.set_column(2, "hamming", pc.cast(out["hamming"],
+                                                   pa.int64()))
+        idx = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
+                                              ("id_b", "ascending")])
+        out = out.take(idx)
+    return out
+
+
 # -- embedding near-dup ------------------------------------------------------
 
 def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
@@ -202,12 +443,20 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
     planes = rng.normal(size=(dim, n_planes))
     planes_ref = ray.put(planes)
 
+    def _mat(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return np.zeros((0, dim))
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64).reshape(len(col), -1)
+
     class Bucket:
         def __init__(self):
             self.planes = ray.get(planes_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            X = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            X = _mat(t[emb_col])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                                 1e-12)
             bits = (Xn @ self.planes) > 0
@@ -217,15 +466,18 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
             return pa.table({
                 "bucket": pa.array(bucket),
                 id_col: t[id_col],
-                "vec": pa.array(list(Xn), pa.list_(pa.float64())),
+                "vec": pa.ListArray.from_arrays(
+                    pa.array(np.arange(len(X) + 1) * Xn.shape[1],
+                             pa.int32()),
+                    pa.array(Xn.ravel())),
             })
 
     bucketed = ds.map_batches(Bucket, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 8))
 
     def within(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_pylist())
-        X = np.asarray(group["vec"].to_pylist(), dtype=np.float64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        X = _mat(group["vec"])
         if len(ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -233,7 +485,6 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
         S = X @ X.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = S[iu, ju] >= threshold
-        order = np.argsort(ids)
         a, b = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": pa.array(lo, type=pa.int64()),
@@ -248,39 +499,20 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
 # -- queries()-facing wrappers ----------------------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents, Jaccard-verified.
+    """MinHash-LSH near-dup pairs over documents, Jaccard-verified inside
+    a distributed keyed join (no driver-side text materialization).
     Deterministic; rows-only oracle (LSH is not SQL-expressible)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    pairs_ds = minhash_candidates(ds)
-    batches = list(pairs_ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=None))
-    pairs = pa.concat_tables(batches) if batches else pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    docs = pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
-    return verify_jaccard(pairs, docs, threshold=0.4)
+    pairs = minhash_candidates(ds)
+    return distributed_jaccard(pairs, ds, k=5, threshold=0.4)
 
 
 def q_simhash_near_dups(sf_dir: str):
-    """SimHash fingerprints; groups of docs sharing a fingerprint."""
+    """SimHash near-dup pairs at Hamming radius ≤3 (chunk-bucketed)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    fps = simhash_fingerprints(ds)
-
-    def dup_groups(t: pa.Table) -> pa.Table:
-        g = t.group_by("simhash").aggregate([("doc_id", "count"),
-                                             ("doc_id", "min")])
-        g = g.rename_columns(["simhash", "n", "min_doc_id"])
-        return g.filter(pc.greater(g["n"], 1))
-
-    out = fps.groupby("simhash").map_groups(
-        lambda g: dup_groups(g), batch_format="pyarrow")
-    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    t = pa.concat_tables(batches) if batches else pa.table(
-        {"simhash": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
-         "min_doc_id": pa.array([], pa.int64())})
-    return t
+    return simhash_near_pairs(ds, radius=3)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -288,7 +520,9 @@ def q_embedding_near_dups(sf_dir: str):
                                columns=["vec_id", "embedding"])
     out = embedding_near_dups(ds, threshold=0.9)
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    t = pa.concat_tables(batches) if batches else pa.table({})
+    t = pa.concat_tables(batches) if batches else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())})
     if t.num_rows:
         idx = pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
@@ -297,12 +531,12 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Exact n-gram Jaccard on doc pairs that share an exact-dedup prefix
-    key (the verify half of the dedup pipeline, standalone)."""
+    """Exact word-3-gram Jaccard on all doc pairs sharing a first-2-token
+    prefix key (the verify half of the dedup pipeline, standalone).
+    SQL-expressible: the DuckDB oracle computes the same shingle sets with
+    list_intersect/list_distinct (queries.ORACLE_SQL['dedup_ngram_jaccard'])."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    docs = pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
 
     def keyed(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t["text"], r"\s+")
@@ -310,16 +544,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pa.table({"key": key, "doc_id": t["doc_id"]})
 
     def pairs_of(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({
-            "id_a": pa.array([ids[0]] * (len(ids) - 1), pa.int64()),
-            "id_b": pa.array(ids[1:], pa.int64())})
+            return _empty_pairs()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[iu], pa.int64()),
+                         "id_b": pa.array(ids[ju], pa.int64())})
 
-    pairs = pa.concat_tables(list(
-        ds.map_batches(keyed, batch_format="pyarrow")
-          .groupby("key").map_groups(pairs_of, batch_format="pyarrow")
-          .iter_batches(batch_format="pyarrow", batch_size=None)))
-    return verify_jaccard(pairs, docs, k=3, threshold=0.0)
+    pairs = (ds.map_batches(keyed, batch_format="pyarrow")
+             .groupby("key").map_groups(pairs_of, batch_format="pyarrow"))
+    return distributed_jaccard(pairs, ds, k=3, threshold=0.0)

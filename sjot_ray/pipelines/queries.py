@@ -786,6 +786,33 @@ def q_order_lineitem_join(sf_dir: str):
     })
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Oracle-checked alias for dedup.q_ngram_jaccard_pairs (exact word
+    3-gram Jaccard over first-2-token-key pair candidates, verified in a
+    distributed keyed join)."""
+    from .dedup import q_ngram_jaccard_pairs
+
+    return q_ngram_jaccard_pairs(sf_dir)
+
+
+ORACLE_SQL["dedup_ngram_jaccard"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+    keyed AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, 1, 2), ' ') AS key,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(list_slice(w, i, i + 2),
+                                                ' '))) END AS s
+      FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
 ORACLE_SQL["order_lineitem_join"] = """
     SELECT o_orderkey, COUNT(*) AS n_lines,
            ROUND(SUM(l_quantity), 2) AS sum_qty

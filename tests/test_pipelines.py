@@ -106,7 +106,7 @@ def test_drift_detects_shift(ray_session):
 def test_minhash_finds_planted_near_dups(ray_session):
     import ray.data
 
-    from sjot_ray.pipelines.dedup import minhash_candidates, verify_jaccard
+    from sjot_ray.pipelines.dedup import distributed_jaccard, minhash_candidates
 
     rng = np.random.default_rng(1)
     words = [f"w{i}" for i in range(500)]
@@ -124,14 +124,83 @@ def test_minhash_finds_planted_near_dups(ray_session):
                     "text": pa.array(texts)})
     ds = ray.data.from_arrow(tbl)
     pairs_ds = minhash_candidates(ds)
-    batches = list(pairs_ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=None))
-    pairs = pa.concat_tables(batches) if batches else pa.table(
-        {"id_a": [], "id_b": []})
-    verified = verify_jaccard(pairs, tbl, threshold=0.5).to_pandas()
+    verified = distributed_jaccard(pairs_ds, ds, threshold=0.5).to_pandas()
     found = set(zip(verified["id_a"], verified["id_b"]))
     for j in range(5):
         assert (j, 200 + j) in found, (j, found)
+
+
+def test_minhash_recovers_non_anchor_pair_and_groups(ray_session):
+    """A true near-dup pair (b, c) must be found even when their LSH
+    bucket also contains an unrelated smaller id (the old anchor-star
+    pair generation lost such pairs); union-find groups them."""
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import (distributed_jaccard,
+                                          minhash_candidates,
+                                          near_dup_groups)
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(100):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, 30)))
+    # ids 300/301: near-identical pair, unrelated to everything else
+    base = " ".join(rng.choice(words, 30))
+    t = base.split()
+    t[7] = "ALTERED"
+    ids += [300, 301]
+    texts += [base, " ".join(t)]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    verified = distributed_jaccard(minhash_candidates(ds), ds,
+                                   threshold=0.5)
+    found = set(zip(verified["id_a"].to_pylist(),
+                    verified["id_b"].to_pylist()))
+    assert (300, 301) in found, found
+    groups = near_dup_groups(verified).to_pandas()
+    gid = dict(zip(groups["doc_id"], groups["group_id"]))
+    assert gid[301] == gid[300] == 300
+
+
+def test_shingle_hashes_independent_of_batch_composition():
+    """Short rows' shingle hashes must not depend on neighboring rows."""
+    from sjot_ray.pipelines.dedup import _shingle_hashes
+
+    short = "a b"  # 2 tokens < k=5
+    alone, off1 = _shingle_hashes(pa.array([short]), k=5)
+    packed, off2 = _shingle_hashes(
+        pa.array([short, "x y z q r s t u v"]), k=5)
+    assert alone[off1[0]:off1[1]].tolist() == \
+        packed[off2[0]:off2[1]].tolist()
+    # and the final row must not wrap to the array start
+    tail, off3 = _shingle_hashes(pa.array(["p q", short]), k=5)
+    assert tail[off3[1]:off3[2]].tolist() == \
+        alone[off1[0]:off1[1]].tolist()
+
+
+def test_simhash_radius_pairs(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(50)]
+    ids = list(range(50))
+    # 100 = exact copy of doc 0 (distance 0); 101 = doc 1 with one word
+    # swapped (small distance, usually ≤3 for one token of 40)
+    ids += [100]
+    texts += [texts[0]]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    out = simhash_near_pairs(ray.data.from_arrow(tbl), radius=3)
+    found = {(a, b): h for a, b, h in
+             zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                 out["hamming"].to_pylist())}
+    assert found.get((0, 100)) == 0, found
 
 
 def test_simhash_identical_docs_collide(ray_session):
