@@ -38,8 +38,13 @@ def parse_int_js(s: str) -> float:
 
 
 def js_num_str(v) -> str:
-    """JS ``String(number)`` (shortest round-trip decimal; integers beyond
-    2^53 go through the double representation first, as JSON.parse does)."""
+    """JS ``String(number)`` per ECMAScript Number::toString (radix 10):
+    shortest round-trip digits s with decimal exponent n, then decimal
+    notation for -6 < n <= 21 and unpadded exponential otherwise. Python's
+    repr diverges in [1e-6, 1e-4) ('1e-05' where JS prints '0.00001') and
+    zero-pads exponents ('1e-07' vs JS '1e-7'), so the thresholds are
+    applied explicitly. Integers beyond 2^53 go through the double
+    representation first, as JSON.parse does."""
     if isinstance(v, bool):  # pragma: no cover - callers route bools elsewhere
         return "true" if v else "false"
     if isinstance(v, int):
@@ -50,22 +55,35 @@ def js_num_str(v) -> str:
         return "NaN"
     if math.isinf(v):
         return "Infinity" if v > 0 else "-Infinity"
-    if v == int(v) and abs(v) < 1e21:
-        # fixed notation built from the shortest round-trip digits
-        # (2^64 prints as 18446744073709552000, not its exact binary value)
-        s = repr(v)
-        if "e" in s or "E" in s:
-            mant, _, exp = s.lower().partition("e")
-            exp = int(exp)
-            neg = mant.startswith("-")
-            mant = mant.lstrip("-")
-            ipart, _, fpart = mant.partition(".")
-            out = ipart + fpart + "0" * (exp - len(fpart))
-            return ("-" + out) if neg else out
-        return str(int(v))
-    r = repr(v)
-    # JS prints exponents as 1e+21 / 1e-7; Python repr matches for most.
-    return r
+    if v == 0:
+        return "0"  # String(-0) is "0" in JS
+    r = repr(abs(v))  # shortest round-trip digits
+    if "e" in r:
+        mant, _, exp_s = r.partition("e")
+        exp = int(exp_s)
+    else:
+        mant, exp = r, 0
+    ipart, _, fpart = mant.partition(".")
+    digits = (ipart + fpart).lstrip("0")
+    lead = len(ipart.lstrip("0"))
+    if lead > 0:
+        n = lead + exp  # decimal point sits n digits into the significand
+    else:
+        n = exp - (len(fpart) - len(fpart.lstrip("0")))
+    digits = digits.rstrip("0") or "0"
+    k = len(digits)
+    if k <= n <= 21:
+        out = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        out = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        out = "0." + "0" * (-n) + digits
+    else:
+        e = n - 1
+        tail = f"e+{e}" if e >= 0 else f"e-{-e}"
+        out = digits if k == 1 else digits[0] + "." + digits[1:]
+        out += tail
+    return "-" + out if v < 0 else out
 
 
 def js_string(v) -> str:

@@ -94,6 +94,31 @@ def resumable_validate(input_dir: str, out_dir: str, schema=None,
     os.makedirs(out_dir, exist_ok=True)
     mdir = os.path.join(out_dir, "_manifest")
 
+    # prune stale state from previous runs: manifests/parts whose index is
+    # beyond the current shard set, or whose recorded input no longer sits
+    # at that index (shrunk/reordered inputs) — otherwise they would be
+    # double-counted in the job summary and linger as stale output
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if not f.endswith(".json"):
+                continue
+            try:
+                idx = int(f[len("part-"):-len(".json")])
+            except ValueError:
+                continue
+            stale = idx >= len(shards)
+            if not stale:
+                try:
+                    with open(os.path.join(mdir, f)) as fh:
+                        stale = json.load(fh).get("input_file") != shards[idx]
+                except (json.JSONDecodeError, OSError):
+                    stale = True
+            if stale:
+                for p in (os.path.join(mdir, f),
+                          os.path.join(out_dir, f"part-{idx:05d}.parquet")):
+                    if os.path.exists(p):
+                        os.remove(p)
+
     todo, skipped = [], 0
     for i, shard in enumerate(shards):
         mpath = os.path.join(mdir, f"part-{i:05d}.json")
@@ -102,6 +127,7 @@ def resumable_validate(input_dir: str, out_dir: str, schema=None,
                 m = json.load(f)
             if (m.get("input_file") == shard
                     and m.get("input_fingerprint") == _shard_fingerprint(shard)
+                    and m.get("engine_version") == __version__
                     and os.path.exists(
                         os.path.join(out_dir, f"part-{i:05d}.parquet"))):
                 skipped += 1

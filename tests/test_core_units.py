@@ -53,3 +53,21 @@ def test_context_reuse_is_faster_and_equal():
     assert all(r1)
     # shared-Context validation must agree with fresh-Context validation
     assert valid({"a": "y", "u": 1}, None, schema, ctx) is False
+
+
+def test_js_num_str_ecmascript_thresholds():
+    """Expected strings produced by node v20 String(x) for each value."""
+    from sjot_ray.core.jsutil import js_num_str
+
+    cases = [
+        (1e-5, "0.00001"), (1.5e-5, "0.000015"), (1e-6, "0.000001"),
+        (1e-7, "1e-7"), (2.5e-7, "2.5e-7"), (0.000123, "0.000123"),
+        (1e21, "1e+21"), (1.23e21, "1.23e+21"),
+        (1e20, "100000000000000000000"), (123.456, "123.456"),
+        (0.5, "0.5"), (-0.00001, "-0.00001"), (0.1, "0.1"),
+        (100.0, "100"), (-0.0, "0"),
+        (18446744073709551616, "18446744073709552000"),
+        (5e-324, "5e-324"), (1.7976931348623157e308, "1.7976931348623157e+308"),
+    ]
+    for v, want in cases:
+        assert js_num_str(v) == want, (v, js_num_str(v), want)

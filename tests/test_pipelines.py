@@ -258,6 +258,33 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert r3["rows"] == 20_000
 
 
+def test_checkpoint_prunes_stale_partitions(ray_session, tmp_path):
+    """Shrinking the input shard set must not double-count stale trailing
+    manifests/parts from a previous run in the job summary."""
+    import shutil
+
+    from sjot_ray.pipelines.checkpoint import resumable_validate
+    from sjot_ray.sources.gen import interleaved_parquet
+
+    src = interleaved_parquet(40_000, seed=7, cache_dir=str(tmp_path / "src"))
+    out = str(tmp_path / "out")
+    r1 = resumable_validate(src, out)
+    n_shards = r1["partitions_total"]
+    assert n_shards > 1
+
+    # shrink the input set: keep only the first shard
+    small = tmp_path / "small"
+    small.mkdir()
+    first = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))[0]
+    shutil.copy2(os.path.join(src, first), small / first)
+
+    r2 = resumable_validate(str(small), out)
+    assert r2["partitions_total"] == 1
+    assert r2["rows"] < r1["rows"]  # stale trailing parts not counted
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert parts == ["part-00000.parquet"]  # stale outputs pruned
+
+
 def test_infer_pipeline(ray_session):
     import ray.data
 
