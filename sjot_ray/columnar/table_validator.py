@@ -19,8 +19,13 @@ list<struct<primitive…>>} with required/optional properties, defaults,
 numeric ranges/enums, sized ints (incl. the long=±2^47 quirk), string
 formats/regexes, length bounds, sets (uniqueness inside a list),
 ``@one/@any/@all/@dep`` propsets, ``@final`` (via an unknown-keys capture
-column), and depth-1 unions over scalar columns (the Arrow column type
-fixes the JS value kind, so dispatch reduces to the matching branches).
+column), depth-1 unions over scalar columns (the Arrow column type
+fixes the JS value kind, so dispatch reduces to the matching branches),
+tuple types over list columns (positional rules selected by item index,
+reference index.js:240-254), and nested struct objects to any depth
+(rules over struct child arrays masked by enclosing-struct validity,
+with runtime ``@final`` against the struct's physical fields and
+recursive default injection in ``normalize_batch``).
 Anything outside this surface raises :class:`ColumnarCompileError` —
 callers fall back to the row engine (``sjot_ray.stages``).
 
@@ -297,6 +302,38 @@ def _presence(tbl, name) -> np.ndarray:
     return _valid_mask(tbl[name])
 
 
+def _nested_field(tbl, path):
+    """Resolve a (col, field, field, …) path through struct columns.
+
+    Returns ``(field_array | None, parent_valid)`` where ``parent_valid``
+    is the AND of the validity of every enclosing struct — children of a
+    null struct may hold arbitrary buffer values in Arrow, so every
+    nested fail mask must be ANDed with it."""
+    name = path[0]
+    if name not in tbl.column_names:
+        return None, np.zeros(tbl.num_rows, dtype=bool)
+    arr = tbl[name]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parent_valid = np.ones(tbl.num_rows, dtype=bool)
+    for f in path[1:]:
+        parent_valid = parent_valid & _valid_mask(arr)
+        if not pa.types.is_struct(arr.type):
+            return None, np.zeros(tbl.num_rows, dtype=bool)
+        i = arr.type.get_field_index(f)
+        if i < 0:
+            return None, parent_valid
+        arr = arr.field(i)
+    return arr, parent_valid
+
+
+def _nested_presence(tbl, path):
+    arr, parent_valid = _nested_field(tbl, path)
+    if arr is None:
+        return np.zeros(tbl.num_rows, dtype=bool)
+    return parent_valid & _valid_mask(arr)
+
+
 def _pset_fail(kind, present_list, n):
     count = np.sum(present_list, axis=0) if present_list else np.zeros(n)
     if kind == "@one":
@@ -433,9 +470,10 @@ class TableValidator:
             # on scalar columns are a decode-stage concern)
             return
         if isinstance(rt, dict):
-            raise ColumnarCompileError(
-                "nested struct objects outside lists: not needed for the"
-                " current table shapes — use the row engine")
+            # nested object → Arrow struct column: compile its props as
+            # rules over the struct's child arrays (recursively)
+            self._compile_struct_props([name], rt, typepath)
+            return
         if is_union(rt):
             rule = Rule(major, 0, name, typepath, "value", js_string(rt))
             sjots, sjot = self.sjots, self.sjot
@@ -542,8 +580,8 @@ class TableValidator:
                     bounds = ("min", rt[0])
                 itemtype, items_tp = self._resolve_path(rt[1], items_tp)
             else:
-                raise ColumnarCompileError(
-                    "tuple-typed list columns: use the row engine")
+                self._compile_tuple_rules(name, rt, typepath, major)
+                return
 
         if is_set:
             rule = Rule(major, minor, name, typepath, "value",
@@ -603,18 +641,223 @@ class TableValidator:
                         child=True, list_col=name)
             null_item_fails = not _null_item_ok(
                 self.sjots, self.sjot, itemtype)
+            null_default = default_value("null", self.sjots, None, itemtype,
+                                         self.sjot) if null_item_fails \
+                else None
 
             def ev_child(child_tbl, itemtype=itemtype,
-                         null_item_fails=null_item_fails):
+                         null_item_fails=null_item_fails,
+                         null_default=null_default):
                 arr = child_tbl["__item__"]
                 fail = _scalar_fail_mask(arr, itemtype)
                 if null_item_fails:
                     fail = fail | ~_valid_mask(arr)
+                    arr = _fill_item_default(arr, null_default)
                 return fail, arr
             self._add(rule, ev_child)
             return
         raise ColumnarCompileError(
             f"nested container item type {itemtype!r}: use the row engine")
+
+    def _compile_struct_props(self, path, obj_type, typepath):
+        """Nested object type over an Arrow struct column (or a struct
+        field of one, recursively): required/value rules per sub-property,
+        propsets/@dep over field presence, runtime @final against the
+        struct's physical fields. Reference semantics index.js:407-460;
+        every fail mask is ANDed with the enclosing structs' validity (an
+        absent optional struct checks nothing)."""
+        if "@extends" in obj_type:
+            extend_type(self.sjots, obj_type, self.sjot, typepath)
+        dotted = ".".join(path)
+        prop_names = {p.split("?")[0] for p in obj_type
+                      if not p.startswith("@") and not p.startswith("(")}
+
+        for prop, proptype in obj_type.items():
+            if prop.startswith("@"):
+                if prop in ("@one", "@any", "@all"):
+                    for pset in proptype:
+                        major = self._next_major()
+                        r = Rule(major, 0, dotted, typepath + "/" + prop,
+                                 f"requires {_PSET_WORD[prop]}"
+                                 f" {','.join(pset)} properties", "",
+                                 no_value=True)
+
+                        def ev(tbl, path=tuple(path), pset=pset, kind=prop):
+                            struct_ok = _nested_presence(tbl, list(path))
+                            present = [_nested_presence(tbl, list(path) + [p])
+                                       for p in pset]
+                            return (_pset_fail(kind, present, tbl.num_rows)
+                                    & struct_ok), None
+                        self._add(r, ev)
+                elif prop == "@dep":
+                    for dname, dep in proptype.items():
+                        dlist = [dep] if isinstance(dep, str) else list(dep)
+                        major = self._next_major()
+                        r = Rule(major, 0, f"{dotted}.{dname}",
+                                 typepath + "/@dep",
+                                 f"requires {js_string(dep)}", "",
+                                 no_value=True)
+
+                        def ev(tbl, path=tuple(path), dname=dname,
+                               dlist=dlist):
+                            has = _nested_presence(tbl, list(path) + [dname])
+                            ok = np.ones(tbl.num_rows, dtype=bool)
+                            for d in dlist:
+                                ok &= _nested_presence(tbl, list(path) + [d])
+                            return has & ~ok, None
+                        self._add(r, ev)
+                continue
+            if prop.startswith("("):
+                raise ColumnarCompileError(
+                    "regex property names in nested structs: row engine")
+            q = prop.find("?")
+            pname = prop[:q] if q != -1 else prop
+            required = q == -1
+            fpath = path + [pname]
+            fdotted = ".".join(fpath)
+            rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
+
+            if required:
+                major = self._next_major()
+                r = Rule(major, 0, fdotted, typepath, "should be present",
+                         "", no_value=True)
+
+                def ev(tbl, path=tuple(path), pname=pname):
+                    struct_ok = _nested_presence(tbl, list(path))
+                    arr, _ = _nested_field(tbl, list(path) + [pname])
+                    if arr is None:
+                        return struct_ok, None
+                    return struct_ok & ~_valid_mask(arr), None
+                self._add(r, ev)
+
+            if rt in ("any", "object", "array"):
+                continue
+            if isinstance(rt, dict):
+                self._compile_struct_props(fpath, rt, prop_tp)
+                continue
+            major = self._next_major()
+            if is_union(rt):
+                r = Rule(major, 0, fdotted, prop_tp, "value", js_string(rt))
+                sjots, sjot = self.sjots, self.sjot
+
+                def ev(tbl, path=tuple(fpath), rt=rt):
+                    arr, parent_valid = _nested_field(tbl, list(path))
+                    if arr is None:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    fail = np.ones(tbl.num_rows, dtype=bool)
+                    for branch in rt[0]:
+                        b = branch
+                        while isinstance(b, str) and "#" in b \
+                                and not b.startswith("("):
+                            b = reftype(sjots, b, sjot)
+                        if not isinstance(b, str):
+                            continue
+                        try:
+                            fail &= _scalar_fail_mask(arr, b)
+                        except ColumnarCompileError:
+                            continue
+                    return fail & _valid_mask(arr) & parent_valid, arr
+                self._add(r, ev)
+                continue
+            if isinstance(rt, list) or (
+                    (rt.endswith("]") or rt.endswith("}"))
+                    and not rt.startswith("char[")):
+                raise ColumnarCompileError(
+                    "containers inside nested structs: row engine")
+            if rt.startswith("char[") and rt != "char[]":
+                r = Rule(major, 0, fdotted, prop_tp, "length", rt)
+
+                def ev(tbl, path=tuple(fpath), rt=rt):
+                    arr, parent_valid = _nested_field(tbl, list(path))
+                    if arr is None:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    valid = _valid_mask(arr) & parent_valid
+                    lengths = np.where(valid, _np(pc.utf8_length(arr)),
+                                       0).astype(np.int64)
+                    return _length_fail_mask(lengths, valid,
+                                             compile_bounds(rt, 5)), lengths
+                self._add(r, ev)
+                continue
+            r = Rule(major, 0, fdotted, prop_tp, "value", rt)
+
+            def ev(tbl, path=tuple(fpath), rt=rt):
+                arr, parent_valid = _nested_field(tbl, list(path))
+                if arr is None:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                return _scalar_fail_mask(arr, rt) & parent_valid, arr
+            self._add(r, ev)
+
+        if bool(obj_type.get("@final", False)):
+            major = self._next_major()
+            r = Rule(major, 0, dotted, typepath + "/@final",
+                     "additional property should not be present", "",
+                     no_value=True)
+
+            def ev(tbl, path=tuple(path), props=frozenset(prop_names)):
+                arr, parent_valid = _nested_field(tbl, list(path))
+                if arr is None or not pa.types.is_struct(arr.type):
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                struct_ok = parent_valid & _valid_mask(arr)
+                fail = np.zeros(tbl.num_rows, dtype=bool)
+                first = np.full(tbl.num_rows, None, dtype=object)
+                for f in arr.type:
+                    if f.name in props:
+                        continue
+                    fv = _valid_mask(arr.field(f.name))
+                    newly = fv & ~fail
+                    first[newly] = ".".join(path) + "." + f.name
+                    fail |= fv
+                return fail & struct_ok, first
+            self._add(r, ev)
+
+    def _compile_tuple_rules(self, name, rt, typepath, major):
+        """Tuple [type, type, ...] over a list column: a length rule
+        (reference "array of length", index.js:240-244 — typepath without
+        "[]", the ACTUAL length as the datum) then one positional rule per
+        tuple slot on the flattened child table, selected by item index
+        (index.js:246-251 validates data[i] against type[i] under
+        typepath+"[]"; null items are replaced by type[i]'s default)."""
+        minor = 0
+        want = len(rt)
+        rule = Rule(major, minor, name, typepath, "array of length",
+                    js_string(rt))
+
+        def ev_len(tbl, name=name, want=want):
+            if name not in tbl.column_names:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            arr = tbl[name]
+            valid = _valid_mask(arr)
+            lengths = np.where(valid, _np(pc.list_value_length(arr)),
+                               want).astype(np.int64)
+            return valid & (lengths != want), lengths
+        self._add(rule, ev_len)
+        minor += 1
+
+        for pos, t in enumerate(rt):
+            it, it_tp = self._resolve_path(t, typepath + "[]")
+            if not isinstance(it, str) or it.endswith("]") \
+                    or (it.endswith("}") and not it.startswith("char")):
+                raise ColumnarCompileError(
+                    f"tuple slot {pos} type {it!r}: use the row engine")
+            r = Rule(major, minor, name, it_tp, "value", it,
+                     child=True, list_col=name)
+            null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
+            null_default = default_value("null", self.sjots, None, it,
+                                         self.sjot) if null_item_fails \
+                else None
+
+            def ev_child(child_tbl, pos=pos, it=it,
+                         null_item_fails=null_item_fails,
+                         null_default=null_default):
+                at_pos = _np(child_tbl["__idx__"]) == pos
+                arr = child_tbl["__item__"]
+                fail = _scalar_fail_mask(arr, it)
+                if null_item_fails:
+                    fail = fail | ~_valid_mask(arr)
+                    arr = _fill_item_default(arr, null_default)
+                return fail & at_pos, arr
+            self._add(r, ev_child)
+            minor += 1
 
     def _compile_child_object(self, list_col, obj_type, typepath, major,
                               minor_start):
@@ -722,7 +965,8 @@ class TableValidator:
             if cached is None:
                 arr = batch[list_col] if list_col in batch.column_names else None
                 if arr is None:
-                    cached = (pa.table({"__item__": pa.array([], pa.null())}),
+                    cached = (pa.table({"__item__": pa.array([], pa.null()),
+                                        "__idx__": pa.array([], pa.int64())}),
                               np.zeros(0, np.int64), np.zeros(0, np.int64))
                 else:
                     if isinstance(arr, pa.ChunkedArray):
@@ -736,7 +980,8 @@ class TableValidator:
                     idx_in_parent = (np.arange(total)
                                      - np.repeat(starts, lengths)).astype(np.int64)
                     items = arr.flatten()
-                    cols = {"__item__": items}
+                    cols = {"__item__": items,
+                            "__idx__": pa.array(idx_in_parent)}
                     if pa.types.is_struct(items.type):
                         for f in items.type:
                             cols[f.name] = items.field(f.name)
@@ -814,6 +1059,12 @@ class TableValidator:
             if extras:
                 datapath = f"$.{extras[0]}"
             value_repr = ""
+        elif rule.what == "additional property should not be present" \
+                and isinstance(values, np.ndarray):
+            # nested-struct @final: values holds the dotted extra path
+            if values[row] is not None:
+                datapath = f"$.{values[row]}"
+            value_repr = ""
         return {
             "row_idx": int(row),
             "datapath": datapath,
@@ -834,12 +1085,18 @@ class TableValidator:
             if prop.startswith("@") or prop.startswith("("):
                 continue
             q = prop.find("?")
-            if q == -1 or q >= len(prop) - 1:
-                continue
-            name = prop[:q]
+            name = prop[:q] if q != -1 else prop
             if name not in out.column_names:
                 continue
             rt, _ = self._resolve_path(proptype, "")
+            if isinstance(rt, dict):
+                # recurse into struct columns (nested optional defaults)
+                i = out.column_names.index(name)
+                out = out.set_column(
+                    i, name, self._normalize_struct(out[name], rt))
+                continue
+            if q == -1 or q >= len(prop) - 1:
+                continue
             d = default_value(prop[q + 1:], self.sjots, None, rt, self.sjot)
             if d is None:
                 continue
@@ -858,6 +1115,43 @@ class TableValidator:
                 i = out.column_names.index(name)
                 out = out.set_column(i, name, _sort_sets(out[name]))
         return out
+
+    def _normalize_struct(self, arr, obj_type):
+        """Inject optional-with-default values into a struct column's
+        children (recursively), preserving the struct's null mask."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not pa.types.is_struct(arr.type):
+            return arr
+        plans = {}
+        for prop, proptype in obj_type.items():
+            if prop.startswith("@") or prop.startswith("("):
+                continue
+            q = prop.find("?")
+            plans[prop[:q] if q != -1 else prop] = (prop, q, proptype)
+        children, names, changed = [], [], False
+        for f in arr.type:
+            child = arr.field(f.name)
+            plan = plans.get(f.name)
+            if plan is not None:
+                prop, q, proptype = plan
+                rt, _ = self._resolve_path(proptype, "")
+                if isinstance(rt, dict):
+                    new = self._normalize_struct(child, rt)
+                    changed = changed or new is not child
+                    child = new
+                elif q != -1 and q < len(prop) - 1:
+                    d = default_value(prop[q + 1:], self.sjots, None, rt,
+                                      self.sjot)
+                    if d is not None:
+                        child = pc.fill_null(child, d)
+                        changed = True
+            children.append(child)
+            names.append(f.name)
+        if not changed:
+            return arr
+        return pa.StructArray.from_arrays(children, names,
+                                          mask=pc.is_null(arr))
 
 
 def _sort_sets(arr) -> pa.ListArray:
@@ -885,6 +1179,18 @@ def _sort_sets(arr) -> pa.ListArray:
         mask = pa.array(~valid)
         out = pc.if_else(mask, pa.nulls(len(arr), out.type), out)
     return out
+
+
+def _fill_item_default(arr, d):
+    """Replace null list items with the item-type default for diagnostic
+    value_repr parity (the reference substitutes the default BEFORE
+    validating, index.js:185-187, so the error carries the default)."""
+    if d is None:
+        return arr
+    try:
+        return pc.fill_null(arr, d)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return arr
 
 
 def _null_item_ok(sjots, sjot, itemtype: str) -> bool:

@@ -1,0 +1,201 @@
+"""Columnar coverage for tuple-typed list columns and nested struct
+objects: differential against the row engine (itself reference-verified)
+and the node reference oracle. Reference semantics:
+/root/reference/index.js:240-254 (tuples), :407-460 (nested objects)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sjot_ray.columnar.table_validator import TableValidator
+from sjot_ray.core import SJOTValidationError, validate
+
+
+def _doc_of(row: dict) -> dict:
+    """Arrow row → JSON doc under the null ≡ absent convention (nested
+    dicts recursively; null list items stay — they're meaningful)."""
+    out = {}
+    for k, v in row.items():
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            v = _doc_of(v)
+        out[k] = v
+    return out
+
+
+def _row_results(tbl: pa.Table, schema):
+    import copy
+
+    verdicts, violations = [], {}
+    for i, row in enumerate(tbl.to_pylist()):
+        doc = _doc_of(row)
+        try:
+            validate(doc, None, copy.deepcopy(schema))
+            verdicts.append(True)
+        except SJOTValidationError as e:
+            verdicts.append(False)
+            violations[i] = e.violation_row()
+    return verdicts, violations
+
+
+def _assert_parity(tbl, schema, n_invalid_min=1):
+    import copy
+
+    tv = TableValidator(copy.deepcopy(schema))
+    col_verdict, col_v, _ = tv.validate_batch(tbl)
+    col_v = {v["row_idx"]: v for v in col_v}
+    row_verdict, row_v = _row_results(tbl, schema)
+    for i in range(tbl.num_rows):
+        assert bool(col_verdict[i]) == row_verdict[i], (
+            i, tbl.slice(i, 1).to_pylist(), col_v.get(i))
+    assert sum(not v for v in row_verdict) >= n_invalid_min
+    mismatches = []
+    for i, rv in row_v.items():
+        cv = col_v[i]
+        for k in ("datapath", "typepath", "what", "value_repr"):
+            if cv[k] != rv[k]:
+                mismatches.append((i, k, cv[k], rv[k]))
+    assert not mismatches, mismatches[:5]
+    return tv
+
+
+# -- tuples ------------------------------------------------------------------
+
+TUPLE_SCHEMA = {"@root": "#T", "T": {"pair": ["string", "(a|b)", "1..5"]}}
+
+
+def tuple_table():
+    return pa.table({"pair": pa.array([
+        ["x", "a", "3"],        # valid
+        ["x", "c", "3"],        # slot 1 fails enum
+        ["x", "a", "9"],        # slot 2 fails range
+        ["x", "a"],             # too short
+        ["x", "a", "3", "z"],   # too long
+        None,                   # absent (required) → should be present
+        ["x", None, "3"],       # null item → default fails (a|b)
+    ], pa.list_(pa.string()))})
+
+
+def test_tuple_column_parity():
+    _assert_parity(tuple_table(), TUPLE_SCHEMA)
+
+
+def test_tuple_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = tuple_table()
+    tv = TableValidator(copy.deepcopy(TUPLE_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(TUPLE_SCHEMA), "mode": "validate"}
+             for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref)
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+# -- nested structs ----------------------------------------------------------
+
+NESTED_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {
+        "id": "0..",
+        "meta": {
+            "@final": True,
+            "lang": "(en|de)",
+            "score?": "0.0..1.0",
+            "inner?": {"flag": "boolean"},
+        },
+        "opt?": {"n?7": "1..9"},
+    },
+}
+
+
+def nested_table():
+    meta_t = pa.struct([("lang", pa.string()), ("score", pa.float64()),
+                        ("inner", pa.struct([("flag", pa.bool_())])),
+                        ("bogus", pa.string())])
+    metas = [
+        {"lang": "en", "score": 0.5, "inner": None, "bogus": None},
+        {"lang": "xx", "score": 0.5, "inner": None, "bogus": None},  # enum
+        {"lang": "en", "score": 1.5, "inner": None, "bogus": None},  # range
+        {"lang": None, "score": None, "inner": None, "bogus": None},  # req
+        None,                                             # meta absent (req)
+        {"lang": "de", "score": None,
+         "inner": {"flag": True}, "bogus": None},          # valid nested
+        {"lang": "de", "score": None,
+         "inner": {"flag": None}, "bogus": None},          # inner.flag req
+        {"lang": "en", "score": None, "inner": None, "bogus": "X"},  # @final
+    ]
+    opts = [None, None, None, None, None,
+            {"n": 3}, {"n": None}, {"n": 12}]
+    return pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "meta": pa.array(metas, meta_t),
+        "opt": pa.array(opts, pa.struct([("n", pa.int64())])),
+    })
+
+
+def test_nested_struct_parity():
+    _assert_parity(nested_table(), NESTED_SCHEMA)
+
+
+def test_nested_struct_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = nested_table()
+    tv = TableValidator(copy.deepcopy(NESTED_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(NESTED_SCHEMA), "mode": "validate"}
+             for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_nested_default_injection():
+    import copy
+
+    tbl = nested_table()
+    tv = TableValidator(copy.deepcopy(NESTED_SCHEMA))
+    out = tv.normalize_batch(tbl)
+    opts = out["opt"].to_pylist()
+    assert opts[6] == {"n": 7}      # null n → default 7
+    assert opts[5] == {"n": 3}      # present value untouched
+    assert opts[0] is None          # null struct stays null
+
+
+def test_nested_propsets_and_dep():
+    schema = {"@root": {"box": {
+        "@one": [["a", "b"]],
+        "@dep": {"c": ["d"]},
+        "a?": "int", "b?": "int", "c?": "int", "d?": "int",
+    }}}
+    t = pa.struct([("a", pa.int64()), ("b", pa.int64()),
+                   ("c", pa.int64()), ("d", pa.int64())])
+    tbl = pa.table({"box": pa.array([
+        {"a": 1, "b": None, "c": None, "d": None},   # ok (one of a,b)
+        {"a": 1, "b": 2, "c": None, "d": None},      # both → @one fails
+        {"a": None, "b": None, "c": None, "d": None},  # neither → fails
+        {"a": 1, "b": None, "c": 5, "d": None},      # c without d → @dep
+        {"a": 1, "b": None, "c": 5, "d": 6},         # ok
+    ], t)})
+    _assert_parity(tbl, schema, n_invalid_min=3)
