@@ -11,8 +11,9 @@ requested), objects → properties/required, ``@final`` →
 additionalProperties:false, ``@dep`` → dependencies, ``@one/@any/@all``
 → oneOf/anyOf/allOf over required-combinations, defaults → default,
 ``#name`` refs → #/definitions/name — in idiomatic Python rather than a
-line port. Only drafts v4-compatible output is produced; js2sjot accepts
-the v3/v4 features listed in SURVEY.md §2.5.
+line port. ``sjot_to_jsonschema`` takes the reference's draft ``version``
+parameter (1/3/4, sjot2js.js:41-63); js2sjot accepts the v3/v4 features
+listed in SURVEY.md §2.5.
 """
 
 from __future__ import annotations
@@ -26,40 +27,65 @@ _FORMAT_NAMES = {"date": "date", "time": "time", "datetime": "date-time",
                  "uuid": "uuid", "duration": "duration"}
 
 
-def sjot_to_jsonschema(schema: dict) -> dict:
-    """SJOT schema dict → JSON Schema (draft-4 style)."""
+_DRAFT_URIS = {3: "http://json-schema.org/draft-03/schema#",
+               4: "http://json-schema.org/draft-04/schema#"}
+
+
+def sjot_to_jsonschema(schema: dict, version: int = 4) -> dict:
+    """SJOT schema dict → JSON Schema.
+
+    ``version`` mirrors the reference SJOT2JS's parameter
+    (/root/reference/dev/sjot2js.js:41-63, 160-171): ``< 3`` (or
+    non-numeric) emits the unversioned ``schema#`` URI with draft-3-style
+    constructs, ``3`` the draft-03 URI, ``>= 4`` draft-04. Draft-3-style
+    output uses per-property ``required: true`` and bare schema arrays for
+    unions; propset (``@one/@any/@all``) combinators are draft-4-only,
+    as in the reference (sjot2js.js:339-380).
+    """
     from .validator import roottype
 
+    v = version if isinstance(version, int) else 0
     defs = {}
     for name, t in schema.items():
         if not name.startswith("@"):
-            defs[name] = _type_to_js(t)
-    out = {"$schema": "http://json-schema.org/draft-04/schema#"}
+            defs[name] = _type_to_js(t, v)
+    if v < 3:
+        uri = "http://json-schema.org/schema#"
+    else:
+        uri = _DRAFT_URIS[min(v, 4)]
+    out = {"$schema": uri}
     note = schema.get("@note")
     if note:
         out["title"] = note
     root = schema.get("@root")
     if root is None:
         root = roottype(schema)
-    out.update(_type_to_js(root))
+    root_js = _type_to_js(root, v)
+    if isinstance(root_js, dict):
+        out.update(root_js)
+    else:  # pre-draft-4 bare union array at the root
+        out["type"] = root_js
     if defs:
         out["definitions"] = defs
     return out
 
 
-def _type_to_js(t) -> dict:
+def _type_to_js(t, v: int = 4) -> dict:
     if isinstance(t, dict):
-        return _object_to_js(t)
+        return _object_to_js(t, v)
     if isinstance(t, list):
         if is_union(t):
-            return {"anyOf": [_type_to_js(b) for b in t[0]]}
-        return _array_to_js(t)
+            branches = [_type_to_js(b, v) for b in t[0]]
+            # pre-draft-4 unions are a bare schema array, as the reference
+            # emits (sjot2js.js:115-118 returns the array itself)
+            return {"anyOf": branches} if v >= 4 else branches
+        return _array_to_js(t, v)
     if not isinstance(t, str):
         return {}
     return _string_type_to_js(t)
 
 
-def _array_to_js(t: list) -> dict:
+def _array_to_js(t: list, v: int = 4) -> dict:
     def num(x):
         return isinstance(x, (int, float)) and not isinstance(x, bool)
 
@@ -70,29 +96,29 @@ def _array_to_js(t: list) -> dict:
         if num(t[0]):
             out["minItems"] = out["maxItems"] = int(t[0])
         else:
-            out["items"] = _type_to_js(t[0])
+            out["items"] = _type_to_js(t[0], v)
         return out
     if num(t[1]):
         out["maxItems"] = int(t[1])
         if num(t[0]):
             out["minItems"] = int(t[0])
         else:
-            out["items"] = _type_to_js(t[0])
+            out["items"] = _type_to_js(t[0], v)
         return out
     if num(t[0]):
         out["minItems"] = int(t[0])
         if len(t) > 2 and num(t[2]):
             out["maxItems"] = int(t[2])
-        out["items"] = _type_to_js(t[1])
+        out["items"] = _type_to_js(t[1], v)
         return out
     # tuple
-    out["items"] = [_type_to_js(x) for x in t]
+    out["items"] = [_type_to_js(x, v) for x in t]
     out["additionalItems"] = False
     out["minItems"] = out["maxItems"] = len(t)
     return out
 
 
-def _object_to_js(t: dict) -> dict:
+def _object_to_js(t: dict, ver: int = 4) -> dict:
     out: dict = {"type": "object"}
     props: dict = {}
     required: list[str] = []
@@ -101,16 +127,22 @@ def _object_to_js(t: dict) -> dict:
         if prop.startswith("@"):
             continue
         if prop.startswith("("):
-            pattern_props["^" + prop + "$"] = _type_to_js(v)
+            pattern_props["^" + prop + "$"] = _type_to_js(v, ver)
             continue
         q = prop.find("?")
         if q == -1:
-            props[prop] = _type_to_js(v)
-            required.append(prop)
+            js = _type_to_js(v, ver)
+            props[prop] = js
+            if ver >= 4:
+                required.append(prop)
+            elif isinstance(js, dict):
+                # draft-3 style: required lives on the property schema
+                # (sjot2js.js:261-266)
+                js["required"] = True
         else:
             name = prop[:q]
-            js = _type_to_js(v)
-            if q < len(prop) - 1:
+            js = _type_to_js(v, ver)
+            if q < len(prop) - 1 and isinstance(js, dict):
                 from .validator import default_value
 
                 js["default"] = default_value(prop[q + 1:], [t], None, v, t)
@@ -127,16 +159,21 @@ def _object_to_js(t: dict) -> dict:
     if dep:
         out["dependencies"] = {k: ([v] if isinstance(v, str) else list(v))
                                for k, v in dep.items()}
-    for key, combos in (("oneOf", t.get("@one")), ("anyOf", t.get("@any"))):
-        if combos:
-            out.setdefault("allOf", []).extend(
-                {key: [{"required": [p]} for p in pset]} for pset in combos)
-    if t.get("@all"):
-        for pset in t["@all"]:
-            out.setdefault("allOf", []).append(
-                {"oneOf": [{"required": list(pset)},
-                           {"not": {"anyOf": [{"required": [p]}
-                                              for p in pset]}}]})
+    if ver >= 4:
+        # propset combinators are draft-4 constructs; the reference gates
+        # them the same way (sjot2js.js:339-380)
+        for key, combos in (("oneOf", t.get("@one")),
+                            ("anyOf", t.get("@any"))):
+            if combos:
+                out.setdefault("allOf", []).extend(
+                    {key: [{"required": [p]} for p in pset]}
+                    for pset in combos)
+        if t.get("@all"):
+            for pset in t["@all"]:
+                out.setdefault("allOf", []).append(
+                    {"oneOf": [{"required": list(pset)},
+                               {"not": {"anyOf": [{"required": [p]}
+                                                  for p in pset]}}]})
     return out
 
 

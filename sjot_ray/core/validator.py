@@ -29,6 +29,7 @@ semantics preserved, including the quirks:
 from __future__ import annotations
 
 import json
+import os
 import re
 from functools import lru_cache
 
@@ -156,12 +157,79 @@ class _ExternalLoadDisabled(Exception):
     pass
 
 
-def load_external_schema(url: str):  # pragma: no cover - no network in engine
-    """External ``URI#type`` schema fetch hook (reference does a synchronous
-    XHR, index.js:1166-1191). The engine resolves cross-schema refs from the
-    in-memory registry (schema arrays with ``@id``); network fetch at
-    validation time is disabled by design — register schemas up front."""
-    raise _ExternalLoadDisabled(f"external schema loading disabled: {url}")
+# URL → schema dict, pre-registered on the driver (compile-time prefetch;
+# ship the resolved schema list to workers via ray.put — workers never do
+# load-time I/O)
+_SCHEMA_URL_REGISTRY: dict[str, dict] = {}
+
+
+def register_schema_url(url: str, schema: dict) -> None:
+    """Pre-register the schema served at ``url`` so ``URI#type`` refs
+    resolve without I/O (the scale path: resolve once on the driver,
+    broadcast the schema list)."""
+    _SCHEMA_URL_REGISTRY[url] = schema
+
+
+def load_external_schema(url: str):
+    """External ``URI#type`` schema fetch (reference: synchronous XHR,
+    index.js:1166-1191). This engine resolves, in order: the URL
+    registry (:func:`register_schema_url`), then ``file://`` URLs and
+    plain local paths — all driver-side, at schema-compile time. Network
+    URLs are disabled by design: register or prefetch them up front."""
+    import copy
+    import json
+
+    hit = _SCHEMA_URL_REGISTRY.get(url)
+    if hit is not None:
+        return copy.deepcopy(hit)
+    path = url[len("file://"):] if url.startswith("file://") else url
+    if "://" not in path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    raise _ExternalLoadDisabled(
+        f"external schema loading disabled for non-local URL: {url}")
+
+
+def resolve_external_refs(schema) -> list:
+    """Compile-time prefetch: walk a schema (or schema list) for
+    ``URI#type`` refs whose URI is not yet in the ``@id`` registry, load
+    each (registry/file), and return the extended schema list — call once
+    on the driver, then broadcast the result with ``ray.put``."""
+    sjots = list(schema) if isinstance(schema, list) else [schema]
+    seen = {s.get("@id") for s in sjots if isinstance(s, dict)}
+
+    def walk(t):
+        if isinstance(t, str):
+            h = t.find("#")
+            if h > 0 and not t.startswith("(") and not t.endswith("]") \
+                    and not t.endswith("}"):
+                uri = t[:h]
+                if uri not in seen:
+                    seen.add(uri)
+                    loaded = load_external_schema(uri)
+                    if loaded.get("@id", uri) != uri:
+                        raise SJOTSchemaError(
+                            f'schema "{uri}" load error due to @id URL'
+                            " mismatch", f"/{t}")
+                    loaded["@id"] = uri
+                    sjots.append(loaded)
+                    walk_obj(loaded)
+        elif isinstance(t, list):
+            for x in t:
+                walk(x)
+        elif isinstance(t, dict):
+            walk_obj(t)
+
+    def walk_obj(obj):
+        for k, v in obj.items():
+            if k in ("@one", "@any", "@all", "@dep", "@id", "@note"):
+                continue
+            walk(v)
+
+    for s in list(sjots):
+        if isinstance(s, dict):
+            walk_obj(s)
+    return sjots
 
 
 def roottype(sjot):

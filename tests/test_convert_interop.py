@@ -94,3 +94,53 @@ def test_reference_reads_our_jsonschema():
     results = json.loads(out)
     for (doc, si, exp), got in zip(DOCS, results):
         assert got == exp, (doc, SCHEMAS[si], got, exp)
+
+
+_REF_JS2SJOT_VALIDATE_V = r"""
+const fs = require("fs");
+const SJOT = require("/root/reference/index.js");
+eval(fs.readFileSync("/root/reference/dev/js2sjot.js", "utf8")
+     + ";globalThis.J2S = JS2SJOT;");
+const cases = JSON.parse(fs.readFileSync(0, "utf8"));
+const out = cases.map(c => {
+  try {
+    const sjot = J2S.toSJOT(c.jsonschema, c.version);
+    try { SJOT.validate(c.doc, null, sjot); return true; }
+    catch (e) { return false; }
+  } catch (e) { return "convert-error: " + e; }
+});
+process.stdout.write(JSON.stringify(out));
+"""
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_reference_reads_our_draft_1_and_3(version):
+    """our sjot_to_jsonschema(version=1|3) → reference JS2SJOT at the same
+    draft → reference validator; verdicts preserved (sjot2js.js:160-171
+    version parameter parity)."""
+    cases, exp_list = [], []
+    for doc, si, exp in DOCS:
+        js = sjot_to_jsonschema(copy.deepcopy(SCHEMAS[si]), version=version)
+        cases.append({"jsonschema": js, "doc": doc, "version": version})
+        exp_list.append(exp)
+    out = subprocess.run(["node", "-e", _REF_JS2SJOT_VALIDATE_V],
+                         input=json.dumps(cases), capture_output=True,
+                         text=True, check=True).stdout
+    for (doc, si, exp), got in zip(DOCS, json.loads(out)):
+        assert got == exp, (version, doc, SCHEMAS[si], got, exp)
+
+
+def test_draft_version_markers():
+    s = {"@root": {"a": "int", "u?": [["string", "int"]]}}
+    js1 = sjot_to_jsonschema(copy.deepcopy(s), version=1)
+    js3 = sjot_to_jsonschema(copy.deepcopy(s), version=3)
+    js4 = sjot_to_jsonschema(copy.deepcopy(s), version=4)
+    assert js1["$schema"] == "http://json-schema.org/schema#"
+    assert js3["$schema"] == "http://json-schema.org/draft-03/schema#"
+    assert js4["$schema"] == "http://json-schema.org/draft-04/schema#"
+    # draft-3: per-prop required + bare union arrays; draft-4: required
+    # list + anyOf
+    assert js3["properties"]["a"].get("required") is True
+    assert isinstance(js3["properties"]["u"], list)
+    assert js4["required"] == ["a"]
+    assert "anyOf" in js4["properties"]["u"]

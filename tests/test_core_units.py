@@ -71,3 +71,47 @@ def test_js_num_str_ecmascript_thresholds():
     ]
     for v, want in cases:
         assert js_num_str(v) == want, (v, js_num_str(v), want)
+
+
+def test_external_schema_file_loading(tmp_path):
+    """URI#type refs to a second schema file resolve at compile time
+    (reference sjot_load semantics, index.js:1166-1191, restricted to
+    local/registered sources)."""
+    import json
+
+    from sjot_ray.core.validator import (register_schema_url,
+                                         resolve_external_refs)
+
+    ext = {"Temp": {"celsius": "-100.0..100.0"}}
+    p = tmp_path / "ext_schema.json"
+    p.write_text(json.dumps(ext))
+
+    # plain-path URI, lazy load at validation time
+    schema = {"@root": {"reading": f"{p}#Temp"}}
+    assert valid({"reading": {"celsius": 20.5}}, None, schema)
+    assert not valid({"reading": {"celsius": 200.0}}, None, schema)
+
+    # file:// URI through the compile-time prefetcher
+    schema2 = {"@root": {"reading": f"file://{p}#Temp"}}
+    sjots = resolve_external_refs(schema2)
+    assert len(sjots) == 2 and sjots[1]["@id"] == f"file://{p}"
+    assert valid({"reading": {"celsius": -40.0}}, None, sjots)
+
+    # registry (broadcast path): no file I/O needed
+    register_schema_url("mem://ext", {"Temp": {"celsius": "0.."}})
+    schema3 = {"@root": {"reading": "mem://ext#Temp"}}
+    assert valid({"reading": {"celsius": 1}}, None, schema3)
+    assert not valid({"reading": {"celsius": -1}}, None, schema3)
+
+
+def test_external_schema_id_mismatch(tmp_path):
+    """A loaded schema whose @id differs from the URL is rejected
+    (index.js:1150-1151)."""
+    import json
+
+    bad = {"@id": "http://other/schema", "T": {"x": "int"}}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    schema = {"@root": {"v": f"{p}#T"}}
+    with pytest.raises(SJOTSchemaError, match="@id URL mismatch"):
+        validate({"v": {"x": 1}}, None, schema)
