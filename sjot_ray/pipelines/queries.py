@@ -697,6 +697,122 @@ def q_user_sessions(sf_dir: str):
     })
 
 
+def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30):
+    """Hot-key-safe sessionization: salt the per-user window by coarse
+    time bucket (day), sessionize inside each (user, day) group, then
+    merge the per-bucket partials in time order per user — a 100×-skewed
+    user becomes ~n_days bounded groups plus a tiny merge instead of one
+    straggler task holding every event. Exactly equivalent to the
+    single-group sessionization (boundary sessions whose gap across the
+    bucket edge is ≤ the threshold are merged back)."""
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > gap
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "first_ts": [g["ts"].iloc[0]],
+            "last_ts": [g["ts"].iloc[-1]],
+        })
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["user_id", "day"])
+             .map_groups(within, batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_ts")
+        boundary_merged = (g["first_ts"].iloc[1:].reset_index(drop=True)
+                           - g["last_ts"].iloc[:-1].reset_index(drop=True)
+                           ) <= gap
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [int(g["n_events"].sum())],
+            "n_sessions": [int(g["n_sessions"].sum())
+                           - int(boundary_merged.sum())],
+        })
+
+    return parts.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+def q_user_sessions_salted(sf_dir: str):
+    """Same result as q_user_sessions via the salted two-phase plan."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    t = _t(sessionize_salted(ds))
+    return pa.table({
+        "user_id": pc.cast(t["user_id"], pa.int64()),
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+        "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+    })
+
+
+def q_dedup_embedding_exact(sf_dir: str, threshold: float = 0.4):
+    """EXACT embedding near-dup pairs (cosine ≥ threshold, id_a < id_b):
+    the brute-force verify baseline for dedup.embedding_near_dups' LSH
+    path. The full normalized matrix is broadcast once via ray.put and
+    each batch does one matmul against it — exact all-pairs is inherently
+    O(n²) and is kept as the small-side verification tool; the LSH
+    variant (dedup_embedding_cosine) is the scale path."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_t = _t(ds)
+    ids_all = all_t["vec_id"].to_numpy(zero_copy_only=False)
+    X = _emb_matrix(all_t["embedding"])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    side = ray.put((ids_all, Xn))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.Xn = ray.get(side)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            Y = _emb_matrix(t["embedding"])
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
+                                1e-12)
+            S = Yn @ self.Xn.T                      # (batch, all)
+            keep = S >= threshold
+            # id_a < id_b keeps each unordered pair once (and drops self)
+            keep &= ids[:, None] < self.ids[None, :]
+            bi, aj = np.nonzero(keep)
+            return pa.table({
+                "id_a": pa.array(ids[bi], pa.int64()),
+                "id_b": pa.array(self.ids[aj], pa.int64()),
+                "cosine": pa.array(
+                    _np_round_away(S[bi, aj], 4), pa.float64()),
+            })
+
+    t = _t(ds.map_batches(Pairs, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4)))
+    if t.num_columns == 0:
+        t = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if t.num_rows:
+        idx = pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
+                                            ("id_b", "ascending")])
+        t = t.take(idx)
+    return t
+
+
+ORACLE_SQL.update({
+    "dedup_embedding_exact": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+})
+
+
 def q_sample_documents(sf_dir: str):
     """Seeded random sample (deterministic for a fixed block layout);
     rows-only check by design — sampling is not SQL-reproducible."""
@@ -734,6 +850,8 @@ ORACLE_SQL.update({
         FROM gaps GROUP BY user_id
     """,
 })
+# the salted two-phase plan must produce the identical result
+ORACLE_SQL["user_sessions_salted"] = ORACLE_SQL["user_sessions"]
 
 
 def q_order_lineitem_join(sf_dir: str):

@@ -348,3 +348,48 @@ def test_run_flagship_writes_partitioned_output(ray_session, tmp_path):
     files = os.listdir(f"{out}/validated")
     assert len(files) >= 1 and all(f.endswith(".parquet") for f in files)
     assert summary["n"].sum() == 3000
+
+
+def test_salted_sessions_match_plain_on_skewed_key(ray_session):
+    """A 100×-skewed hot user must sessionize correctly through the
+    salted (user, day)-bucket plan — same result as a single-group
+    pandas sessionization."""
+    import pandas as pd
+    import ray.data
+
+    from sjot_ray.pipelines.queries import sessionize_salted
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    # hot user 1: 20_000 events over ~14 days, mixed gaps crossing days
+    t = base
+    for _ in range(20_000):
+        t += pd.Timedelta(minutes=int(rng.integers(1, 70)))
+        rows.append((1, t))
+    # 50 normal users, ~40 events each
+    for u in range(2, 52):
+        t = base + pd.Timedelta(hours=int(rng.integers(0, 48)))
+        for _ in range(40):
+            t += pd.Timedelta(minutes=int(rng.integers(1, 70)))
+            rows.append((u, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    def plain(g):
+        g = g.sort_values("ts")
+        return pd.Series({"n_events": len(g),
+                          "n_sessions": int((g["ts"].diff()
+                                             > pd.Timedelta(minutes=30))
+                                            .sum()) + 1})
+
+    expect = df.groupby("user_id").apply(plain,
+                                         include_groups=False).reset_index()
+    ds = ray.data.from_pandas(df)
+    got = sessionize_salted(ds).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    expect = expect.sort_values("user_id").reset_index(drop=True)
+    assert (got["n_events"].to_numpy()
+            == expect["n_events"].to_numpy()).all()
+    assert (got["n_sessions"].to_numpy()
+            == expect["n_sessions"].to_numpy()).all(), \
+        (got.head(), expect.head())
