@@ -112,60 +112,108 @@ class MinHashStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         sh, offsets = _shingle_hashes(t[self.text_col], self.k)
         sig = minhash_signatures(sh, offsets, self.num_perm)
-        # band hashes: combine the band's rows into one uint64 key
+        # bucket key: the band's signature rows mixed into one int64
+        # (band index salted in, so equal hashes in different bands don't
+        # collide into one bucket)
         n = t.num_rows
-        band_ids, band_hashes, ids = [], [], []
+        keys, ids = [], []
         id_vals = t[self.id_col]
         for b in range(self.bands):
             cols = sig[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
             key = cols[:, 0]
             for j in range(1, self.rows_per_band):
                 key = rehash(key, j + 101) ^ cols[:, j]
-            band_ids.append(np.full(n, b, dtype=np.int32))
-            band_hashes.append(key)
+            keys.append(rehash(key, 7919 + b))
             ids.append(id_vals)
         return pa.table({
-            "band": pa.array(np.concatenate(band_ids)),
-            "band_hash": pa.array(np.concatenate(band_hashes).astype(np.int64)),
+            "bkey": pa.array(np.concatenate(keys).astype(np.int64)),
             self.id_col: pa.concat_arrays(
                 [i.combine_chunks() if isinstance(i, pa.ChunkedArray) else i
                  for i in ids]),
         })
 
 
+def _coarse_buckets(n_rows: int, rows_per_part: int = 400_000) -> int:
+    """Coarse partition count for high-cardinality keyed work: Ray Data's
+    sort-based groupby costs ~O(#distinct keys) in per-group overhead
+    (measured: 3.2M distinct keys → ~56 s on this host vs 1 s for 64
+    partitions), so million-key groupings are re-expressed as a groupby
+    over B coarse ``key % B`` partitions with vectorized within-partition
+    runs. B scales with the input so per-task memory stays bounded."""
+    return int(min(4096, max(16, n_rows // rows_per_part + 1)))
+
+
+def _within_run_pairs(starts: np.ndarray, counts: np.ndarray,
+                      sel: np.ndarray):
+    """All (i<j) index pairs within each selected run, vectorized by
+    looping over DISTINCT run sizes (a handful) rather than runs."""
+    a_parts, b_parts = [], []
+    sel_counts = counts[sel]
+    sel_starts = starts[sel]
+    for c in np.unique(sel_counts):
+        iu, ju = np.triu_indices(int(c), k=1)
+        rs = sel_starts[sel_counts == c]
+        a_parts.append((rs[:, None] + iu[None, :]).ravel())
+        b_parts.append((rs[:, None] + ju[None, :]).ravel())
+    if not a_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
 def minhash_candidates(ds: "ray.data.Dataset", text_col="text",
                        id_col="doc_id") -> "ray.data.Dataset":
-    """(band, band_hash) buckets with >1 member → ALL within-bucket pairs.
+    """LSH buckets with >1 member → ALL within-bucket pairs.
 
     Emitting every pair (not anchor-star) is required for recall: a true
     near-dup pair (b, c) in a bucket whose min-id anchor a matches neither
     would otherwise be lost. LSH buckets are small by construction, so the
     triangular blow-up is bounded; duplicates across bands are dropped in
     the verify join's first round.
+
+    Shape for scale: bucket keys are near-unique (one per doc per band),
+    so co-location runs through the manual hash shuffle
+    (:mod:`.shuffle`) over B coarse ``bkey % B`` partitions — Ray Data's
+    sort-based groupby is per-group-costly and driver-heavy at this
+    cardinality. Within a partition, equal-key runs are found by one
+    lexsort and pairs are emitted vectorized per distinct run size — no
+    per-bucket Python anywhere.
     """
+    from .shuffle import hash_shuffle_apply
+
+    n_docs = ds.count()  # parquet: metadata-only
+    B = _coarse_buckets(n_docs * BANDS)
+
     bands = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk_s, ids_s = bk[order], ids[order]
+        new = np.ones(len(bk_s), dtype=bool)
+        new[1:] = bk_s[1:] != bk_s[:-1]
+        run = np.cumsum(new) - 1
+        counts = np.bincount(run)
+        starts = np.cumsum(counts) - counts
+        ai, bi = _within_run_pairs(starts, counts, counts >= 2)
+        if len(ai) == 0:
             return _empty_pairs()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[iu], pa.int64()),
-                         "id_b": pa.array(ids[ju], pa.int64())})
+        # ids ascend within a run, so ai < bi index-wise ⇒ id_a < id_b
+        return pa.table({"id_a": pa.array(ids_s[ai], pa.int64()),
+                         "id_b": pa.array(ids_s[bi], pa.int64())})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    return pairs
+    return hash_shuffle_apply(bands, "bkey", B, pairs_in_partition,
+                              _empty_pairs())
 
 
 # -- distributed Jaccard verify ---------------------------------------------
 
 def _shingle_set_rows(docs_ds: "ray.data.Dataset", ids_ref,
-                      text_col: str, id_col: str, k: int,
-                      with_sh_a: bool) -> "ray.data.Dataset":
+                      text_col: str, id_col: str,
+                      k: int) -> "ray.data.Dataset":
     """Candidate docs → (key=doc_id, id_a/id_b null, sh=sorted unique
     shingle hashes) rows, filtered by the broadcast candidate-id set."""
 
@@ -188,15 +236,37 @@ def _shingle_set_rows(docs_ds: "ray.data.Dataset", ids_ref,
                     pa.array(offs, pa.int32()),
                     pa.array(v_u.astype(np.int64)))
             nulls = pa.nulls(n, pa.int64())
-            cols = {"key": pc.cast(t[id_col], pa.int64()) if n else
-                    pa.array([], pa.int64()),
-                    "id_a": nulls, "id_b": nulls, "sh": sh_list}
-            if with_sh_a:
-                cols["sh_a"] = pa.nulls(n, pa.list_(pa.int64()))
-            return pa.table(cols)
+            return pa.table({
+                "key": pc.cast(t[id_col], pa.int64()) if n else
+                pa.array([], pa.int64()),
+                "id_a": nulls, "id_b": nulls, "sh": sh_list})
 
     return docs_ds.map_batches(ShingleSets, batch_format="pyarrow",
                                zero_copy_batch=True, concurrency=(1, 8))
+
+
+def _list_take(col, idx: np.ndarray):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(idx, pa.int64()))
+
+
+def _split_doc_pair_rows(g: pa.Table):
+    """A joined partition holds doc rows (sh valid) and pair rows; map
+    each pair row to its doc row via sorted searchsorted on the key."""
+    is_doc = pc.is_valid(g["sh"]).to_numpy(zero_copy_only=False)
+    docs = g.filter(pa.array(is_doc))
+    prs = g.filter(pa.array(~is_doc))
+    if docs.num_rows == 0 or prs.num_rows == 0:
+        return docs, prs.slice(0, 0), np.zeros(0, np.int64)
+    dk = docs["key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dk)
+    dk_s = dk[order]
+    pk = prs["key"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(dk_s, pk)
+    ok = (pos < len(dk_s)) & (dk_s[np.minimum(pos, len(dk_s) - 1)] == pk)
+    prs = prs.filter(pa.array(ok))
+    return docs, prs, order[pos[ok]]
 
 
 def distributed_jaccard(pairs: "ray.data.Dataset",
@@ -205,95 +275,128 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
                         threshold: float = 0.5) -> pa.Table:
     """Exact n-gram Jaccard on candidate pairs via a keyed two-round join.
 
-    Round 1 groups pair rows with id_a's shingle-set row (key = id_a) and
-    attaches ``sh_a``; round 2 groups with id_b's row and computes
-    |A∩B| / |A∪B| from the two sorted-unique hash sets. Only candidate
-    pairs and candidate docs' hash sets shuffle — the corpus text never
-    leaves its read tasks and nothing large lands on the driver. Duplicate
-    pairs (same pair from several LSH bands) are dropped in round 1.
+    Round 1 co-locates pair rows with id_a's shingle-set row (partition =
+    ``id_a % B``) and attaches ``sh_a``; round 2 does the same on id_b and
+    computes |A∩B| / |A∪B| from the two sorted-unique hash sets with one
+    lexsort over the concatenated (pair, hash) rows — everything inside a
+    partition is vectorized (searchsorted doc lookup, run-length
+    intersection counts), and partitions are coarse (``_coarse_buckets``)
+    so Ray's per-group overhead never multiplies by the candidate count.
+    Only candidate pairs and candidate docs' hash sets shuffle — the
+    corpus text never leaves its read tasks and nothing large lands on
+    the driver. Duplicate pairs (the same pair from several LSH bands)
+    are dropped in round 1.
 
     Returns the (small) verified-pair table sorted by (id_a, id_b).
     """
     # pin the (small) candidate-pair dataset in the object store so the
-    # three consumers below don't re-run the LSH candidate generation
+    # consumers below don't re-run the LSH candidate generation
     pairs = pairs.materialize()
-    # broadcast the candidate-id set (ids only — the one driver-side piece)
-    a_ids = pairs.unique("id_a")
-    b_ids = pairs.unique("id_b")
-    cand = np.unique(np.concatenate([
-        np.asarray(a_ids, dtype=np.int64) if len(a_ids) else
-        np.zeros(0, np.int64),
-        np.asarray(b_ids, dtype=np.int64) if len(b_ids) else
-        np.zeros(0, np.int64)]))
+    n_pairs = pairs.count()
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if len(cand) == 0:
+    if n_pairs == 0:
         return empty
-    ids_ref = ray.put(pa.array(cand, pa.int64()))
 
-    # round 1: key on id_a, attach sh_a ------------------------------------
+    # candidate-id set: one distributed pass, then broadcast (ids only —
+    # the single driver-side piece, bounded by the candidate count)
+    def both_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"cid": pa.concat_arrays([
+            t["id_a"].combine_chunks() if isinstance(t["id_a"],
+                                                     pa.ChunkedArray)
+            else t["id_a"],
+            t["id_b"].combine_chunks() if isinstance(t["id_b"],
+                                                     pa.ChunkedArray)
+            else t["id_b"]])})
+
+    cand = np.asarray(
+        pairs.map_batches(both_ids, batch_format="pyarrow").unique("cid"),
+        dtype=np.int64)
+    cand = np.unique(cand)
+    ids_ref = ray.put(pa.array(cand, pa.int64()))
+    B = _coarse_buckets(max(n_pairs, len(cand)), rows_per_part=200_000)
+
+    # candidate docs' shingle sets: computed ONCE (one pruned pass over
+    # the corpus), pinned in the object store, reused by both join rounds
+    sh_rows = _shingle_set_rows(docs_ds, ids_ref, text_col, id_col,
+                                k).materialize()
+    empty_join = pa.table({"key": pa.array([], pa.int64()),
+                           "id_a": pa.array([], pa.int64()),
+                           "id_b": pa.array([], pa.int64()),
+                           "sh": pa.array([], pa.list_(pa.int64())),
+                           "sh_a": pa.array([], pa.list_(pa.int64()))})
+
+    # round 1: partition on id_a, attach sh_a ------------------------------
     def pair_rows_a(t: pa.Table) -> pa.Table:
         return pa.table({
             "key": t["id_a"], "id_a": t["id_a"], "id_b": t["id_b"],
             "sh": pa.nulls(t.num_rows, pa.list_(pa.int64()))})
 
-    keyed_a = pairs.map_batches(pair_rows_a, batch_format="pyarrow").union(
-        _shingle_set_rows(docs_ds, ids_ref, text_col, id_col, k,
-                          with_sh_a=False))
+    keyed_a = pairs.map_batches(pair_rows_a, batch_format="pyarrow") \
+        .union(sh_rows)
 
     def attach_a(g: pa.Table) -> pa.Table:
-        is_doc = pc.is_valid(g["sh"]).to_numpy(zero_copy_only=False)
-        if not is_doc.any() or is_doc.all():
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.list_(pa.int64())),
-                             "sh_a": pa.array([], pa.list_(pa.int64()))})
-        doc_idx = int(np.flatnonzero(is_doc)[0])
-        p = g.filter(pa.array(~is_doc))
-        # drop duplicate (id_a, id_b) pairs emitted by several bands
-        ib = p["id_b"].to_numpy(zero_copy_only=False)
-        _, first = np.unique(ib, return_index=True)
-        p = p.take(pa.array(np.sort(first)))
-        sh_a = g["sh"].take(pa.array([doc_idx] * p.num_rows, pa.int64()))
-        return pa.table({"key": p["id_b"], "id_a": p["id_a"],
-                         "id_b": p["id_b"],
-                         "sh": pa.nulls(p.num_rows, pa.list_(pa.int64())),
+        docs, prs, doc_of = _split_doc_pair_rows(g)
+        if prs.num_rows == 0:
+            return empty_join
+        # drop duplicate (id_a, id_b) pairs emitted by several bands —
+        # every copy shares id_a, so the whole dup group is in this part
+        ia = prs["id_a"].to_numpy(zero_copy_only=False)
+        ib = prs["id_b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ib, ia))
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (ia[o][1:] != ia[o][:-1]) | (ib[o][1:] != ib[o][:-1])
+        sel = o[keep]
+        prs = prs.take(pa.array(sel, pa.int64()))
+        sh_a = _list_take(docs["sh"], doc_of[sel])
+        return pa.table({"key": prs["id_b"], "id_a": prs["id_a"],
+                         "id_b": prs["id_b"],
+                         "sh": pa.nulls(prs.num_rows, pa.list_(pa.int64())),
                          "sh_a": sh_a})
 
-    round1 = keyed_a.groupby("key").map_groups(attach_a,
-                                               batch_format="pyarrow")
+    from .shuffle import hash_shuffle_apply
 
-    # round 2: key on id_b, attach sh_b and score --------------------------
+    round1 = hash_shuffle_apply(keyed_a, "key", B, attach_a, empty_join)
+
+    # round 2: partition on id_b, attach sh_b and score --------------------
+    def add_sh_a_null(t: pa.Table) -> pa.Table:
+        return t.append_column("sh_a",
+                               pa.nulls(t.num_rows, pa.list_(pa.int64())))
+
     keyed_b = round1.union(
-        _shingle_set_rows(docs_ds, ids_ref, text_col, id_col, k,
-                          with_sh_a=True))
+        sh_rows.map_batches(add_sh_a_null, batch_format="pyarrow"))
 
     def score(g: pa.Table) -> pa.Table:
-        is_doc = pc.is_valid(g["sh"]).to_numpy(zero_copy_only=False)
-        if not is_doc.any() or is_doc.all():
+        docs, prs, doc_of = _split_doc_pair_rows(g)
+        if prs.num_rows == 0:
             return empty
-        doc_idx = int(np.flatnonzero(is_doc)[0])
-        sh_b = np.asarray(g["sh"][doc_idx].as_py(), dtype=np.int64)
-        p = g.filter(pa.array(~is_doc))
-        sh_a_col = p["sh_a"]
-        if isinstance(sh_a_col, pa.ChunkedArray):
-            sh_a_col = sh_a_col.combine_chunks()
-        flat = sh_a_col.flatten().to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(sh_a_col) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.cumsum(lens) - lens
-        hit = np.isin(flat, sh_b)
-        inter = np.add.reduceat(hit, starts) if len(flat) else \
-            np.zeros(len(lens))
-        inter = np.where(lens > 0, inter, 0).astype(np.float64)
-        union = lens + len(sh_b) - inter
+        sh_a = prs["sh_a"]
+        if isinstance(sh_a, pa.ChunkedArray):
+            sh_a = sh_a.combine_chunks()
+        sh_b = _list_take(docs["sh"], doc_of)
+        P = prs.num_rows
+        len_a = pc.list_value_length(sh_a).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        len_b = pc.list_value_length(sh_b).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat_a = sh_a.flatten().to_numpy(zero_copy_only=False)
+        flat_b = sh_b.flatten().to_numpy(zero_copy_only=False)
+        # |A∩B| per pair: both sides are per-pair-unique, so a value
+        # appearing twice under one pair id is an intersection hit
+        allp = np.concatenate([np.repeat(np.arange(P), len_a),
+                               np.repeat(np.arange(P), len_b)])
+        allv = np.concatenate([flat_a, flat_b])
+        order = np.lexsort((allv, allp))
+        p_s, v_s = allp[order], allv[order]
+        dup = (p_s[1:] == p_s[:-1]) & (v_s[1:] == v_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=P).astype(np.float64)
+        union = len_a + len_b - inter
         ja = inter / np.maximum(union, 1)
-        return pa.table({"id_a": p["id_a"], "id_b": p["id_b"],
+        return pa.table({"id_a": prs["id_a"], "id_b": prs["id_b"],
                          "jaccard": pa.array(ja, pa.float64())})
 
-    scored = keyed_b.groupby("key").map_groups(score, batch_format="pyarrow")
+    scored = hash_shuffle_apply(keyed_b, "key", B, score, empty)
     out = scored.filter(expr=f"jaccard >= {threshold}")
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     t = pa.concat_tables(batches) if batches else empty
@@ -369,61 +472,78 @@ def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
 
     Pigeonhole bucketing: split each 64-bit fingerprint into four 16-bit
     chunks; any pair at distance ≤3 agrees exactly on at least one chunk,
-    so grouping by (chunk index, chunk value) and verifying within buckets
-    finds every such pair. Only (id, fingerprint) rows shuffle. Buckets
-    are ~n/65536 per chunk for random fingerprints; a pathologically hot
-    chunk value (mass-duplicated text) would need a second-level split on
-    another chunk — not done here.
+    so grouping by (chunk index, chunk value) — encoded as one 18-bit
+    ``ckey`` — and verifying within buckets finds every such pair. Only
+    (id, fingerprint) rows shuffle, over B coarse ``ckey % B`` partitions
+    (Ray groupby is per-group-costly at high key cardinality, see
+    :func:`_coarse_buckets`); equal-ckey runs are found by lexsort and
+    popcount-verified vectorized. Buckets are ~n/65536 per chunk for
+    random fingerprints; a pathologically hot chunk value
+    (mass-duplicated text) would need a second-level split on another
+    chunk — not done here.
     """
+    n_docs = ds.count()  # parquet: metadata-only
+    B = _coarse_buckets(n_docs * 4, rows_per_part=200_000)
     fps = simhash_fingerprints(ds, text_col, id_col)
 
     def explode_chunks(t: pa.Table) -> pa.Table:
         fp = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         parts = []
         for c in range(4):
-            ck = ((fp >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            ck = ((fp >> np.uint64(16 * c)) & np.uint64(0xFFFF)) \
+                | np.uint64(c << 16)
             parts.append(pa.table({
-                "chunk": pa.array(np.full(len(fp), c, dtype=np.int32)),
                 "ckey": pa.array(ck.astype(np.int32)),
                 id_col: t[id_col],
                 "simhash": t["simhash"]}))
         return pa.concat_tables(parts)
 
     def within(g: pa.Table) -> pa.Table:
+        ck = g["ckey"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
         fp = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        n = len(ids)
-        if n < 2:
+        order = np.lexsort((ids, ck))
+        ck_s, ids_s, fp_s = ck[order], ids[order], fp[order]
+        new = np.ones(len(ck_s), dtype=bool)
+        new[1:] = ck_s[1:] != ck_s[:-1]
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.cumsum(counts) - counts
+        ai, bi = _within_run_pairs(starts, counts, counts >= 2)
+        if len(ai) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        iu, ju = np.triu_indices(n, k=1)
-        d = hamming_distance64(fp[iu], fp[ju])
+        d = hamming_distance64(fp_s[ai], fp_s[bi])
         keep = d <= radius
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_a": pa.array(lo, pa.int64()),
-                         "id_b": pa.array(hi, pa.int64()),
+        # ids ascend within a run ⇒ id_a < id_b
+        return pa.table({"id_a": pa.array(ids_s[ai[keep]], pa.int64()),
+                         "id_b": pa.array(ids_s[bi[keep]], pa.int64()),
                          "hamming": pa.array(d[keep], pa.int64())})
 
-    pairs = (fps.map_batches(explode_chunks, batch_format="pyarrow")
-             .groupby(["chunk", "ckey"])
-             .map_groups(within, batch_format="pyarrow"))
-    # dedupe pairs found via multiple agreeing chunks
-    agg = pairs.groupby(["id_a", "id_b"]).min("hamming")
-    t = agg.map_batches(
-        lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
-        batch_format="pyarrow")
-    batches = list(t.iter_batches(batch_format="pyarrow", batch_size=None))
-    out = pa.concat_tables(batches) if batches else pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-         "hamming": pa.array([], pa.int64())})
+    from .shuffle import hash_shuffle_apply
+
+    empty3 = pa.table({"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64()),
+                       "hamming": pa.array([], pa.int64())})
+    pairs = hash_shuffle_apply(
+        fps.map_batches(explode_chunks, batch_format="pyarrow"),
+        "ckey", B, within, empty3)
+    # dedupe pairs found via multiple agreeing chunks (pair list is the
+    # small verified output; a driver-side sort-dedup is fine here)
+    batches = list(pairs.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    out = pa.concat_tables(batches) if batches else empty3
     if out.num_rows:
-        out = out.set_column(2, "hamming", pc.cast(out["hamming"],
-                                                   pa.int64()))
-        idx = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
-                                              ("id_b", "ascending")])
-        out = out.take(idx)
+        ia = out["id_a"].to_numpy(zero_copy_only=False)
+        ib = out["id_b"].to_numpy(zero_copy_only=False)
+        hm = out["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hm, ib, ia))
+        ia, ib, hm = ia[order], ib[order], hm[order]
+        keep = np.ones(len(ia), dtype=bool)
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        out = pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                        "id_b": pa.array(ib[keep], pa.int64()),
+                        "hamming": pa.array(hm[keep], pa.int64())})
     return out
 
 

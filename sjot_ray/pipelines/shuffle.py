@@ -1,0 +1,88 @@
+"""Manual two-stage hash shuffle over raw Ray tasks.
+
+Why this exists (the one place we drop below the Dataset API): Ray Data's
+sort-based ``groupby`` costs ~O(#distinct keys) in per-group overhead and,
+in local mode, routes the shuffled table through the DRIVER heap
+(measured on this host: 3.2M distinct int64 keys → ~56 s wall and ~1.4 GB
+of driver RssAnon for a 640 MB table; 64 coarse partitions → 1.1 s but
+still the driver-heap blowup). High-cardinality key co-location — LSH
+bucket grouping, candidate-pair joins — therefore uses the classic Ray
+map/reduce shuffle: each map task splits its block into B hash partitions
+(B object returns), each reduce task concatenates one partition across
+blocks and applies a vectorized per-partition function. Data moves
+worker→object store→worker; the driver only ever holds object refs
+(B × n_blocks of them).
+
+Partitioning assumption (document per use): all rows with equal
+``key_col`` land in the same partition (key % B); per-partition functions
+must be correct for any superset of co-located key groups.
+
+Single-round fan-in: each reduce takes one arg per input block. For
+block counts beyond ~10^4 a multi-round merge tree would be needed —
+out of scope here (blocks are file-sized shards).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _split(t: pa.Table, key_col: str, B: int):
+    # Returns a tuple of B ObjectRefs (or None for empty cells), NOT the
+    # tables themselves: Ray inlines small (<100 KiB) task returns into
+    # the OWNER process's memory, so returning n_blocks × B small tables
+    # directly parks the entire shuffled payload in the driver heap
+    # (measured: +1.4 GB for a 640 MB table). ray.put keeps each cell in
+    # the worker-side object store and only refs travel to the driver.
+    if t.num_rows == 0:
+        # Ray Data passes zero-row blocks through map transforms
+        # untouched, so an empty block may still carry an upstream schema
+        # (possibly without key_col); reduce drops empties anyway
+        return tuple(None for _ in range(B))
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    if k.dtype != np.int64:
+        k = k.astype(np.int64)
+    part = (k.view(np.uint64) % np.uint64(B)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    t_sorted = t.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(part[order], np.arange(B + 1))
+    out = []
+    for i in range(B):
+        n = int(bounds[i + 1] - bounds[i])
+        out.append(ray.put(t_sorted.slice(int(bounds[i]), n).combine_chunks())
+                   if n else None)
+    return tuple(out)
+
+
+@ray.remote
+def _reduce(fn, empty: pa.Table, *part_refs) -> pa.Table:
+    refs = [r for r in part_refs if r is not None]
+    parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
+    if not parts:
+        return empty
+    return fn(pa.concat_tables(parts, promote_options="default"))
+
+
+def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
+                       fn, empty: pa.Table) -> "ray.data.Dataset":
+    """Partition ``ds`` by ``key_col % n_parts`` (integer keys), apply
+    ``fn(partition_table) -> pa.Table`` once per partition in reduce
+    tasks, and return the outputs as a new Dataset. ``empty`` is the
+    output schema's empty table (returned for empty partitions and when
+    the input has no blocks)."""
+    B = max(2, int(n_parts))
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return ray.data.from_arrow(empty)
+    split_out = [_split.options(num_returns=B).remote(b, key_col, B)
+                 for b in block_refs]
+    out_refs = [
+        _reduce.remote(fn, empty, *[split_out[i][p]
+                                    for i in range(len(split_out))])
+        for p in range(B)]
+    return ray.data.from_arrow_refs(out_refs)
