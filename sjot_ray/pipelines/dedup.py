@@ -571,29 +571,26 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
         flat = col.flatten().to_numpy(zero_copy_only=False)
         return flat.astype(np.float64).reshape(len(col), -1)
 
-    class Bucket:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        planes_w = ray.get(planes_ref)
+        X = _mat(t[emb_col])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        bits = (Xn @ planes_w) > 0
+        bucket = np.zeros(len(X), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return pa.table({
+            "bucket": pa.array(bucket),
+            id_col: t[id_col],
+            "vec": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(X) + 1) * Xn.shape[1],
+                         pa.int32()),
+                pa.array(Xn.ravel())),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _mat(t[emb_col])
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
-                                1e-12)
-            bits = (Xn @ self.planes) > 0
-            bucket = np.zeros(len(X), dtype=np.int64)
-            for j in range(bits.shape[1]):
-                bucket |= bits[:, j].astype(np.int64) << j
-            return pa.table({
-                "bucket": pa.array(bucket),
-                id_col: t[id_col],
-                "vec": pa.ListArray.from_arrays(
-                    pa.array(np.arange(len(X) + 1) * Xn.shape[1],
-                             pa.int32()),
-                    pa.array(Xn.ravel())),
-            })
-
-    bucketed = ds.map_batches(Bucket, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 8))
+    bucketed = ds.map_batches(bucket_fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def within(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)

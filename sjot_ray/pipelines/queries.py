@@ -27,7 +27,7 @@ import ray
 import ray.data
 
 from ..columnar.table_validator import TableValidator
-from ..stages.validate import ValidateInterleavedDocs, ValidateJsonColumn
+from ..stages.validate import make_validate_fn, make_validate_json_fn
 
 
 
@@ -91,11 +91,8 @@ def q_validate_documents(sf_dir: str):
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "source", "n_chars"])
     out = ds.map_batches(
-        ValidateInterleavedDocs,
-        fn_constructor_kwargs={"schema": DOCS_SCHEMA, "extras_column": None,
-                               "normalize": False},
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        make_validate_fn(DOCS_SCHEMA, extras_column=None, normalize=False),
+        batch_format="pyarrow", zero_copy_batch=True)
     return _t(out.map_batches(
         lambda t: t.select(["doc_id", "verdict", "v_typepath"]),
         batch_format="pyarrow"))
@@ -106,10 +103,8 @@ def q_violations_documents(sf_dir: str):
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "source", "n_chars"])
     out = ds.map_batches(
-        ValidateInterleavedDocs,
-        fn_constructor_kwargs={"schema": DOCS_SCHEMA, "extras_column": None,
-                               "normalize": False},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        make_validate_fn(DOCS_SCHEMA, extras_column=None, normalize=False),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def project(t: pa.Table) -> pa.Table:
         bad = t.filter(pc.invert(t["verdict"]))
@@ -124,10 +119,8 @@ def q_validate_events_props(sf_dir: str):
     JSON column — the generic fallback path, distributed."""
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
     out = ds.map_batches(
-        ValidateJsonColumn,
-        fn_constructor_kwargs={"schema": EVENT_PROPS_SCHEMA,
-                               "column": "props"},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        make_validate_json_fn(EVENT_PROPS_SCHEMA, "props"),
+        batch_format="pyarrow", zero_copy_batch=True)
     return _t(out.map_batches(
         lambda t: t.select(["event_id", "verdict"]),
         batch_format="pyarrow"))
@@ -220,21 +213,20 @@ def q_segment_revenue(sf_dir: str):
     lookup_ref = ray.put((cust["c_custkey"].combine_chunks(),
                           cust["c_mktsegment"].combine_chunks()))
 
-    class AddSegment:
-        def __init__(self):
-            self.keys, self.vals = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # vectorized broadcast probe: index_in + take (null on miss)
-            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
-            t = t.append_column("segment", pc.take(self.vals, idx))
-            g = t.group_by("segment").aggregate(
-                [("o_totalprice", "sum"), ([], "count_all")])
-            return g.rename_columns(["segment", "revenue", "n_orders"])
+    def add_segment(t: pa.Table) -> pa.Table:
+        # stateless task + broadcast: ray.get on a warm worker is a local
+        # object-store lookup (no actor cold-start per query)
+        keys, vals = ray.get(lookup_ref)
+        # vectorized broadcast probe: index_in + take (null on miss)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        t = t.append_column("segment", pc.take(vals, idx))
+        g = t.group_by("segment").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["segment", "revenue", "n_orders"])
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (orders.map_batches(AddSegment, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+    agg = (orders.map_batches(add_segment, batch_format="pyarrow",
+                              zero_copy_batch=True)
            .groupby("segment").sum(["revenue", "n_orders"]))
 
     def final(t: pa.Table) -> pa.Table:
@@ -415,30 +407,27 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, Qn))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q_ids, self.Qn = ray.get(q_ref)
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_w, Qn_w = ray.get(q_ref)
+        X = _emb_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Qn_w @ Xn.T                          # (q, batch)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            mask = ids != q_ids_w[qi]            # exclude self
+            s = S[qi][mask]
+            nb = ids[mask]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([int(q_ids_w[qi])] * len(top))
+            out_n.extend(nb[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _emb_matrix(t["embedding"])
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = self.Qn @ Xn.T                       # (q, batch)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(S.shape[0]):
-                mask = ids != self.q_ids[qi]         # exclude self
-                s = S[qi][mask]
-                nb = ids[mask]
-                top = np.argsort(-s, kind="stable")[:k]
-                out_q.extend([int(self.q_ids[qi])] * len(top))
-                out_n.extend(nb[top].tolist())
-                out_s.extend(s[top].tolist())
-            return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                             "neighbor_id": pa.array(out_n, pa.int64()),
-                             "score": pa.array(out_s, pa.float64())})
-
-    parts = _t(ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4)))
+    parts = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True))
     pdf = parts.to_pandas()
     pdf["score_r"] = pdf["score"].round(5)
     pdf = pdf.sort_values(["query_id", "score_r", "neighbor_id"],
@@ -646,20 +635,17 @@ def q_nation_revenue(sf_dir: str):
     cust_names = pc.take(nation["n_name"].combine_chunks(), nidx)
     lookup_ref = ray.put((cust["c_custkey"].combine_chunks(), cust_names))
 
-    class AddNation:
-        def __init__(self):
-            self.keys, self.vals = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
-            g = t.append_column("n_name", pc.take(self.vals, idx)) \
-                .group_by("n_name").aggregate([("o_totalprice", "sum"),
-                                               ([], "count_all")])
-            return g.rename_columns(["n_name", "revenue", "n_orders"])
+    def add_nation(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        g = t.append_column("n_name", pc.take(vals, idx)) \
+            .group_by("n_name").aggregate([("o_totalprice", "sum"),
+                                           ([], "count_all")])
+        return g.rename_columns(["n_name", "revenue", "n_orders"])
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (orders.map_batches(AddNation, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+    agg = (orders.map_batches(add_nation, batch_format="pyarrow",
+                              zero_copy_batch=True)
            .groupby("n_name").sum(["revenue", "n_orders"]))
 
     def final(t: pa.Table) -> pa.Table:
@@ -768,29 +754,26 @@ def q_dedup_embedding_exact(sf_dir: str, threshold: float = 0.4):
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     side = ray.put((ids_all, Xn))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.Xn = ray.get(side)
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        ids_w, Xn_w = ray.get(side)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        Y = _emb_matrix(t["embedding"])
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
+                            1e-12)
+        S = Yn @ Xn_w.T                         # (batch, all)
+        keep = S >= threshold
+        # id_a < id_b keeps each unordered pair once (and drops self)
+        keep &= ids[:, None] < ids_w[None, :]
+        bi, aj = np.nonzero(keep)
+        return pa.table({
+            "id_a": pa.array(ids[bi], pa.int64()),
+            "id_b": pa.array(ids_w[aj], pa.int64()),
+            "cosine": pa.array(
+                _np_round_away(S[bi, aj], 4), pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            Y = _emb_matrix(t["embedding"])
-            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
-                                1e-12)
-            S = Yn @ self.Xn.T                      # (batch, all)
-            keep = S >= threshold
-            # id_a < id_b keeps each unordered pair once (and drops self)
-            keep &= ids[:, None] < self.ids[None, :]
-            bi, aj = np.nonzero(keep)
-            return pa.table({
-                "id_a": pa.array(ids[bi], pa.int64()),
-                "id_b": pa.array(self.ids[aj], pa.int64()),
-                "cosine": pa.array(
-                    _np_round_away(S[bi, aj], 4), pa.float64()),
-            })
-
-    t = _t(ds.map_batches(Pairs, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 4)))
+    t = _t(ds.map_batches(pairs_fn, batch_format="pyarrow",
+                          zero_copy_batch=True))
     if t.num_columns == 0:
         t = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),

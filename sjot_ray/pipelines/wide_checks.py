@@ -90,26 +90,25 @@ def referential_check(ds: "ray.data.Dataset", column: str,
     exact_keys = keys if exact else None
     side_ref = ray.put((bloom, exact_keys))
 
-    class Probe:
-        def __init__(self):
-            self.bloom, self.exact = ray.get(side_ref)
+    def probe(t: pa.Table) -> pa.Table:
+        # stateless task + broadcast: ray.get hits the local object store
+        # on warm workers (no actor cold-start)
+        bloom_w, exact_w = ray.get(side_ref)
+        arr = t[column]
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        ok = np.zeros(t.num_rows, dtype=bool)
+        if valid.any():
+            h = hash64(arr)
+            hit = bloom_w.contains_hashes(h)
+            if exact_w is not None and hit.any():
+                # exact confirm: one Arrow hash-set kernel, no Python
+                hit &= pc.is_in(arr, value_set=exact_w) \
+                    .to_numpy(zero_copy_only=False)
+            ok = hit & valid
+        return t.append_column("__ref_ok__", pa.array(ok | ~valid))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            arr = t[column]
-            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-            ok = np.zeros(t.num_rows, dtype=bool)
-            if valid.any():
-                h = hash64(arr)
-                hit = self.bloom.contains_hashes(h)
-                if self.exact is not None and hit.any():
-                    # exact confirm: one Arrow hash-set kernel, no Python
-                    hit &= pc.is_in(arr, value_set=self.exact) \
-                        .to_numpy(zero_copy_only=False)
-                ok = hit & valid
-            return t.append_column("__ref_ok__", pa.array(ok | ~valid))
-
-    probed = ds.map_batches(Probe, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 8))
+    probed = ds.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
     dangling = probed.map_batches(
         lambda t: t.filter(pc.invert(t["__ref_ok__"])).drop_columns(
             ["__ref_ok__"]),

@@ -175,7 +175,9 @@ def make_validate_fn(schema, extras_column="_extra_props", normalize=True):
     worker process) the same compiled validator the actor variant holds."""
     import json
 
-    key = (json.dumps(schema, sort_keys=True), extras_column, normalize)
+    # NB: no sort_keys — SJOT property order IS the first-error-wins
+    # rule order; reordering the dict would change which violation wins
+    key = (json.dumps(schema), extras_column, normalize)
 
     def validate_fn(batch: pa.Table) -> pa.Table:
         v = _WORKER_VALIDATORS.get(key)
@@ -183,6 +185,24 @@ def make_validate_fn(schema, extras_column="_extra_props", normalize=True):
             v = ValidateInterleavedDocs(json.loads(key[0]),
                                         extras_column=extras_column,
                                         normalize=normalize)
+            _WORKER_VALIDATORS[key] = v
+        return v(batch)
+
+    return validate_fn
+
+
+def make_validate_json_fn(schema, column: str, type_=None):
+    """Task-fn analog of :class:`ValidateJsonColumn`: the compiled
+    Context (union dispatch, regex, range caches) is built once per
+    worker process and reused — warm task workers, no actor cold-start."""
+    import json
+
+    key = ("json", json.dumps(schema), column, type_)
+
+    def validate_fn(batch: pa.Table) -> pa.Table:
+        v = _WORKER_VALIDATORS.get(key)
+        if v is None:
+            v = ValidateJsonColumn(json.loads(key[1]), column, type_)
             _WORKER_VALIDATORS[key] = v
         return v(batch)
 
