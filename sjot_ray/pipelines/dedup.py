@@ -652,22 +652,42 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     prefix key (the verify half of the dedup pipeline, standalone).
     SQL-expressible: the DuckDB oracle computes the same shingle sets with
     list_intersect/list_distinct (queries.ORACLE_SQL['dedup_ngram_jaccard'])."""
+    from .shuffle import hash_shuffle_apply
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    B = _coarse_buckets(ds.count())
 
     def keyed(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t["text"], r"\s+")
         key = pc.binary_join(pc.list_slice(toks, 0, 2), " ")
-        return pa.table({"key": key, "doc_id": t["doc_id"]})
+        # partition by the key's hash; grouping inside a partition is by
+        # the exact STRING key, so hash collisions can't merge groups
+        return pa.table({"hkey": pa.array(
+            hash64(key).astype(np.int64)),
+            "key": key, "doc_id": t["doc_id"]})
 
-    def pairs_of(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+    def pairs_of_partition(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("key", "ascending"),
+                                            ("doc_id", "ascending")])
+        g2 = g.take(idx)
+        n = g2.num_rows
+        keys = g2["key"].combine_chunks()
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.cumsum(counts) - counts
+        ai, bi = _within_run_pairs(starts, counts, counts >= 2)
+        if len(ai) == 0:
             return _empty_pairs()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[iu], pa.int64()),
-                         "id_b": pa.array(ids[ju], pa.int64())})
+        ids_s = g2["doc_id"].to_numpy(zero_copy_only=False)
+        ne = ids_s[ai] != ids_s[bi]  # duplicated doc_id rows: no self-pair
+        return pa.table({"id_a": pa.array(ids_s[ai[ne]], pa.int64()),
+                         "id_b": pa.array(ids_s[bi[ne]], pa.int64())})
 
-    pairs = (ds.map_batches(keyed, batch_format="pyarrow")
-             .groupby("key").map_groups(pairs_of, batch_format="pyarrow"))
+    pairs = hash_shuffle_apply(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "hkey", B, pairs_of_partition, _empty_pairs())
     return distributed_jaccard(pairs, ds, k=3, threshold=0.0)

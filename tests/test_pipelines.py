@@ -393,3 +393,30 @@ def test_salted_sessions_match_plain_on_skewed_key(ray_session):
     assert (got["n_sessions"].to_numpy()
             == expect["n_sessions"].to_numpy()).all(), \
         (got.head(), expect.head())
+
+
+def test_hash_shuffle_apply_basics(ray_session):
+    """Co-location and empty-partition handling of the manual shuffle."""
+    import ray.data
+
+    from sjot_ray.pipelines.shuffle import hash_shuffle_apply
+
+    n = 10_000
+    t = pa.table({"k": pa.array(np.arange(n) % 257, pa.int64()),
+                  "v": pa.array(np.ones(n, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        agg = g.group_by("k").aggregate([("v", "sum")])
+        return agg.rename_columns(["k", "s"])
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+    out = hash_shuffle_apply(ds, "k", 16, per_part, empty).to_pandas()
+    # every key must appear exactly once (co-located) with the right sum
+    assert len(out) == 257
+    import collections
+
+    expect = collections.Counter((np.arange(n) % 257).tolist())
+    got = dict(zip(out["k"], out["s"]))
+    assert got == dict(expect)
