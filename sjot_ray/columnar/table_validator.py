@@ -82,6 +82,9 @@ class Rule:
     no_value: bool = False    # message carries no value (propset style)
     field_name: str | None = None   # item-struct field (for datapath)
     list_col: str | None = None     # owning list column for child rules
+    inner: bool = False       # rule on items of a NESTED list field; the
+    # ev returns (mask, (flat_items, value_idx, inner_pos)) and the
+    # datapath gains the inner [i] suffix
 
     def key_base(self) -> int:
         return (self.major << (_ITEM_BITS + _MINOR_BITS)) | self.minor
@@ -637,6 +640,23 @@ class TableValidator:
             return
         if isinstance(itemtype, str) and not itemtype.endswith("]") \
                 and not itemtype.endswith("}"):
+            if is_set:
+                # the reference sorts set members (String() order) BEFORE
+                # validating items (index.js:294-299), so the failing
+                # index/value refer to the SORTED array
+                r = Rule(major, minor, name, items_tp, "value", itemtype,
+                         inner=True)
+                sjots, sjot = self.sjots, self.sjot
+
+                def ev_set(tbl, name=name, itemtype=itemtype):
+                    if name not in tbl.column_names:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    arr = _sort_sets(tbl[name])
+                    ones = np.ones(tbl.num_rows, dtype=bool)
+                    return _list_item_first_fail(arr, itemtype, ones,
+                                                 sjots, sjot)
+                self._add(r, ev_set)
+                return
             rule = Rule(major, minor, name, items_tp, "value", itemtype,
                         child=True, list_col=name)
             null_item_fails = not _null_item_ok(
@@ -759,11 +779,14 @@ class TableValidator:
                     return fail & _valid_mask(arr) & parent_valid, arr
                 self._add(r, ev)
                 continue
-            if isinstance(rt, list) or (
-                    (rt.endswith("]") or rt.endswith("}"))
-                    and not rt.startswith("char[")):
+            if isinstance(rt, str) and (rt.endswith("]")
+                                        or rt.endswith("}")) \
+                    and not rt.startswith("char["):
+                self._compile_struct_list_prop(fpath, rt, prop_tp, major)
+                continue
+            if isinstance(rt, list):
                 raise ColumnarCompileError(
-                    "containers inside nested structs: row engine")
+                    "tuple types inside nested structs: row engine")
             if rt.startswith("char[") and rt != "char[]":
                 r = Rule(major, 0, fdotted, prop_tp, "length", rt)
 
@@ -930,11 +953,15 @@ class TableValidator:
                 self._add(r, ev)
                 minor += 1
 
-            if not isinstance(rt, str) or (
-                    (rt.endswith("]") or rt.endswith("}"))
-                    and not rt.startswith("char[")):
+            if isinstance(rt, str) and (rt.endswith("]")
+                                        or rt.endswith("}")) \
+                    and not rt.startswith("char["):
+                minor = self._compile_child_list_prop(
+                    list_col, pname, rt, prop_tp, major, minor)
+                continue
+            if not isinstance(rt, str):
                 raise ColumnarCompileError(
-                    "nested containers inside list items: row engine")
+                    "tuple/union/object types inside list items: row engine")
             r = Rule(major, minor, list_col, prop_tp, "value", rt,
                      child=True, list_col=list_col, field_name=pname)
 
@@ -944,6 +971,114 @@ class TableValidator:
                 return _scalar_fail_mask(child_tbl[pname], rt), child_tbl[pname]
             self._add(r, ev)
             minor += 1
+
+    def _compile_child_list_prop(self, list_col, pname, rt, typepath,
+                                 major, minor) -> int:
+        """List/set-typed field inside a list-item object (e.g.
+        ``spans[i].tags``): set-dup, bounds, then first-failing-item
+        rules over the second-level flatten. Returns the next minor."""
+        is_set = rt.endswith("}")
+        i = rt.rfind("{" if is_set else "[")
+        bounds = compile_bounds(rt, i + 1)
+        itemtype, items_tp = self._resolve_path(rt[:i], typepath)
+        if not isinstance(itemtype, str) or itemtype.endswith("]") \
+                or itemtype.endswith("}"):
+            raise ColumnarCompileError(
+                "doubly-nested containers inside list items: row engine")
+        if is_set:
+            r = Rule(major, minor, list_col, typepath, "value", rt,
+                     child=True, list_col=list_col, field_name=pname)
+
+            def ev(child_tbl, pname=pname):
+                if pname not in child_tbl.column_names:
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                ok = _valid_mask(child_tbl["__item__"])
+                return (_set_dup_mask(child_tbl[pname]) & ok,
+                        child_tbl[pname])
+            self._add(r, ev)
+            minor += 1
+        if bounds is not None:
+            r = Rule(major, minor, list_col, typepath, "length", rt,
+                     child=True, list_col=list_col, field_name=pname)
+
+            def ev(child_tbl, pname=pname, bounds=bounds):
+                if pname not in child_tbl.column_names:
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                ok = _valid_mask(child_tbl["__item__"])
+                arr = child_tbl[pname]
+                valid = _valid_mask(arr) & ok
+                lengths = np.where(
+                    valid, np.nan_to_num(_np(pc.list_value_length(arr))),
+                    0).astype(np.int64)
+                return _length_fail_mask(lengths, valid, bounds), lengths
+            self._add(r, ev)
+            minor += 1
+        r = Rule(major, minor, list_col, items_tp, "value", itemtype,
+                 child=True, list_col=list_col, field_name=pname,
+                 inner=True)
+        sjots, sjot = self.sjots, self.sjot
+
+        def ev(child_tbl, pname=pname, itemtype=itemtype, is_set=is_set):
+            if pname not in child_tbl.column_names:
+                return np.zeros(child_tbl.num_rows, dtype=bool), None
+            ok = _valid_mask(child_tbl["__item__"])
+            arr = child_tbl[pname]
+            if is_set:  # items validated in String()-sorted order
+                arr = _sort_sets(arr)
+            return _list_item_first_fail(arr, itemtype, ok, sjots, sjot)
+        self._add(r, ev)
+        return minor + 1
+
+    def _compile_struct_list_prop(self, fpath, rt, typepath, major):
+        """List/set-typed field inside a nested struct (e.g.
+        ``meta.tags``): same rule family, accessed via the struct path."""
+        is_set = rt.endswith("}")
+        i = rt.rfind("{" if is_set else "[")
+        bounds = compile_bounds(rt, i + 1)
+        itemtype, items_tp = self._resolve_path(rt[:i], typepath)
+        if not isinstance(itemtype, str) or itemtype.endswith("]") \
+                or itemtype.endswith("}"):
+            raise ColumnarCompileError(
+                "doubly-nested containers inside structs: row engine")
+        dotted = ".".join(fpath)
+        minor = 0
+        if is_set:
+            r = Rule(major, minor, dotted, typepath, "value", rt)
+
+            def ev(tbl, path=tuple(fpath)):
+                arr, parent_ok = _nested_field(tbl, list(path))
+                if arr is None:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                return _set_dup_mask(arr) & parent_ok, arr
+            self._add(r, ev)
+            minor += 1
+        if bounds is not None:
+            r = Rule(major, minor, dotted, typepath, "length", rt)
+
+            def ev(tbl, path=tuple(fpath), bounds=bounds):
+                arr, parent_ok = _nested_field(tbl, list(path))
+                if arr is None:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                valid = _valid_mask(arr) & parent_ok
+                lengths = np.where(
+                    valid, np.nan_to_num(_np(pc.list_value_length(arr))),
+                    0).astype(np.int64)
+                return _length_fail_mask(lengths, valid, bounds), lengths
+            self._add(r, ev)
+            minor += 1
+        r = Rule(major, minor, dotted, items_tp, "value", itemtype,
+                 inner=True)
+        sjots, sjot = self.sjots, self.sjot
+
+        def ev(tbl, path=tuple(fpath), itemtype=itemtype, is_set=is_set):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            if is_set:  # items validated in String()-sorted order
+                arr = _sort_sets(arr)
+            return _list_item_first_fail(arr, itemtype, parent_ok,
+                                         sjots, sjot)
+        self._add(r, ev)
 
     # -- execution ---------------------------------------------------------
 
@@ -1038,6 +1173,20 @@ class TableValidator:
             datapath = f"{base}.{rule.field_name}" if rule.field_name else base
         else:
             datapath = f"$.{rule.prop}" if rule.prop else "$"
+        if rule.inner and values is not None:
+            flat, vidx, fpos = values
+            i = child_idx if child_idx is not None else row
+            datapath += f"[{int(fpos[i])}]"
+            v = flat[int(vidx[i])].as_py()
+            return {
+                "row_idx": int(row),
+                "datapath": datapath,
+                "typepath": rule.typepath,
+                "what": rule.what,
+                "value_repr": "" if isinstance(v, (dict, list))
+                else js_string(v),
+                "rule": f"{rule.major}.{rule.minor}",
+            }
         if rule.no_value or values is None:
             value_repr = ""
         else:
@@ -1140,6 +1289,9 @@ class TableValidator:
                     new = self._normalize_struct(child, rt)
                     changed = changed or new is not child
                     child = new
+                elif isinstance(rt, str) and rt.endswith("}"):
+                    child = _sort_sets(child)
+                    changed = True
                 elif q != -1 and q < len(prop) - 1:
                     d = default_value(prop[q + 1:], self.sjots, None, rt,
                                       self.sjot)
@@ -1179,6 +1331,42 @@ def _sort_sets(arr) -> pa.ListArray:
         mask = pa.array(~valid)
         out = pc.if_else(mask, pa.nulls(len(arr), out.type), out)
     return out
+
+
+def _list_item_first_fail(arr, itemtype, parent_ok, sjots, sjot):
+    """Per-row FIRST failing item of a list column against a scalar item
+    type. Returns ``(row_fail, (flat, value_idx, first_pos))`` where
+    ``flat`` is the (default-filled) flattened item array and, for each
+    failing row, ``value_idx``/``first_pos`` locate the first bad item
+    globally / within the row. Alignment lengths use Arrow validity only
+    (flatten() drops null rows' ranges); ``parent_ok`` masks the verdict.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    arrow_valid = _valid_mask(arr)
+    lengths = np.where(arrow_valid,
+                       np.nan_to_num(_np(pc.list_value_length(arr))),
+                       0).astype(np.int64)
+    flat = arr.flatten()
+    f_fail = _scalar_fail_mask(flat, itemtype)
+    if not _null_item_ok(sjots, sjot, itemtype):
+        f_fail = f_fail | ~_valid_mask(flat)
+        flat = _fill_item_default(
+            flat, default_value("null", sjots, None, itemtype, sjot))
+    rows = np.repeat(np.arange(n), lengths)
+    starts = np.cumsum(lengths) - lengths
+    pos = np.arange(len(rows)) - np.repeat(starts, lengths)
+    ok_rows = arrow_valid & parent_ok
+    f_fail = f_fail & ok_rows[rows] if len(rows) else f_fail
+    first_pos = np.full(n, -1, dtype=np.int64)
+    if f_fail.any():
+        fr, fp = rows[f_fail], pos[f_fail]
+        order = np.argsort(-fp)  # descending: smallest pos assigned last
+        first_pos[fr[order]] = fp[order]
+    row_fail = first_pos >= 0
+    value_idx = np.where(row_fail, starts + np.maximum(first_pos, 0), 0)
+    return row_fail, (flat, value_idx, first_pos)
 
 
 def _fill_item_default(arr, d):

@@ -367,8 +367,16 @@ def q_text_quality(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup on a content key (first-3-token prefix): group → keep
-    min doc_id; hash-partitioned groupby over pre-reduced partials."""
+    min doc_id. Per-batch Arrow pre-aggregation, then the partial rows
+    are co-located by hash64(key) through the manual hash shuffle
+    (content-key cardinality ~n, which hits Ray groupby's per-group
+    wall — see pipelines/shuffle.py) and merged with one vectorized
+    Arrow group_by per partition on the exact string key."""
+    from ..state.sketches import hash64
+    from .shuffle import hash_shuffle_apply
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = max(16, min(4096, _parquet_rows(sf_dir, "documents") // 400_000 + 1))
 
     def keyed(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t["text"], r"\s+")
@@ -376,14 +384,20 @@ def q_dedup_exact(sf_dir: str):
         g = pa.table({"key": key, "doc_id": t["doc_id"]}) \
             .group_by("key").aggregate([("doc_id", "min"),
                                         ([], "count_all")])
-        return g.rename_columns(["key", "keep_id", "n"])
+        g = g.rename_columns(["key", "keep_id", "n"])
+        return g.append_column("hkey",
+                               pa.array(hash64(g["key"]).astype(np.int64)))
 
-    from ray.data.aggregate import Min, Sum
+    def merge_part(g: pa.Table) -> pa.Table:
+        out = g.group_by("key").aggregate([("keep_id", "min"), ("n", "sum")])
+        return out.rename_columns(["key", "keep_id", "n"])
 
-    agg = (ds.map_batches(keyed, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("key").aggregate(Min("keep_id", alias_name="keep_id"),
-                                     Sum("n", alias_name="n")))
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "keep_id": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    agg = hash_shuffle_apply(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        "hkey", B, merge_part, empty)
     t = _t(agg)
     return pa.table({
         "key": t["key"],

@@ -199,3 +199,97 @@ def test_nested_propsets_and_dep():
         {"a": 1, "b": None, "c": 5, "d": 6},         # ok
     ], t)})
     _assert_parity(tbl, schema, n_invalid_min=3)
+
+# -- list fields inside item objects and nested structs ----------------------
+
+LIST_IN_ITEM_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {
+        "doc_id": "0..",
+        "spans": [{"kind": "(a|b)", "tags?": "(t[0-9])[1,3]"}],
+    },
+}
+
+
+def list_in_item_table():
+    span_t = pa.struct([("kind", pa.string()),
+                        ("tags", pa.list_(pa.string()))])
+    rows = [
+        [{"kind": "a", "tags": ["t1", "t2"]}],            # valid
+        [{"kind": "a", "tags": ["t1", "XX"]}],            # bad item tag
+        [{"kind": "a", "tags": []}],                      # too short
+        [{"kind": "a", "tags": ["t1", "t2", "t3", "t4"]}],  # too long
+        [{"kind": "a", "tags": None}],                    # absent optional
+        [{"kind": "b", "tags": ["t1"]},
+         {"kind": "a", "tags": ["t5", "ZZ"]}],            # 2nd span, 2nd tag
+        [{"kind": "XX", "tags": ["BAD"]}],                # kind fails first
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "spans": pa.array(rows, pa.list_(span_t)),
+    })
+
+
+def test_list_field_in_item_objects_parity():
+    _assert_parity(list_in_item_table(), LIST_IN_ITEM_SCHEMA)
+
+
+def test_list_field_in_item_objects_vs_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = list_in_item_table()
+    tv = TableValidator(copy.deepcopy(LIST_IN_ITEM_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    for d in docs:  # drop null tags (absent)
+        for s in d.get("spans", []):
+            if s.get("tags") is None:
+                s.pop("tags", None)
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(LIST_IN_ITEM_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+STRUCT_LIST_SCHEMA = {
+    "@root": {
+        "meta": {"labels": "(l[0-9])+{2,3}", "ns?": "1..5[,2]"},
+    },
+}
+
+
+def struct_list_table():
+    meta_t = pa.struct([("labels", pa.list_(pa.string())),
+                        ("ns", pa.list_(pa.int64()))])
+    metas = [
+        {"labels": ["l1", "l2"], "ns": [1, 2]},        # valid
+        {"labels": ["l2", "l1", "l1"], "ns": None},    # dup set member
+        {"labels": ["l1"], "ns": None},                # set too small
+        {"labels": ["l1", "BAD"], "ns": None},         # bad set item
+        {"labels": ["l1", "l2"], "ns": [1, 9]},        # ns item out of range
+        {"labels": ["l1", "l2"], "ns": [1, 2, 3]},     # ns too long
+        {"labels": None, "ns": None},                  # labels required
+    ]
+    return pa.table({"meta": pa.array(metas, meta_t)})
+
+
+def test_list_field_in_struct_parity():
+    _assert_parity(struct_list_table(), STRUCT_LIST_SCHEMA)
+
+
+def test_struct_set_normalized_sorted():
+    import copy
+
+    tv = TableValidator(copy.deepcopy(STRUCT_LIST_SCHEMA))
+    out = tv.normalize_batch(struct_list_table())
+    m = out["meta"].to_pylist()
+    assert m[0]["labels"] == sorted(m[0]["labels"])
+    assert m[1]["labels"] == ["l1", "l1", "l2"]  # sorted, dups preserved
