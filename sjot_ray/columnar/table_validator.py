@@ -22,10 +22,14 @@ formats/regexes, length bounds, sets (uniqueness inside a list),
 column), depth-1 unions over scalar columns (the Arrow column type
 fixes the JS value kind, so dispatch reduces to the matching branches),
 tuple types over list columns (positional rules selected by item index,
-reference index.js:240-254), and nested struct objects to any depth
+reference index.js:240-254), nested struct objects to any depth
 (rules over struct child arrays masked by enclosing-struct validity,
 with runtime ``@final`` against the struct's physical fields and
-recursive default injection in ``normalize_batch``).
+recursive default injection in ``normalize_batch``), list/set fields
+inside item objects and nested structs (first-failing-item reduction
+over a second-level flatten), and regex property names over Arrow map
+columns (per-entry rules on the flattened key/value table,
+index.js:388-405).
 Anything outside this surface raises :class:`ColumnarCompileError` —
 callers fall back to the row engine (``sjot_ray.stages``).
 
@@ -85,6 +89,8 @@ class Rule:
     inner: bool = False       # rule on items of a NESTED list field; the
     # ev returns (mask, (flat_items, value_idx, inner_pos)) and the
     # datapath gains the inner [i] suffix
+    map_entry: bool = False   # child rule on a map column's entries; ev
+    # returns (mask, (keys, values)) and the datapath is $.col.<key>
 
     def key_base(self) -> int:
         return (self.major << (_ITEM_BITS + _MINOR_BITS)) | self.minor
@@ -473,9 +479,13 @@ class TableValidator:
             # on scalar columns are a decode-stage concern)
             return
         if isinstance(rt, dict):
-            # nested object → Arrow struct column: compile its props as
-            # rules over the struct's child arrays (recursively)
-            self._compile_struct_props([name], rt, typepath)
+            if any(p.startswith("(") for p in rt):
+                # regex property names → Arrow map column (dynamic keys)
+                self._compile_map_object(name, rt, typepath)
+            else:
+                # nested object → Arrow struct column: compile its props
+                # as rules over the struct's child arrays (recursively)
+                self._compile_struct_props([name], rt, typepath)
             return
         if is_union(rt):
             rule = Rule(major, 0, name, typepath, "value", js_string(rt))
@@ -833,6 +843,171 @@ class TableValidator:
                 return fail & struct_ok, first
             self._add(r, ev)
 
+    def _compile_map_object(self, name, obj_type, typepath):
+        """Object type with regex property names over an Arrow map column
+        (``map<string, T>``): per-entry rules on the flattened entry
+        table. Reference semantics: regex props validate every matching
+        data prop (index.js:388-405), fixed props validate by key
+        equality, ``@final`` rejects entries matching nothing
+        (index.js:448-451, ``@sjot`` exempt), propsets/@dep test key
+        presence. Value types must be scalar; default INJECTION into map
+        values is not performed (validation of present values only)."""
+        if "@extends" in obj_type:
+            extend_type(self.sjots, obj_type, self.sjot, typepath)
+        from ..core.validator import valid as row_valid
+
+        fixed_names = [p.split("?")[0] for p in obj_type
+                       if not p.startswith("@") and not p.startswith("(")]
+        regex_props = [p for p in obj_type if p.startswith("(")]
+
+        def entry_presence(tbl, key_name):
+            """(has_key per row, map-column validity per row)."""
+            zeros = np.zeros(tbl.num_rows, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, zeros
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_map(arr.type):
+                return zeros, zeros
+            lst = arr.cast(pa.list_(pa.struct(
+                [("key", arr.type.key_type),
+                 ("value", arr.type.item_type)])))
+            valid = _valid_mask(lst)
+            lengths = np.where(
+                valid, np.nan_to_num(_np(pc.list_value_length(lst))),
+                0).astype(np.int64)
+            parent = np.repeat(np.arange(len(lst)), lengths)
+            m = _np(pc.fill_null(pc.equal(lst.flatten().field("key"),
+                                          key_name), False)).astype(bool)
+            has = np.zeros(tbl.num_rows, dtype=bool)
+            has[parent[m]] = True
+            return has, valid
+
+        def key_match_mask(keys, pattern):
+            return _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
+
+        for prop, proptype in obj_type.items():
+            if prop.startswith("@"):
+                if prop in ("@one", "@any", "@all"):
+                    for pset in proptype:
+                        major = self._next_major()
+                        r = Rule(major, 0, name, typepath + "/" + prop,
+                                 f"requires {_PSET_WORD[prop]}"
+                                 f" {','.join(pset)} properties", "",
+                                 no_value=True)
+
+                        def ev(tbl, pset=pset, kind=prop):
+                            pres, valid = zip(*[entry_presence(tbl, p)
+                                                for p in pset])
+                            return (_pset_fail(kind, list(pres),
+                                               tbl.num_rows)
+                                    & valid[0]), None
+                        self._add(r, ev)
+                elif prop == "@dep":
+                    for dname, dep in proptype.items():
+                        dlist = [dep] if isinstance(dep, str) else list(dep)
+                        major = self._next_major()
+                        r = Rule(major, 0, f"{name}.{dname}",
+                                 typepath + "/@dep",
+                                 f"requires {js_string(dep)}", "",
+                                 no_value=True)
+
+                        def ev(tbl, dname=dname, dlist=dlist):
+                            has, _ = entry_presence(tbl, dname)
+                            ok = np.ones(tbl.num_rows, dtype=bool)
+                            for d in dlist:
+                                h, _ = entry_presence(tbl, d)
+                                ok &= h
+                            return has & ~ok, None
+                        self._add(r, ev)
+                continue
+
+            rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
+            if not isinstance(rt, str) or (
+                    (rt.endswith("]") or rt.endswith("}"))
+                    and not rt.startswith("char[")):
+                raise ColumnarCompileError(
+                    "non-scalar map value types: row engine")
+            null_ok = row_valid(None, rt,
+                                self.sjot if isinstance(self.sjot, dict)
+                                else None)
+
+            if prop.startswith("("):
+                major = self._next_major()
+                r = Rule(major, 0, name, f"{typepath}/{prop}", "value",
+                         rt, child=True, list_col=name, map_entry=True)
+
+                def ev(child_tbl, rx=prop, rt=rt, null_ok=null_ok):
+                    if "key" not in child_tbl.column_names:
+                        return np.zeros(child_tbl.num_rows,
+                                        dtype=bool), None
+                    keys = child_tbl["key"]
+                    vals = child_tbl["value"]
+                    km = key_match_mask(keys, rx)
+                    vf = _scalar_fail_mask(vals, rt)
+                    if not null_ok:
+                        vf = vf | ~_valid_mask(vals)
+                    return km & vf, (keys, vals)
+                self._add(r, ev)
+                continue
+
+            q = prop.find("?")
+            pname = prop[:q] if q != -1 else prop
+            required = q == -1
+            if required:
+                major = self._next_major()
+                r = Rule(major, 0, f"{name}.{pname}", typepath,
+                         "should be present", "", no_value=True)
+
+                def ev(tbl, pname=pname):
+                    has, valid = entry_presence(tbl, pname)
+                    return valid & ~has, None
+                self._add(r, ev)
+
+            major = self._next_major()
+            r = Rule(major, 0, name, prop_tp, "value", rt, child=True,
+                     list_col=name, map_entry=True)
+
+            def ev(child_tbl, pname=pname, rt=rt, null_ok=null_ok,
+                   required=required):
+                if "key" not in child_tbl.column_names:
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                keys = child_tbl["key"]
+                vals = child_tbl["value"]
+                km = _np(pc.fill_null(pc.equal(keys, pname),
+                                      False)).astype(bool)
+                vf = _scalar_fail_mask(vals, rt)
+                if required and not null_ok:
+                    # optional props treat a null value as absent
+                    # (index.js:425); required props validate the null
+                    vf = vf | ~_valid_mask(vals)
+                return km & vf, (keys, vals)
+            self._add(r, ev)
+
+        if bool(obj_type.get("@final", False)):
+            major = self._next_major()
+            r = Rule(major, 0, name, typepath + "/@final",
+                     "additional property should not be present", "",
+                     no_value=True, child=True, list_col=name,
+                     map_entry=True)
+
+            def ev(child_tbl, fixed=tuple(fixed_names),
+                   regexes=tuple(regex_props)):
+                if "key" not in child_tbl.column_names:
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                keys = child_tbl["key"]
+                matched = ~_valid_mask(keys)  # null keys can't be extras
+                matched |= _np(pc.fill_null(pc.equal(keys, "@sjot"),
+                                            False)).astype(bool)
+                for f in fixed:
+                    matched |= _np(pc.fill_null(pc.equal(keys, f),
+                                                False)).astype(bool)
+                for rx in regexes:
+                    matched |= key_match_mask(keys, rx)
+                return ~matched, (keys, child_tbl["value"])
+            self._add(r, ev)
+
     def _compile_tuple_rules(self, name, rt, typepath, major):
         """Tuple [type, type, ...] over a list column: a length rule
         (reference "array of length", index.js:240-244 — typepath without
@@ -1106,6 +1281,11 @@ class TableValidator:
                 else:
                     if isinstance(arr, pa.ChunkedArray):
                         arr = arr.combine_chunks()
+                    if pa.types.is_map(arr.type):
+                        # maps flatten through their list<struct> form
+                        arr = arr.cast(pa.list_(pa.struct(
+                            [("key", arr.type.key_type),
+                             ("value", arr.type.item_type)])))
                     lengths = np.where(
                         _valid_mask(arr),
                         _np(pc.list_value_length(arr)), 0).astype(np.int64)
@@ -1173,6 +1353,25 @@ class TableValidator:
             datapath = f"{base}.{rule.field_name}" if rule.field_name else base
         else:
             datapath = f"$.{rule.prop}" if rule.prop else "$"
+        if rule.map_entry and values is not None:
+            keys_arr, vals_arr = values
+            i = child_idx
+            key = keys_arr[i].as_py()
+            datapath = f"$.{rule.list_col}.{key}"
+            if rule.no_value:
+                value_repr = ""
+            else:
+                v = vals_arr[i].as_py()
+                value_repr = "" if isinstance(v, (dict, list)) \
+                    else js_string(v)
+            return {
+                "row_idx": int(row),
+                "datapath": datapath,
+                "typepath": rule.typepath,
+                "what": rule.what,
+                "value_repr": value_repr,
+                "rule": f"{rule.major}.{rule.minor}",
+            }
         if rule.inner and values is not None:
             flat, vidx, fpos = values
             i = child_idx if child_idx is not None else row

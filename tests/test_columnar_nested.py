@@ -293,3 +293,80 @@ def test_struct_set_normalized_sorted():
     m = out["meta"].to_pylist()
     assert m[0]["labels"] == sorted(m[0]["labels"])
     assert m[1]["labels"] == ["l1", "l1", "l2"]  # sorted, dups preserved
+
+
+# -- regex property names over map columns -----------------------------------
+
+MAP_SCHEMA = {
+    "@root": {
+        "attrs": {
+            "@final": True,
+            "id": "(d[0-9]+)",
+            "note?": "string",
+            "(x_[a-z]+)": "(on|off)",
+        },
+    },
+}
+
+
+def map_table():
+    map_t = pa.map_(pa.string(), pa.string())
+    rows = [
+        [("id", "d1"), ("x_a", "on")],            # valid
+        [("id", "d1"), ("x_a", "bad")],           # regex value fails
+        [("x_a", "on")],                          # id should be present
+        [("id", "d1"), ("zz", "on")],             # @final extra
+        None,                                     # attrs required
+        [("id", "nope"), ("x_b", "off")],         # id value fails
+        [("id", "d2"), ("note", "hi"), ("x_a", "off")],  # valid
+    ]
+    return pa.table({"attrs": pa.array(rows, map_t)})
+
+
+def _map_doc(row):
+    if row["attrs"] is None:
+        return {}
+    return {"attrs": dict(row["attrs"])}
+
+
+def test_map_regex_props_parity():
+    import copy
+
+    tbl = map_table()
+    tv = TableValidator(copy.deepcopy(MAP_SCHEMA))
+    col_verdict, col_v, _ = tv.validate_batch(tbl)
+    col_v = {v["row_idx"]: v for v in col_v}
+    for i, row in enumerate(tbl.to_pylist()):
+        doc = _map_doc(row)
+        try:
+            validate(doc, None, copy.deepcopy(MAP_SCHEMA))
+            ok = True
+        except SJOTValidationError as e:
+            ok = False
+            rv = e.violation_row()
+        assert bool(col_verdict[i]) == ok, (i, doc, col_v.get(i))
+        if not ok:
+            cv = col_v[i]
+            for k in ("datapath", "typepath", "what", "value_repr"):
+                assert cv[k] == rv[k], (i, k, cv[k], rv[k], doc)
+
+
+def test_map_regex_props_vs_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = map_table()
+    tv = TableValidator(copy.deepcopy(MAP_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_map_doc(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(MAP_SCHEMA), "mode": "validate"}
+             for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
