@@ -1,4 +1,4 @@
-"""Distribution-drift query wrappers (KLL quantile sketches,
+"""Distribution-drift query wrappers (KLL + t-digest quantile sketches,
 wide_checks.drift_check)."""
 
 from __future__ import annotations
@@ -28,9 +28,14 @@ def q_drift_lineitem_price(sf_dir: str):
                                zero_copy_batch=True)
     same = drift_check(base, base, "l_extendedprice")
     moved = drift_check(shifted, base, "l_extendedprice")
+    moved_td = drift_check(shifted, base, "l_extendedprice",
+                           sketch="tdigest")
     return pa.table({
-        "comparison": pa.array(["identity", "shifted+20%"]),
+        "comparison": pa.array(["identity", "shifted+20%",
+                                "shifted+20% (tdigest)"]),
         "max_shift_iqr": pa.array([round(same["max_shift_iqr"], 4),
-                                   round(moved["max_shift_iqr"], 4)]),
-        "drifted": pa.array([same["drifted"], moved["drifted"]]),
+                                   round(moved["max_shift_iqr"], 4),
+                                   round(moved_td["max_shift_iqr"], 4)]),
+        "drifted": pa.array([same["drifted"], moved["drifted"],
+                             moved_td["drifted"]]),
     })

@@ -118,13 +118,20 @@ def referential_check(ds: "ray.data.Dataset", column: str,
 
 # -- drift -------------------------------------------------------------------
 
-def kll_sketch_of(ds: "ray.data.Dataset", column: str,
-                  k: int = 200) -> KLLSketch:
-    """Merged KLL sketch of a numeric column (per-batch partials)."""
+def quantile_sketch_of(ds: "ray.data.Dataset", column: str,
+                       kind: str = "kll", k: int = 200):
+    """Merged quantile sketch of a numeric column (per-batch partials →
+    one tiny driver-side merge). ``kind``: "kll" (uniform rank error) or
+    "tdigest" (tail-accurate, Dunning scale function)."""
+    from ..state.sketches import TDigest
+
+    def make():
+        return KLLSketch(k) if kind == "kll" else TDigest(k // 2)
+
     def partial(t: pa.Table) -> pa.Table:
         import pickle
 
-        sk = KLLSketch(k)
+        sk = make()
         arr = pc.drop_null(t[column])
         if len(arr):
             sk.add_values(arr.to_numpy(zero_copy_only=False))
@@ -132,7 +139,7 @@ def kll_sketch_of(ds: "ray.data.Dataset", column: str,
 
     import pickle
 
-    merged = KLLSketch(k)
+    merged = make()
     for b in ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
                .iter_batches(batch_format="pyarrow"):
@@ -141,17 +148,26 @@ def kll_sketch_of(ds: "ray.data.Dataset", column: str,
     return merged
 
 
+def kll_sketch_of(ds: "ray.data.Dataset", column: str,
+                  k: int = 200) -> KLLSketch:
+    """Merged KLL sketch of a numeric column (per-batch partials)."""
+    return quantile_sketch_of(ds, column, kind="kll", k=k)
+
+
 def drift_check(ds_current: "ray.data.Dataset",
                 ds_baseline: "ray.data.Dataset", column: str,
                 quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
-                threshold: float = 0.1) -> dict:
+                threshold: float = 0.1, sketch: str = "kll") -> dict:
     """Quantile-vector drift between two datasets on one column.
 
     Reports per-quantile values and a normalized max-shift score
     (|Δq| / IQR of the baseline); ``drifted`` when the score exceeds
-    ``threshold``."""
-    cur = kll_sketch_of(ds_current, column).quantiles(list(quantiles))
-    base = kll_sketch_of(ds_baseline, column).quantiles(list(quantiles))
+    ``threshold``. ``sketch`` picks the quantile sketch ("kll" or
+    "tdigest" — the latter for tail-sensitive drift)."""
+    cur = quantile_sketch_of(ds_current, column,
+                             kind=sketch).quantiles(list(quantiles))
+    base = quantile_sketch_of(ds_baseline, column,
+                              kind=sketch).quantiles(list(quantiles))
     iqr = max(base[-2] - base[1], 1e-12) if len(base) > 2 else 1.0
     score = float(np.max(np.abs(cur - base)) / iqr)
     return {

@@ -223,6 +223,92 @@ class KLLSketch:
 
 
 # --------------------------------------------------------------------------
+class TDigest:
+    """Merging t-digest (Dunning & Ertl): centroids sized by the scale
+    function k(q) = δ/(2π)·asin(2q−1), which keeps clusters tiny near the
+    tails and coarse in the middle — strong tail-quantile accuracy with
+    bounded memory. Mergeable: per-batch partials merge by concatenating
+    centroid lists and re-running the one-pass merge. Raw batches are
+    pre-compressed vectorized (sorted + quantile-sliced) so only ~4δ
+    centroids ever enter the Python merge loop."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = float(delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0.0
+        self.vmin = np.inf
+        self.vmax = -np.inf
+
+    def _k(self, q):
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress_batch(self, x: np.ndarray):
+        """Sorted batch → ≤ ~4δ (mean, weight) clusters, vectorized."""
+        n = len(x)
+        ks = np.linspace(self._k(0.0), self._k(1.0), int(4 * self.delta) + 1)
+        qs = (np.sin(ks * 2 * np.pi / self.delta) + 1) / 2
+        cuts = np.unique(np.clip((qs * n).astype(np.int64), 0, n))
+        cuts = cuts[(cuts > 0) & (cuts < n)]
+        starts = np.concatenate([[0], cuts])
+        sums = np.add.reduceat(x, starts)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        return sums / counts, counts.astype(np.float64)
+
+    def _merge_centroids(self, m: np.ndarray, w: np.ndarray):
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        q0 = 0.0
+        cur_m, cur_w = m[0], w[0]
+        for i in range(1, len(m)):
+            q = q0 + (cur_w + w[i]) / total
+            if self._k(q) - self._k(q0) <= 1.0:
+                cur_m += (m[i] - cur_m) * (w[i] / (cur_w + w[i]))
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def add_values(self, x: np.ndarray):
+        x = np.asarray(x, dtype=np.float64)
+        x = np.sort(x[~np.isnan(x)])
+        if len(x) == 0:
+            return
+        self.n += len(x)
+        self.vmin = min(self.vmin, float(x[0]))
+        self.vmax = max(self.vmax, float(x[-1]))
+        bm, bw = self._compress_batch(x)
+        self._merge_centroids(np.concatenate([self.means, bm]),
+                              np.concatenate([self.weights, bw]))
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.n == 0:
+            return self
+        self.n += other.n
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._merge_centroids(np.concatenate([self.means, other.means]),
+                              np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        if self.n == 0:
+            return np.full(len(qs), np.nan)
+        total = self.weights.sum()
+        cw = np.cumsum(self.weights) - self.weights / 2
+        xp = np.concatenate([[0.0], cw, [total]])
+        fp = np.concatenate([[self.vmin], self.means, [self.vmax]])
+        return np.interp(np.asarray(qs, dtype=np.float64) * total, xp, fp)
+
+
 def minhash_signatures(shingle_hashes: np.ndarray, row_offsets: np.ndarray,
                        num_perm: int = 64, seed: int = 42) -> np.ndarray:
     """MinHash signatures per row from flattened shingle hashes.

@@ -93,3 +93,45 @@ def test_simhash_similarity_ordering():
     d_close = hamming_distance64(fp[:1], fp[1:2])[0]
     d_far = hamming_distance64(fp[:1], fp[2:3])[0]
     assert d_close < d_far
+
+
+def test_tdigest_accuracy_and_merge():
+    from sjot_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 200_000)
+    # single digest
+    td = TDigest(300)
+    for chunk in np.array_split(x, 20):
+        td.add_values(chunk)
+    qs = [0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999]
+    est = td.quantiles(qs)
+    true = np.quantile(x, qs)
+    spread = x.max() - x.min()
+    # cluster width near q is ~(2π/δ)√(q(1−q)) of the mass, so 1% of
+    # the value spread comfortably bounds the interpolation error
+    for q, e, t in zip(qs, est, true):
+        assert abs(e - t) < 0.01 * spread, (q, e, t)
+    # sharded merge ≈ single digest
+    shards = []
+    for chunk in np.array_split(x, 8):
+        s = TDigest(300)
+        s.add_values(chunk)
+        shards.append(s)
+    merged = shards[0]
+    for s in shards[1:]:
+        merged.merge(s)
+    est_m = merged.quantiles(qs)
+    for q, a, b in zip(qs, est, est_m):
+        assert abs(a - b) < 0.02 * spread, (q, a, b)
+    assert merged.n == len(x)
+
+
+def test_tdigest_bounded_centroids():
+    from sjot_ray.state.sketches import TDigest
+
+    td = TDigest(100)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        td.add_values(rng.uniform(0, 1, 10_000))
+    assert len(td.means) < 400  # ~2·delta bound for the merging variant
