@@ -70,6 +70,27 @@ _ITEM_BITS = 26
 _KEY_INF = np.iinfo(np.int64).max
 
 
+def _is_container_type(rt: str) -> bool:
+    """True for list/set type strings. ``char…]`` whose FIRST "]" is the
+    last character is the reference's string-length type, not a list
+    (index.js: ``type.startsWith("char") && type.indexOf("]") ===
+    type.length - 1``); ``char[2,4][]`` etc. are real containers."""
+    if not (rt.endswith("]") or rt.endswith("}")):
+        return False
+    return not (rt.startswith("char") and rt.find("]") == len(rt) - 1)
+
+
+def _is_scalar_str_type(rt) -> bool:
+    return isinstance(rt, str) and not _is_container_type(rt)
+
+
+def _is_char_len_type(rt) -> bool:
+    """char[n,m] string-length types: violations report what="length"
+    with the actual length as the datum (index.js:920-966)."""
+    return isinstance(rt, str) and rt.startswith("char[") \
+        and rt != "char[]" and rt.find("]") == len(rt) - 1
+
+
 class ColumnarCompileError(Exception):
     """Schema shape not expressible as vectorized column kernels."""
 
@@ -516,8 +537,7 @@ class TableValidator:
             self._add(rule, ev)
             return
         if isinstance(rt, list) or (
-                (rt.endswith("]") or rt.endswith("}"))
-                and not rt.startswith("char[")):
+                isinstance(rt, str) and _is_container_type(rt)):
             # NB: char[n,m] is a STRING-length type (index.js:679-690),
             # not a list — it stays on the scalar path below
             self._compile_list_rules(name, rt, typepath, major)
@@ -648,27 +668,31 @@ class TableValidator:
         if isinstance(itemtype, dict):
             self._compile_child_object(name, itemtype, items_tp, major, minor)
             return
-        if isinstance(itemtype, str) and not itemtype.endswith("]") \
-                and not itemtype.endswith("}"):
-            if is_set:
+        if _is_scalar_str_type(itemtype):
+            if is_set or _is_char_len_type(itemtype):
                 # the reference sorts set members (String() order) BEFORE
                 # validating items (index.js:294-299), so the failing
                 # index/value refer to the SORTED array
-                r = Rule(major, minor, name, items_tp, "value", itemtype,
-                         inner=True)
+                r = Rule(major, minor, name, items_tp,
+                         "length" if _is_char_len_type(itemtype)
+                         else "value", itemtype, inner=True)
                 sjots, sjot = self.sjots, self.sjot
 
-                def ev_set(tbl, name=name, itemtype=itemtype):
+                def ev_set(tbl, name=name, itemtype=itemtype,
+                           is_set=is_set):
                     if name not in tbl.column_names:
                         return np.zeros(tbl.num_rows, dtype=bool), None
-                    arr = _sort_sets(tbl[name])
+                    arr = tbl[name]
+                    if is_set:
+                        arr = _sort_sets(arr)
                     ones = np.ones(tbl.num_rows, dtype=bool)
                     return _list_item_first_fail(arr, itemtype, ones,
                                                  sjots, sjot)
                 self._add(r, ev_set)
                 return
-            rule = Rule(major, minor, name, items_tp, "value", itemtype,
-                        child=True, list_col=name)
+            rule = Rule(major, minor, name, items_tp,
+                        "length" if _is_char_len_type(itemtype)
+                        else "value", itemtype, child=True, list_col=name)
             null_item_fails = not _null_item_ok(
                 self.sjots, self.sjot, itemtype)
             null_default = default_value("null", self.sjots, None, itemtype,
@@ -789,9 +813,7 @@ class TableValidator:
                     return fail & _valid_mask(arr) & parent_valid, arr
                 self._add(r, ev)
                 continue
-            if isinstance(rt, str) and (rt.endswith("]")
-                                        or rt.endswith("}")) \
-                    and not rt.startswith("char["):
+            if isinstance(rt, str) and _is_container_type(rt):
                 self._compile_struct_list_prop(fpath, rt, prop_tp, major)
                 continue
             if isinstance(rt, list):
@@ -924,11 +946,9 @@ class TableValidator:
                 continue
 
             rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
-            if not isinstance(rt, str) or (
-                    (rt.endswith("]") or rt.endswith("}"))
-                    and not rt.startswith("char[")):
+            if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
                 raise ColumnarCompileError(
-                    "non-scalar map value types: row engine")
+                    "non-scalar or char-length map value types: row engine")
             null_ok = row_valid(None, rt,
                                 self.sjot if isinstance(self.sjot, dict)
                                 else None)
@@ -1033,11 +1053,11 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if not isinstance(it, str) or it.endswith("]") \
-                    or (it.endswith("}") and not it.startswith("char")):
+            if not _is_scalar_str_type(it) or _is_char_len_type(it):
                 raise ColumnarCompileError(
                     f"tuple slot {pos} type {it!r}: use the row engine")
-            r = Rule(major, minor, name, it_tp, "value", it,
+            r = Rule(major, minor, name, it_tp,
+                     "length" if _is_char_len_type(it) else "value", it,
                      child=True, list_col=name)
             null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
             null_default = default_value("null", self.sjots, None, it,
@@ -1128,9 +1148,7 @@ class TableValidator:
                 self._add(r, ev)
                 minor += 1
 
-            if isinstance(rt, str) and (rt.endswith("]")
-                                        or rt.endswith("}")) \
-                    and not rt.startswith("char["):
+            if isinstance(rt, str) and _is_container_type(rt):
                 minor = self._compile_child_list_prop(
                     list_col, pname, rt, prop_tp, major, minor)
                 continue
@@ -1156,8 +1174,7 @@ class TableValidator:
         i = rt.rfind("{" if is_set else "[")
         bounds = compile_bounds(rt, i + 1)
         itemtype, items_tp = self._resolve_path(rt[:i], typepath)
-        if not isinstance(itemtype, str) or itemtype.endswith("]") \
-                or itemtype.endswith("}"):
+        if not _is_scalar_str_type(itemtype):
             raise ColumnarCompileError(
                 "doubly-nested containers inside list items: row engine")
         if is_set:
@@ -1188,8 +1205,9 @@ class TableValidator:
                 return _length_fail_mask(lengths, valid, bounds), lengths
             self._add(r, ev)
             minor += 1
-        r = Rule(major, minor, list_col, items_tp, "value", itemtype,
-                 child=True, list_col=list_col, field_name=pname,
+        r = Rule(major, minor, list_col, items_tp,
+                 "length" if _is_char_len_type(itemtype) else "value",
+                 itemtype, child=True, list_col=list_col, field_name=pname,
                  inner=True)
         sjots, sjot = self.sjots, self.sjot
 
@@ -1211,8 +1229,7 @@ class TableValidator:
         i = rt.rfind("{" if is_set else "[")
         bounds = compile_bounds(rt, i + 1)
         itemtype, items_tp = self._resolve_path(rt[:i], typepath)
-        if not isinstance(itemtype, str) or itemtype.endswith("]") \
-                or itemtype.endswith("}"):
+        if not _is_scalar_str_type(itemtype):
             raise ColumnarCompileError(
                 "doubly-nested containers inside structs: row engine")
         dotted = ".".join(fpath)
@@ -1241,8 +1258,9 @@ class TableValidator:
                 return _length_fail_mask(lengths, valid, bounds), lengths
             self._add(r, ev)
             minor += 1
-        r = Rule(major, minor, dotted, items_tp, "value", itemtype,
-                 inner=True)
+        r = Rule(major, minor, dotted, items_tp,
+                 "length" if _is_char_len_type(itemtype) else "value",
+                 itemtype, inner=True)
         sjots, sjot = self.sjots, self.sjot
 
         def ev(tbl, path=tuple(fpath), itemtype=itemtype, is_set=is_set):
@@ -1373,17 +1391,23 @@ class TableValidator:
                 "rule": f"{rule.major}.{rule.minor}",
             }
         if rule.inner and values is not None:
-            flat, vidx, fpos = values
+            flat, vidx, fpos = values[0], values[1], values[2]
+            whats = values[3] if len(values) > 3 else None
             i = child_idx if child_idx is not None else row
             datapath += f"[{int(fpos[i])}]"
-            v = flat[int(vidx[i])].as_py()
+            j = int(vidx[i])
+            if isinstance(flat, np.ndarray):  # precomputed reprs
+                value_repr = str(flat[j])
+            else:
+                v = flat[j].as_py()
+                value_repr = "" if isinstance(v, (dict, list)) \
+                    else js_string(v)
             return {
                 "row_idx": int(row),
                 "datapath": datapath,
                 "typepath": rule.typepath,
-                "what": rule.what,
-                "value_repr": "" if isinstance(v, (dict, list))
-                else js_string(v),
+                "what": str(whats[j]) if whats is not None else rule.what,
+                "value_repr": value_repr,
                 "rule": f"{rule.major}.{rule.minor}",
             }
         if rule.no_value or values is None:
@@ -1518,6 +1542,9 @@ def _sort_sets(arr) -> pa.ListArray:
         return arr
     if pa.types.is_string(flat.type) or pa.types.is_large_string(flat.type):
         vals = np.asarray(_np(flat), dtype=object)
+        if flat.null_count:
+            # JS sorts null members by String(null) == "null"
+            vals = np.where(_np(pc.is_valid(flat)), vals, "null")
     else:
         vals = np.asarray([js_string(v) for v in flat.to_pylist()],
                           dtype=object)
@@ -1565,6 +1592,18 @@ def _list_item_first_fail(arr, itemtype, parent_ok, sjots, sjot):
         first_pos[fr[order]] = fp[order]
     row_fail = first_pos >= 0
     value_idx = np.where(row_fail, starts + np.maximum(first_pos, 0), 0)
+    if _is_char_len_type(itemtype):
+        # char[n,m] items: a short/long string reports what="length" with
+        # the length as datum; a null item is NOT defaulted (sjot_default
+        # treats char[…] as array-ish and returns null, index.js:1195) and
+        # reports what="value" value null — whats vary per item
+        valid_flat = _valid_mask(flat)
+        lens = np.nan_to_num(
+            _np(pc.utf8_length(pc.fill_null(flat, "")))).astype(np.int64)
+        reprs = lens.astype("U21").astype(object)
+        reprs[~valid_flat] = "null"
+        whats = np.where(valid_flat, "length", "value").astype(object)
+        return row_fail, (reprs, value_idx, first_pos, whats)
     return row_fail, (flat, value_idx, first_pos)
 
 

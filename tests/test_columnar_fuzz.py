@@ -1,0 +1,180 @@
+"""Randomized differential: generate random SJOT schemas over the
+columnar surface (scalars, lists, sets, tuples, nested structs, maps with
+regex props) plus matching Arrow tables of mixed valid/invalid/null
+values, and require the vectorized TableValidator to agree with the row
+engine (itself reference-verified) on verdict AND first-violation fields
+for every row."""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sjot_ray.columnar.table_validator import (ColumnarCompileError,
+                                               TableValidator)
+from sjot_ray.core import SJOTValidationError, validate
+
+SCALARS = [
+    ("int", pa.int64(),
+     lambda r: int(r.integers(-10, 10)) if r.random() < 0.8 else None),
+    ("0..100", pa.int64(),
+     lambda r: int(r.integers(-20, 130)) if r.random() < 0.85 else None),
+    ("(a|bb|ccc)", pa.string(),
+     lambda r: r.choice(["a", "bb", "ccc", "x", "aa", ""])
+     if r.random() < 0.85 else None),
+    ("string", pa.string(),
+     lambda r: r.choice(["s", "", "zzz"]) if r.random() < 0.9 else None),
+    ("boolean", pa.bool_(),
+     lambda r: bool(r.random() < 0.5) if r.random() < 0.9 else None),
+    ("char[2,4]", pa.string(),
+     lambda r: "x" * int(r.integers(0, 6)) if r.random() < 0.85 else None),
+    ("1.5..3.5", pa.float64(),
+     lambda r: float(np.round(r.uniform(0, 5), 2))
+     if r.random() < 0.85 else None),
+    ("true", pa.bool_(),
+     lambda r: bool(r.random() < 0.7) if r.random() < 0.9 else None),
+]
+
+
+def gen_type(rng, depth=0):
+    """→ (sjot_type, arrow_type, sampler)."""
+    kinds = ["scalar", "list", "set", "tuple"]
+    if depth < 2:
+        kinds += ["struct", "struct"]
+    if depth == 0:
+        kinds += ["map"]
+    kind = rng.choice(kinds)
+    if kind == "scalar":
+        st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
+        return st, at, sam
+
+    if kind in ("list", "set"):
+        st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
+        bounds = rng.choice(["", "1,3", "2,"])
+        sjot = f"{st}{'{' if kind == 'set' else '['}{bounds}" \
+            f"{'}' if kind == 'set' else ']'}"
+
+        def sampler(r, sam=sam):
+            if r.random() < 0.1:
+                return None
+            return [sam(r) for _ in range(int(r.integers(0, 5)))]
+        return sjot, pa.list_(at), sampler
+
+    if kind == "tuple":
+        picks = [SCALARS[rng.integers(0, len(SCALARS))] for _ in range(2)]
+        # tuple slots share one Arrow column type → use string slots
+        picks = [p for p in picks if p[1] == pa.string()]
+        while len(picks) < 2:
+            picks.append(SCALARS[2])
+        sjot = [p[0] for p in picks]
+
+        def sampler(r, picks=picks):
+            if r.random() < 0.1:
+                return None
+            n = int(r.integers(1, 4)) if r.random() < 0.3 else len(picks)
+            return [picks[min(i, len(picks) - 1)][2](r) for i in range(n)]
+        return sjot, pa.list_(pa.string()), sampler
+
+    if kind == "struct":
+        n_props = int(rng.integers(1, 4))
+        props = {}
+        fields, samplers = [], {}
+        for i in range(n_props):
+            st, at, sam = gen_type(rng, depth + 1)
+            opt = "?" if rng.random() < 0.5 else ""
+            name = f"p{i}"
+            props[f"{name}{opt}"] = st
+            fields.append((name, at))
+            samplers[name] = sam
+        if rng.random() < 0.3:
+            props["@final"] = True
+
+        def sampler(r, samplers=samplers):
+            if r.random() < 0.15:
+                return None
+            return {k: s(r) for k, s in samplers.items()}
+        return props, pa.struct(fields), sampler
+
+    # map with regex props
+    st, at, sam = SCALARS[2]  # string enum values
+    props = {"(k[0-9])": st}
+    if rng.random() < 0.5:
+        props["fixed"] = st
+    if rng.random() < 0.3:
+        props["@final"] = True
+
+    def sampler(r, sam=sam):
+        if r.random() < 0.15:
+            return None
+        out = []
+        if r.random() < 0.8:
+            out.append(("fixed", sam(r)))
+        for _ in range(int(r.integers(0, 3))):
+            key = f"k{int(r.integers(0, 10))}" if r.random() < 0.8 \
+                else f"zz{int(r.integers(0, 5))}"
+            out.append((key, sam(r)))
+        # map keys must be unique
+        seen, uniq = set(), []
+        for k, v in out:
+            if k not in seen:
+                seen.add(k)
+                uniq.append((k, v))
+        return uniq
+    return props, pa.map_(pa.string(), at), sampler
+
+
+def doc_of(value, sjot_type):
+    """Arrow cell → JSON value (null ≡ absent for struct fields; list
+    items stay; map entries → dict)."""
+    if isinstance(value, list) and isinstance(sjot_type, dict):
+        return {k: doc_of(v, None) for k, v in value}  # map cell
+    if isinstance(value, list) and value and isinstance(value[0], tuple):
+        return {k: doc_of(v, None) for k, v in value}
+    if isinstance(value, dict):
+        return {k: doc_of(v, None) for k, v in value.items()
+                if v is not None}
+    return value
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_columnar_fuzz_matches_row_engine(seed):
+    rng = np.random.default_rng(1000 + seed)
+    sjot_type, arrow_type, sampler = gen_type(rng)
+    required = rng.random() < 0.5
+    schema = {"@root": {("v" if required else "v?"): sjot_type}}
+    values = [sampler(rng) for _ in range(200)]
+    try:
+        tbl = pa.table({"v": pa.array(values, arrow_type)})
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        pytest.skip("sampler produced type-incompatible values")
+    try:
+        tv = TableValidator(copy.deepcopy(schema))
+    except ColumnarCompileError:
+        pytest.skip("schema outside columnar surface (row-engine fallback)")
+    col_verdict, col_v, _ = tv.validate_batch(tbl)
+    col_v = {v["row_idx"]: v for v in col_v}
+
+    mism = []
+    for i, cell in enumerate(values):
+        doc = {}
+        if cell is not None:
+            doc["v"] = doc_of(cell, sjot_type)
+        try:
+            validate(copy.deepcopy(doc), None, copy.deepcopy(schema))
+            ok = True
+            rv = None
+        except SJOTValidationError as e:
+            ok = False
+            rv = e.violation_row()
+        if bool(col_verdict[i]) != ok:
+            mism.append((i, cell, ok, col_v.get(i)))
+            continue
+        if not ok:
+            cv = col_v[i]
+            for k in ("datapath", "typepath", "what", "value_repr"):
+                if cv[k] != rv[k]:
+                    mism.append((i, cell, k, cv[k], rv[k]))
+    assert not mism, (sjot_type, mism[:5])
