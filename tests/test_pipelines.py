@@ -420,3 +420,59 @@ def test_hash_shuffle_apply_basics(ray_session):
     expect = collections.Counter((np.arange(n) % 257).tolist())
     got = dict(zip(out["k"], out["s"]))
     assert got == dict(expect)
+
+
+def test_media_codecs_roundtrip():
+    from sjot_ray.pipelines.multimodal import (decode_bmp,
+                                               decode_video_frames,
+                                               decode_wav, encode_bmp,
+                                               encode_video, encode_wav,
+                                               resize_nearest)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    samples = (np.sin(np.arange(4000) / 10) * 10000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and (back == samples).all()
+
+    frames = [rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+              for _ in range(5)]
+    n, sampled = decode_video_frames(encode_video(frames), sample_every=2)
+    assert n == 5 and len(sampled) == 3
+    assert (sampled[0] == frames[0]).all()
+    assert (sampled[1] == frames[2]).all()
+
+    thumb = resize_nearest(img, 16, 16)
+    assert thumb.shape == (16, 16, 3)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all........................")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNKdata" + b"\x00" * 64)
+
+
+def test_media_pipeline_thumbnails(ray_session, corpus_ds):
+    from sjot_ray.pipelines.flagship import validated
+    from sjot_ray.pipelines.multimodal import decode_bmp, media_pipeline
+
+    docs = validated(corpus_ds).map_batches(
+        lambda t: t.filter(t["verdict"]), batch_format="pyarrow")
+    out = media_pipeline(docs, with_thumbnails=True) \
+        .filter(expr="kind == 'image'").take(5)
+    assert out
+    for row in out:
+        assert row["width"] > 0 and row["height"] > 0
+        # thumbnail column is consumed by the decoder stage upstream
+    # decode a fetched thumbnail directly through the resize stage
+    from sjot_ray.pipelines.multimodal import ImageResizer, MediaFetcher
+    import pyarrow as _pa
+
+    t = _pa.table({"doc_id": ["d"], "media_ref": ["s3://bucket/obj1.bin"],
+                   "kind": ["image"]})
+    fetched = MediaFetcher()(t)
+    thumbed = ImageResizer(size=12)(fetched)
+    tb = thumbed["thumbnail"][0].as_py()
+    assert decode_bmp(tb).shape == (12, 12, 3)
