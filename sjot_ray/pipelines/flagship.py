@@ -26,12 +26,21 @@ from ..stages.validate import ValidateInterleavedDocs, violations_view
 
 def read_corpus(num_docs: int, seed: int = 42,
                 override_num_blocks: int | None = None) -> "ray.data.Dataset":
-    """Deterministic corpus as a Dataset (generated/cached parquet)."""
+    """Deterministic corpus as a Dataset (generated/cached parquet).
+
+    Defaults to ONE block per shard file: Ray's read splitter otherwise
+    targets ~200 blocks regardless of size, and per-task overhead at 224
+    × 2.6 MiB blocks costs ~2.7× wall vs file-sized blocks (measured:
+    347K → 950K docs/s at 8 CPUs on 2M docs). Shards are already sized
+    for parallelism (16-32 files)."""
+    import os
+
     path = interleaved_parquet(num_docs, seed)
-    kw = {}
-    if override_num_blocks:
-        kw["override_num_blocks"] = override_num_blocks
-    return ray.data.read_parquet(path, **kw)
+    if override_num_blocks is None:
+        override_num_blocks = max(1, sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")))
+    return ray.data.read_parquet(
+        path, override_num_blocks=override_num_blocks)
 
 
 def validated(ds: "ray.data.Dataset", schema=None, *,

@@ -38,7 +38,14 @@ def _round(arr, ndigits: int):
     return pc.round(arr, ndigits, round_mode="half_towards_infinity")
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned parquet read with a row-proportional block count: Ray's
+    read splitter otherwise targets ~200 blocks regardless of input
+    size, and 200 tiny tasks of fixed overhead dominate small-table
+    queries (measured 2-3x wall)."""
+    rows = _parquet_rows(sf_dir, table)
+    nb = int(min(512, max(1, rows // 16384)))
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, override_num_blocks=nb)
 
 
 def _parquet_rows(sf_dir: str, table: str) -> int:

@@ -27,8 +27,12 @@ def test_flagship_verdicts_match_columnar(ray_session, corpus_ds):
     from sjot_ray.sources.gen import FLAGSHIP_SCHEMA, generate_interleaved
 
     # doc_id has intentional duplicates (uniqueness-check targets) and Ray
-    # block order is nondeterministic — sort with verdict as a tiebreaker
-    out = validated(corpus_ds).to_pandas().sort_values(["doc_id", "verdict"])
+    # block order is nondeterministic — sort with verdict as a tiebreaker.
+    # Project away the ragged list columns before to_pandas (Ray's pandas
+    # conversion tries TensorArray on them and chokes).
+    out = validated(corpus_ds).map_batches(
+        lambda t: t.select(["doc_id", "verdict"]), batch_format="pyarrow") \
+        .to_pandas().sort_values(["doc_id", "verdict"])
     tv = TableValidator(copy.deepcopy(FLAGSHIP_SCHEMA),
                         extras_column="_extra_props")
     local = generate_interleaved(N_DOCS, seed=42)
