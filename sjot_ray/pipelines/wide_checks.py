@@ -28,18 +28,40 @@ from ..state.sketches import BloomFilter, HyperLogLog, KLLSketch, hash64
 
 # -- uniqueness --------------------------------------------------------------
 
-def duplicate_keys(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
-    """Keys appearing more than once, with their multiplicities."""
+def duplicate_keys(ds: "ray.data.Dataset", key: str,
+                   n_rows: int | None = None) -> "ray.data.Dataset":
+    """Keys appearing more than once, with their multiplicities.
+
+    Per-batch Arrow pre-count, then the partial rows are co-located by
+    hash64(key) through the manual hash shuffle (key cardinality ~n hits
+    Ray groupby's per-group wall, see pipelines/shuffle.py) and merged
+    with a vectorized Arrow group_by on the exact key per partition.
+    ``n_rows`` sizes the partition count; when None it is taken from
+    ``ds.count()`` (metadata-cheap for parquet sources)."""
+    from .shuffle import hash_shuffle_apply
+
+    if n_rows is None:
+        n_rows = ds.count()
+    B = int(min(4096, max(16, n_rows // 400_000 + 1)))
+
     def partial(t: pa.Table) -> pa.Table:
         g = t.select([key]).group_by(key).aggregate([([], "count_all")])
-        return g.rename_columns([key, "n"])
+        g = g.rename_columns([key, "n"])
+        return g.append_column(
+            "hkey", pa.array(hash64(g[key]).astype(np.int64)))
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby(key).sum("n"))
-    return agg.map_batches(lambda t: t.rename_columns([key, "n"]),
-                           batch_format="pyarrow") \
-              .filter(expr="n > 1")
+    def merge_part(g: pa.Table) -> pa.Table:
+        out = g.group_by(key).aggregate([("n", "sum")])
+        out = out.rename_columns([key, "n"])
+        return out.filter(pc.greater(out["n"], 1))
+
+    key_type = ds.schema().base_schema.field(key).type
+    empty = pa.table({key: pa.array([], key_type),
+                      "n": pa.array([], pa.int64())})
+    return hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, merge_part, empty)
 
 
 def distinct_count_hll(ds: "ray.data.Dataset", column: str,
