@@ -301,12 +301,12 @@ def media_pipeline(docs: "ray.data.Dataset",
                             zero_copy_batch=True)
     # large binary payloads → SMALL batches so batch×concurrency fits heap
     fetched = rows.map_batches(MediaFetcher, batch_format="pyarrow",
-                               batch_size=256, concurrency=(1, 4))
+                               batch_size=256, concurrency=(1, 8))
     if with_thumbnails:
         fetched = fetched.map_batches(ImageResizer, batch_format="pyarrow",
-                                      batch_size=256, concurrency=(1, 4))
+                                      batch_size=256, concurrency=(1, 8))
     return fetched.map_batches(MediaDecoder, batch_format="pyarrow",
-                               batch_size=256, concurrency=(1, 4))
+                               batch_size=256, concurrency=(1, 8))
 
 
 def q_media_meta(sf_dir: str):

@@ -704,50 +704,109 @@ def q_user_sessions(sf_dir: str):
     })
 
 
-def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30):
+def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30,
+                      n_rows: int | None = None):
     """Hot-key-safe sessionization: salt the per-user window by coarse
     time bucket (day), sessionize inside each (user, day) group, then
     merge the per-bucket partials in time order per user — a 100×-skewed
     user becomes ~n_days bounded groups plus a tiny merge instead of one
     straggler task holding every event. Exactly equivalent to the
     single-group sessionization (boundary sessions whose gap across the
-    bucket edge is ≤ the threshold are merged back)."""
-    import pandas as pd
+    bucket edge is ≤ the threshold are merged back).
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    Both phases run through the manual hash shuffle with fully
+    vectorized within-partition run detection — (user, day) cardinality
+    approaches the event count, which hits Ray groupby's per-group wall
+    (see pipelines/shuffle.py)."""
+    from ..state.sketches import rehash
+    from .shuffle import hash_shuffle_apply
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    if n_rows is None:
+        n_rows = ds.count()
+    B = int(min(1024, max(16, n_rows // 400_000 + 1)))
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > gap
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [int(gaps.sum()) + 1],
-            "first_ts": [g["ts"].iloc[0]],
-            "last_ts": [g["ts"].iloc[-1]],
+    def add_keys(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        uid = t["user_id"].combine_chunks() \
+            if isinstance(t["user_id"], pa.ChunkedArray) else t["user_id"]
+        u = uid.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = day.to_numpy(zero_copy_only=False) \
+            if not isinstance(day, pa.ChunkedArray) \
+            else day.combine_chunks().to_numpy(zero_copy_only=False)
+        hkey = (rehash(u.view(np.uint64), 17) ^ d.view(np.uint64)) \
+            .astype(np.int64)
+        return pa.table({"hkey": pa.array(hkey), "user_id": uid,
+                         "day": pa.array(d), "ts": t["ts"]})
+
+    def within(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("day", "ascending"),
+                                            ("ts", "ascending")])
+        g2 = g.take(idx)
+        u = g2["user_id"].to_numpy(zero_copy_only=False)
+        d = g2["day"].to_numpy(zero_copy_only=False)
+        ts = g2["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        run = np.cumsum(new) - 1
+        counts = np.bincount(run)
+        starts = np.cumsum(counts) - counts
+        gaps = np.zeros(n, dtype=bool)
+        gaps[1:] = (ts[1:] - ts[:-1] > gap_us) & ~new[1:]
+        n_sessions = np.bincount(run[gaps], minlength=len(counts)) + 1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "n_sessions": pa.array(n_sessions, pa.int64()),
+            "first_ts": pa.array(ts[starts], pa.int64()),
+            "last_ts": pa.array(ts[starts + counts - 1], pa.int64()),
         })
 
-    parts = (ds.map_batches(add_bucket, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby(["user_id", "day"])
-             .map_groups(within, batch_format="pandas"))
+    empty1 = pa.table({"user_id": pa.array([], pa.int64()),
+                       "n_events": pa.array([], pa.int64()),
+                       "n_sessions": pa.array([], pa.int64()),
+                       "first_ts": pa.array([], pa.int64()),
+                       "last_ts": pa.array([], pa.int64())})
+    parts = hash_shuffle_apply(
+        ds.map_batches(add_keys, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, within, empty1)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("first_ts")
-        boundary_merged = (g["first_ts"].iloc[1:].reset_index(drop=True)
-                           - g["last_ts"].iloc[:-1].reset_index(drop=True)
-                           ) <= gap
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [int(g["n_events"].sum())],
-            "n_sessions": [int(g["n_sessions"].sum())
-                           - int(boundary_merged.sum())],
+    def merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("first_ts", "ascending")])
+        g2 = g.take(idx)
+        u = g2["user_id"].to_numpy(zero_copy_only=False)
+        fts = g2["first_ts"].to_numpy(zero_copy_only=False)
+        lts = g2["last_ts"].to_numpy(zero_copy_only=False)
+        ne = g2["n_events"].to_numpy(zero_copy_only=False)
+        ns = g2["n_sessions"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        run = np.cumsum(new) - 1
+        counts = np.bincount(run)
+        starts = np.cumsum(counts) - counts
+        merged = np.zeros(n, dtype=bool)
+        merged[1:] = (fts[1:] - lts[:-1] <= gap_us) & ~new[1:]
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(
+                np.add.reduceat(ne, starts), pa.int64()),
+            "n_sessions": pa.array(
+                np.add.reduceat(ns, starts)
+                - np.bincount(run[merged], minlength=len(counts)),
+                pa.int64()),
         })
 
-    return parts.groupby("user_id").map_groups(merge, batch_format="pandas")
+    empty2 = pa.table({"user_id": pa.array([], pa.int64()),
+                       "n_events": pa.array([], pa.int64()),
+                       "n_sessions": pa.array([], pa.int64())})
+    B2 = int(min(1024, max(16, n_rows // 800_000 + 1)))
+    return hash_shuffle_apply(parts, "user_id", B2, merge, empty2)
 
 
 def q_user_sessions_salted(sf_dir: str):
