@@ -918,47 +918,57 @@ ORACLE_SQL["user_sessions_salted"] = ORACLE_SQL["user_sessions"]
 
 
 def q_order_lineitem_join(sf_dir: str):
-    """Two LARGE sides: explicit partitioned hash join — both sides get a
-    bucket = hash(key) % B column, bucket-wise groupby co-locates matching
-    keys, pairwise pandas merge inside map_groups. No broadcast; only the
-    bucketed rows shuffle, and B bounds per-task memory. (Salting a hot
-    key = widening its bucket id range; keys here are uniform.)"""
-    import pandas as pd
+    """Two LARGE sides: explicit partitioned hash join through the manual
+    hash shuffle — both sides carry (key, side) rows, ``key % B``
+    co-locates matching keys, and each partition aggregates the lineitem
+    side with one vectorized Arrow group_by then semi-joins against the
+    partition's order keys (o_orderkey is the orders PK, so the inner
+    join reduces to an is_in filter). No broadcast; only the keyed rows
+    shuffle, and B bounds per-task memory. (Salting a hot key = widening
+    its bucket id range; keys here are uniform.)"""
+    from .shuffle import hash_shuffle_apply
 
     # bucket count scales with the big side so per-task memory stays
     # bounded as the input grows (≈500K joined rows per bucket target)
     total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir, "orders")
     B = int(min(4096, max(16, total // 500_000 + 1)))
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_quantity"])
 
-    def tag(col):
-        def fn(t: pa.Table) -> pa.Table:
-            key = t[col].to_numpy(zero_copy_only=False)
-            return t.append_column(
-                "bucket", pa.array((key * 2654435761 % (2**31)) % B))
-        return fn
+    def left_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_orderkey"],
+                         "l_quantity": pa.nulls(t.num_rows, pa.float64()),
+                         "side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int8))})
 
-    tagged = orders.map_batches(tag("o_orderkey"), batch_format="pyarrow") \
-        .union(lineitem.map_batches(tag("l_orderkey"), batch_format="pyarrow"))
+    def right_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["l_orderkey"],
+                         "l_quantity": pc.cast(t["l_quantity"],
+                                               pa.float64()),
+                         "side": pa.array(
+                             np.ones(t.num_rows, dtype=np.int8))})
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["o_orderkey"].notna()][["o_orderkey", "o_totalprice"]]
-        right = g[g["l_orderkey"].notna()][["l_orderkey", "l_quantity"]]
-        m = left.merge(right, left_on="o_orderkey", right_on="l_orderkey")
-        if m.empty:
-            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
-                                 "n_lines": pd.Series([], dtype="int64"),
-                                 "sum_qty": pd.Series([], dtype="float64")})
-        agg = m.groupby("o_orderkey").agg(
-            n_lines=("l_quantity", "size"),
-            sum_qty=("l_quantity", "sum")).reset_index()
-        agg["o_orderkey"] = agg["o_orderkey"].astype("int64")
-        return agg
+    tagged = orders.map_batches(left_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(right_rows, batch_format="pyarrow"))
 
-    out = tagged.groupby("bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "n_lines": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left_keys = g.filter(pa.array(side == 0))["key"].combine_chunks()
+        right = g.filter(pa.array(side == 1))
+        if len(left_keys) == 0 or right.num_rows == 0:
+            return empty
+        agg = right.group_by("key").aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        agg = agg.rename_columns(["o_orderkey", "sum_qty", "n_lines"])
+        agg = agg.filter(pc.is_in(agg["o_orderkey"], value_set=left_keys))
+        return agg.select(["o_orderkey", "n_lines", "sum_qty"])
+
+    out = hash_shuffle_apply(tagged, "key", B, join_part, empty)
     t = _t(out)
     return pa.table({
         "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
