@@ -550,18 +550,30 @@ def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
 # -- embedding near-dup ------------------------------------------------------
 
 def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
-                        n_planes: int = 12, seed: int = 42,
+                        n_planes: int = 12, n_sets: int = 1,
+                        seed: int = 42,
                         id_col="vec_id", emb_col="embedding"):
     """Random-hyperplane LSH bucketing + exact cosine within buckets.
 
-    Scale path: only (bucket, id, normalized vector) shuffles; buckets are
-    ~n/2^planes rows. At 10^12 scale you'd re-bucket with multiple plane
-    sets for recall; one set here (deterministic)."""
+    ``n_sets`` independent plane sets are probed for recall (a true
+    near-dup pair only needs to collide in ONE set); candidates dedupe
+    in the final sort. Only (bucket key, id, normalized vector) rows
+    shuffle — through the manual hash shuffle (bucket cardinality is
+    2^planes × n_sets, Ray groupby's per-group wall) — and the
+    within-bucket verify is one gathered einsum over all candidate
+    pairs, no per-bucket Python."""
+    from .shuffle import hash_shuffle_apply
+
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(dim, n_planes))
+    planes = rng.normal(size=(n_sets, dim, n_planes))
     planes_ref = ray.put(planes)
+    n_rows = ds.count()
+    B = _coarse_buckets(n_rows * n_sets, rows_per_part=200_000)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
 
     def _mat(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
@@ -576,41 +588,43 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
         X = _mat(t[emb_col])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                             1e-12)
-        bits = (Xn @ planes_w) > 0
-        bucket = np.zeros(len(X), dtype=np.int64)
-        for j in range(bits.shape[1]):
-            bucket |= bits[:, j].astype(np.int64) << j
-        return pa.table({
-            "bucket": pa.array(bucket),
-            id_col: t[id_col],
-            "vec": pa.ListArray.from_arrays(
-                pa.array(np.arange(len(X) + 1) * Xn.shape[1],
-                         pa.int32()),
-                pa.array(Xn.ravel())),
-        })
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(X) + 1) * (Xn.shape[1] if len(X) else 0),
+                     pa.int32()),
+            pa.array(Xn.ravel()))
+        parts = []
+        for s in range(planes_w.shape[0]):
+            bits = (Xn @ planes_w[s]) > 0
+            bucket = np.zeros(len(X), dtype=np.uint64)
+            for j in range(bits.shape[1]):
+                bucket |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            bkey = rehash(bucket, 5077 + s).astype(np.int64)
+            parts.append(pa.table({
+                "bkey": pa.array(bkey), id_col: t[id_col], "vec": vec}))
+        return pa.concat_tables(parts)
+
+    def within(g: pa.Table) -> pa.Table:
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk_s, ids_s = bk[order], ids[order]
+        new = np.ones(len(bk_s), dtype=bool)
+        new[1:] = bk_s[1:] != bk_s[:-1]
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.cumsum(counts) - counts
+        ai, bi = _within_run_pairs(starts, counts, counts >= 2)
+        if len(ai) == 0:
+            return empty
+        X = _mat(g["vec"])[order]
+        cos = np.einsum("ij,ij->i", X[ai], X[bi])
+        keep = cos >= threshold
+        return pa.table({"id_a": pa.array(ids_s[ai[keep]], pa.int64()),
+                         "id_b": pa.array(ids_s[bi[keep]], pa.int64()),
+                         "cosine": pa.array(np.round(cos[keep], 4))})
 
     bucketed = ds.map_batches(bucket_fn, batch_format="pyarrow",
                               zero_copy_batch=True)
-
-    def within(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        X = _mat(group["vec"])
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        S = X @ X.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
-                         "id_b": pa.array(hi, type=pa.int64()),
-                         "cosine": pa.array(
-                             np.round(S[iu, ju][keep], 4))})
-
-    return bucketed.groupby("bucket").map_groups(within,
-                                                 batch_format="pyarrow")
+    return hash_shuffle_apply(bucketed, "bkey", B, within, empty)
 
 
 # -- queries()-facing wrappers ----------------------------------------------
@@ -633,17 +647,26 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """LSH-bucketed embedding near-dups, 2 plane sets probed for recall
+    (candidate pairs dedupe in the final sort)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    out = embedding_near_dups(ds, threshold=0.9)
+    out = embedding_near_dups(ds, threshold=0.9, n_sets=2)
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     t = pa.concat_tables(batches) if batches else pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())})
     if t.num_rows:
-        idx = pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
-                                            ("id_b", "ascending")])
-        t = t.take(idx)
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        cs = t["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, ib, ia))
+        ia, ib, cs = ia[order], ib[order], cs[order]
+        keep = np.ones(len(ia), dtype=bool)
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        t = pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                      "id_b": pa.array(ib[keep], pa.int64()),
+                      "cosine": pa.array(cs[keep], pa.float64())})
     return t
 
 

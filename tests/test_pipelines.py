@@ -480,3 +480,39 @@ def test_media_pipeline_thumbnails(ray_session, corpus_ds):
     thumbed = ImageResizer(size=12)(fetched)
     tb = thumbed["thumbnail"][0].as_py()
     assert decode_bmp(tb).shape == (12, 12, 3)
+
+
+def test_embedding_near_dups_multiprobe_recall(ray_session):
+    """Planted near-identical vectors must be found; a second plane set
+    can only add candidates (recall is monotone in n_sets)."""
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 32))
+    # plant 5 near-dup pairs: ids (i, 300+i) with tiny perturbation
+    dups = X[:5] + rng.normal(0, 0.01, (5, 32))
+    ids = list(range(300)) + [300 + i for i in range(5)]
+    allX = np.vstack([X, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in allX],
+                              pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    found1 = set()
+    for t in [embedding_near_dups(ds, threshold=0.99, n_sets=s)
+              for s in (1, 3)]:
+        batches = list(t.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+        got = pa.concat_tables(batches) if batches else None
+        pairs = set(zip(got["id_a"].to_pylist(),
+                        got["id_b"].to_pylist())) if got is not None \
+            and got.num_rows else set()
+        if not found1:
+            found1 = pairs
+        else:
+            assert found1 <= pairs  # more probes never lose pairs
+            # with 3 sets, expect all 5 planted pairs recovered
+            for i in range(5):
+                assert (i, 300 + i) in pairs, (i, sorted(pairs))
