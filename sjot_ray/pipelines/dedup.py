@@ -299,21 +299,17 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
     if n_pairs == 0:
         return empty
 
-    # candidate-id set: one distributed pass, then broadcast (ids only —
-    # the single driver-side piece, bounded by the candidate count)
-    def both_ids(t: pa.Table) -> pa.Table:
-        return pa.table({"cid": pa.concat_arrays([
-            t["id_a"].combine_chunks() if isinstance(t["id_a"],
-                                                     pa.ChunkedArray)
-            else t["id_a"],
-            t["id_b"].combine_chunks() if isinstance(t["id_b"],
-                                                     pa.ChunkedArray)
-            else t["id_b"]])})
-
-    cand = np.asarray(
-        pairs.map_batches(both_ids, batch_format="pyarrow").unique("cid"),
-        dtype=np.int64)
-    cand = np.unique(cand)
+    # candidate-id set: scan the (already materialized, small) pair
+    # blocks directly — same driver memory as the broadcast id set built
+    # next, one fewer Ray job than a distributed unique()
+    id_parts = []
+    for ref in pairs.to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_rows:
+            id_parts.append(b["id_a"].to_numpy(zero_copy_only=False))
+            id_parts.append(b["id_b"].to_numpy(zero_copy_only=False))
+    cand = np.unique(np.concatenate(id_parts).astype(np.int64)) \
+        if id_parts else np.zeros(0, np.int64)
     ids_ref = ray.put(pa.array(cand, pa.int64()))
     B = _coarse_buckets(max(n_pairs, len(cand)), rows_per_part=200_000)
 
