@@ -112,6 +112,8 @@ class Rule:
     # datapath gains the inner [i] suffix
     map_entry: bool = False   # child rule on a map column's entries; ev
     # returns (mask, (keys, values)) and the datapath is $.col.<key>
+    const_repr: str | None = None   # absent-optional-with-invalid-default
+    # rules: the violation fields are compile-time constants
 
     def key_base(self) -> int:
         return (self.major << (_ITEM_BITS + _MINOR_BITS)) | self.minor
@@ -478,6 +480,32 @@ class TableValidator:
                 return has & ~ok, None
             self._add(rule, ev)
 
+    def _default_violation(self, prop, q, proptype, typepath):
+        """For ``name?default`` props the reference INJECTS the default
+        when the prop is absent and validates it (index.js:429-433); a
+        default that fails its own type makes every absent row invalid
+        with a CONSTANT violation, computable at compile time. Returns
+        (what, value_repr, typepath) or None when the default passes.
+        Defaults are always scalars (sjot_default), so the violation
+        anchors at the property itself."""
+        if q == -1 or q >= len(prop) - 1:
+            return None
+        from ..core import Context
+        from ..core.errors import SJOTSchemaError, SJOTValidationError
+        from ..core.validator import validate_value
+
+        try:
+            d = default_value(prop[q + 1:], self.sjots, None, proptype,
+                              self.sjot)
+            validate_value(self.sjots, d, proptype, self.sjot, "$",
+                           f"{typepath}/{prop}", Context())
+            return None
+        except SJOTValidationError as e:
+            row = e.violation_row()
+            return row["what"], row["value_repr"], row["typepath"]
+        except SJOTSchemaError:
+            return None
+
     def _compile_prop(self, name, prop, proptype, required, typepath):
         rt, prop_typepath = self._resolve_path(proptype, f"{typepath}/{prop}")
 
@@ -489,6 +517,17 @@ class TableValidator:
             def ev(tbl, name=name):
                 return ~_presence(tbl, name), None
             self._add(rule, ev)
+        else:
+            dv = self._default_violation(prop, prop.find("?"), proptype,
+                                         typepath)
+            if dv is not None:
+                what, repr_, tp = dv
+                major = self._next_major()
+                rule = Rule(major, 0, name, tp, what, "", const_repr=repr_)
+
+                def ev(tbl, name=name):
+                    return ~_presence(tbl, name), None
+                self._add(rule, ev)
 
         major = self._next_major()
         self._compile_value_rules(name, rt, prop_typepath, major)
@@ -783,6 +822,21 @@ class TableValidator:
                         return struct_ok, None
                     return struct_ok & ~_valid_mask(arr), None
                 self._add(r, ev)
+            else:
+                dv = self._default_violation(prop, q, proptype, typepath)
+                if dv is not None:
+                    what, repr_, tp = dv
+                    major = self._next_major()
+                    r = Rule(major, 0, fdotted, tp, what, "",
+                             const_repr=repr_)
+
+                    def ev(tbl, path=tuple(path), pname=pname):
+                        struct_ok = _nested_presence(tbl, list(path))
+                        return (struct_ok
+                                & ~_nested_presence(tbl,
+                                                    list(path) + [pname])
+                                ), None
+                    self._add(r, ev)
 
             if rt in ("any", "object", "array"):
                 continue
@@ -984,6 +1038,18 @@ class TableValidator:
                     has, valid = entry_presence(tbl, pname)
                     return valid & ~has, None
                 self._add(r, ev)
+            else:
+                dv = self._default_violation(prop, q, proptype, typepath)
+                if dv is not None:
+                    what, repr_, tp = dv
+                    major = self._next_major()
+                    r = Rule(major, 0, f"{name}.{pname}", tp, what, "",
+                             const_repr=repr_)
+
+                    def ev(tbl, pname=pname):
+                        has, valid = entry_presence(tbl, pname)
+                        return valid & ~has, None
+                    self._add(r, ev)
 
             major = self._next_major()
             r = Rule(major, 0, name, prop_tp, "value", rt, child=True,
@@ -1147,6 +1213,20 @@ class TableValidator:
                     return ok_parent & ~_presence(child_tbl, pname), None
                 self._add(r, ev)
                 minor += 1
+            else:
+                dv = self._default_violation(prop, q, proptype, typepath)
+                if dv is not None:
+                    what, repr_, tp = dv
+                    r = Rule(major, minor, list_col, tp, what, "",
+                             child=True, list_col=list_col,
+                             field_name=pname, const_repr=repr_)
+
+                    def ev(child_tbl, pname=pname):
+                        ok_parent = _valid_mask(child_tbl["__item__"])
+                        return (ok_parent
+                                & ~_presence(child_tbl, pname)), None
+                    self._add(r, ev)
+                    minor += 1
 
             if isinstance(rt, str) and _is_container_type(rt):
                 minor = self._compile_child_list_prop(
@@ -1371,6 +1451,15 @@ class TableValidator:
             datapath = f"{base}.{rule.field_name}" if rule.field_name else base
         else:
             datapath = f"$.{rule.prop}" if rule.prop else "$"
+        if rule.const_repr is not None:
+            return {
+                "row_idx": int(row),
+                "datapath": datapath,
+                "typepath": rule.typepath,
+                "what": rule.what,
+                "value_repr": rule.const_repr,
+                "rule": f"{rule.major}.{rule.minor}",
+            }
         if rule.map_entry and values is not None:
             keys_arr, vals_arr = values
             i = child_idx

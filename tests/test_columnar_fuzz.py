@@ -85,6 +85,11 @@ def gen_type(rng, depth=0):
         for i in range(n_props):
             st, at, sam = gen_type(rng, depth + 1)
             opt = "?" if rng.random() < 0.5 else ""
+            # sometimes a default token — including ones that FAIL the
+            # type (the reference injects then validates the default)
+            if opt and isinstance(st, str) and st == "0..100" \
+                    and rng.random() < 0.5:
+                opt += str(rng.choice([7, 250]))
             name = f"p{i}"
             props[f"{name}{opt}"] = st
             fields.append((name, at))
@@ -144,7 +149,11 @@ def test_columnar_fuzz_matches_row_engine(seed):
     rng = np.random.default_rng(1000 + seed)
     sjot_type, arrow_type, sampler = gen_type(rng)
     required = rng.random() < 0.5
-    schema = {"@root": {("v" if required else "v?"): sjot_type}}
+    vprop = "v" if required else "v?"
+    if not required and isinstance(sjot_type, str) \
+            and sjot_type == "0..100" and rng.random() < 0.5:
+        vprop += str(rng.choice([7, 250]))
+    schema = {"@root": {vprop: sjot_type}}
     values = [sampler(rng) for _ in range(200)]
     try:
         tbl = pa.table({"v": pa.array(values, arrow_type)})

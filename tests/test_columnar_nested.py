@@ -370,3 +370,42 @@ def test_map_regex_props_vs_oracle():
             v = viols[i]
             frag = f'{v["datapath"]} {v["what"]}'
             assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_invalid_default_on_absent_optional():
+    """The reference injects an absent optional's default and validates
+    it (index.js:429-433): a type-violating default fails every absent
+    row — at top level, in nested structs, in item objects, and in map
+    fixed props."""
+    # nested struct site
+    schema = {"@root": {"box": {"n?77": "0..9"}}}
+    tbl = pa.table({"box": pa.array(
+        [{"n": None}, {"n": 5}, None],
+        pa.struct([("n", pa.int64())]))})
+    _assert_parity(tbl, schema)
+
+    # list-item object site
+    schema2 = {"@root": {"spans": [{"k": "(a|b)", "m?42": "0..9"}]}}
+    tbl2 = pa.table({"spans": pa.array(
+        [[{"k": "a", "m": None}], [{"k": "a", "m": 3}]],
+        pa.list_(pa.struct([("k", pa.string()), ("m", pa.int64())])))})
+    _assert_parity(tbl2, schema2)
+
+    # map fixed-prop site
+    schema3 = {"@root": {"attrs": {"fixed?zz": "(a|b)",
+                                   "(k[0-9])": "string"}}}
+    tbl3 = pa.table({"attrs": pa.array(
+        [[("k1", "x")], [("fixed", "a")]],
+        pa.map_(pa.string(), pa.string()))})
+    import copy
+
+    tv = TableValidator(copy.deepcopy(schema3))
+    verdict, viols, _ = tv.validate_batch(tbl3)
+    assert list(verdict) == [False, True]
+    assert viols[0]["value_repr"] == "zz"
+    assert validate.__module__  # row-engine cross-check below
+    from sjot_ray.core import valid as row_valid
+    assert row_valid({"attrs": {"k1": "x"}}, None,
+                     copy.deepcopy(schema3)) is False
+    assert row_valid({"attrs": {"fixed": "a"}}, None,
+                     copy.deepcopy(schema3)) is True
