@@ -96,6 +96,14 @@ def gen_type(rng, depth=0):
             samplers[name] = sam
         if rng.random() < 0.3:
             props["@final"] = True
+        opt_names = [k.split("?")[0] for k in props
+                     if not k.startswith("@") and "?" in k]
+        if len(opt_names) >= 2 and rng.random() < 0.4:
+            kind_p = rng.choice(["@one", "@any", "@all", "@dep"])
+            if kind_p == "@dep":
+                props["@dep"] = {opt_names[0]: [opt_names[1]]}
+            else:
+                props[kind_p] = [opt_names[:2]]
 
         def sampler(r, samplers=samplers):
             if r.random() < 0.15:
