@@ -160,6 +160,24 @@ def q_referential_orders_customer(sf_dir: str):
                      "dangling_orders": [n_dangling]})
 
 
+def q_referential_partitioned(sf_dir: str):
+    """Same referential check as q_referential_orders_customer but via
+    the LARGE-catalog path: both key sets co-locate through the manual
+    hash shuffle and each partition anti-joins with one Arrow is_in —
+    for when the catalog is too big to broadcast. Same oracle SQL."""
+    from .wide_checks import referential_check_partitioned
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    dangling = referential_check_partitioned(
+        orders, "o_custkey", customer, "c_custkey",
+        n_rows=_parquet_rows(sf_dir, "orders"))
+    t = _t(dangling)
+    n_dangling = int(pc.sum(t["n"]).as_py() or 0) if t.num_rows else 0
+    return pa.table({"total_orders": [_parquet_rows(sf_dir, "orders")],
+                     "dangling_orders": [n_dangling]})
+
+
 def q_column_stats_lineitem(sf_dir: str):
     """Exact column stats via mergeable per-batch partials."""
     from .wide_checks import column_stats
@@ -915,6 +933,9 @@ ORACLE_SQL.update({
 })
 # the salted two-phase plan must produce the identical result
 ORACLE_SQL["user_sessions_salted"] = ORACLE_SQL["user_sessions"]
+# the partitioned anti-join must match the broadcast one
+ORACLE_SQL["referential_partitioned"] = \
+    ORACLE_SQL["referential_orders_customer"]
 
 
 def q_order_lineitem_join(sf_dir: str):

@@ -138,6 +138,68 @@ def referential_check(ds: "ray.data.Dataset", column: str,
     return dangling
 
 
+def referential_check_partitioned(ds: "ray.data.Dataset", column: str,
+                                  catalog: "ray.data.Dataset",
+                                  catalog_column: str | None = None,
+                                  n_rows: int | None = None):
+    """Anti-join for a LARGE catalog (too big to broadcast): both sides'
+    keys co-locate by hash64(key) through the manual hash shuffle and
+    each partition filters its probe keys against its catalog keys with
+    one Arrow is_in. Returns the dangling (key, n) rows. Use
+    :func:`referential_check` when the catalog fits a broadcast."""
+    from .shuffle import hash_shuffle_apply
+
+    catalog_column = catalog_column or column
+    if n_rows is None:
+        n_rows = ds.count()
+    B = int(min(4096, max(16, n_rows // 400_000 + 1)))
+    key_type = ds.schema().base_schema.field(column).type
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        g = t.select([column]).group_by(column).aggregate([([], "count_all")])
+        g = g.rename_columns(["key", "n"])
+        g = g.filter(pc.is_valid(g["key"]))
+        return pa.table({
+            "hkey": pa.array(hash64(g["key"]).astype(np.int64)),
+            "key": g["key"],
+            "n": g["n"],
+            "side": pa.array(np.zeros(g.num_rows, dtype=np.int8))})
+
+    def catalog_rows(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[catalog_column].combine_chunks()
+                         if isinstance(t[catalog_column], pa.ChunkedArray)
+                         else t[catalog_column])
+        keys = keys.filter(pc.is_valid(keys))
+        keys = pc.cast(keys, key_type)
+        return pa.table({
+            "hkey": pa.array(hash64(keys).astype(np.int64)),
+            "key": keys,
+            "n": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            "side": pa.array(np.ones(len(keys), dtype=np.int8))})
+
+    tagged = ds.map_batches(probe_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        catalog.map_batches(catalog_rows, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    empty = pa.table({"key": pa.array([], key_type),
+                      "n": pa.array([], pa.int64())})
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        probe = g.filter(pa.array(side == 0))
+        cat = g.filter(pa.array(side == 1))["key"].combine_chunks()
+        if probe.num_rows == 0:
+            return empty
+        agg = probe.group_by("key").aggregate([("n", "sum")])
+        agg = agg.rename_columns(["key", "n"])
+        if len(cat):
+            agg = agg.filter(pc.invert(pc.is_in(agg["key"],
+                                                value_set=cat)))
+        return agg
+
+    return hash_shuffle_apply(tagged, "hkey", B, anti, empty)
+
+
 # -- drift -------------------------------------------------------------------
 
 def quantile_sketch_of(ds: "ray.data.Dataset", column: str,
