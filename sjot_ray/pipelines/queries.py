@@ -894,6 +894,101 @@ ORACLE_SQL.update({
 })
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING windows: 1-hour windows advancing every 15 minutes. Each
+    event belongs to exactly 4 windows (starts = its 15-min bucket minus
+    0/15/30/45 min), so the per-batch stage emits 4 pre-aggregated
+    partial rows per (window, type) and a tiny keyed sum merges —
+    never 4× raw rows through the shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b15 = pc.floor_temporal(t["ts"], multiple=15, unit="minute")
+        parts = []
+        for k in range(4):
+            ws = pc.subtract(b15, pa.scalar(k * 15 * 60 * 1_000_000,
+                                            pa.duration("us")))
+            g = pa.table({"event_type": t["event_type"],
+                          "window_start": ws,
+                          "value": t["value"]})                 .group_by(["event_type", "window_start"]).aggregate(
+                    [("value", "sum"), ([], "count_all")])
+            parts.append(g.rename_columns(
+                ["event_type", "window_start", "sum_value", "n"]))
+        return pa.concat_tables(parts)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "window_start"]).sum(["sum_value", "n"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "sum_value": _round(t["sum(sum_value)"], 3),
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+        })
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k (windowed rank): top-3 docs by n_chars per lang.
+    Per-batch partial top-k per group, tiny final re-rank — no global
+    sort."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("lang", "ascending"),
+                                            ("n_chars", "descending"),
+                                            ("doc_id", "ascending")])
+        t2 = t.take(idx)
+        langs = t2["lang"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(langs), dtype=bool)
+        new[1:] = langs[1:] != langs[:-1]
+        run = np.cumsum(new) - 1
+        counts = np.bincount(run)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(langs)) - np.repeat(starts, counts)
+        return t2.filter(pa.array(pos < k))
+
+    top = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    top = partial_topk(top)
+    ranks = []
+    langs = top["lang"].to_numpy(zero_copy_only=False)
+    new = np.ones(len(langs), dtype=bool)
+    new[1:] = langs[1:] != langs[:-1]
+    run = np.cumsum(new) - 1
+    counts = np.bincount(run) if len(langs) else np.zeros(0, np.int64)
+    starts = np.cumsum(counts) - counts
+    ranks = np.arange(len(langs)) - np.repeat(starts, counts) + 1
+    return top.append_column("rank", pa.array(ranks, pa.int64()))
+
+
+ORACLE_SQL.update({
+    "events_sliding": """
+        WITH buckets AS (
+          SELECT event_type, value,
+                 time_bucket(INTERVAL '15 minutes', ts) AS b15
+          FROM events),
+        windows AS (
+          SELECT event_type, value,
+                 b15 - (k * INTERVAL '15 minutes') AS window_start
+          FROM buckets, (SELECT unnest([0, 1, 2, 3]) AS k))
+        SELECT event_type, window_start,
+               ROUND(SUM(value), 3) AS sum_value, COUNT(*) AS n
+        FROM windows GROUP BY event_type, window_start
+    """,
+    "top_docs_per_lang": """
+        WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        SELECT doc_id, lang, n_chars, rank FROM ranked WHERE rank <= 3
+    """,
+})
+
+
 def q_sample_documents(sf_dir: str):
     """Seeded random sample (deterministic for a fixed block layout);
     rows-only check by design — sampling is not SQL-reproducible."""
