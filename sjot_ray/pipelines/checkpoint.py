@@ -7,10 +7,12 @@ Layout under ``out_dir``::
     _manifest/part-<i>.json    lineage + metrics for that partition
 
 A manifest entry records the input file, its content fingerprint
-(size+mtime), row counts, pass counts, wall time, and the engine version —
-enough to (a) skip completed partitions on rerun, (b) invalidate when the
-input shard changed, and (c) aggregate job-level metrics without touching
-the data. Writes are atomic (temp file + rename): a crash mid-partition
+(size+mtime), row counts, pass counts, wall time, the engine version, and
+a serialized per-shard HyperLogLog sketch of doc_id — enough to (a) skip
+completed partitions on rerun, (b) invalidate when the input shard
+changed, and (c) aggregate job-level metrics INCLUDING the distinct-id
+estimate without touching the data (sketches are mergeable, so a resumed
+run recovers the estimate from manifests alone). Writes are atomic (temp file + rename): a crash mid-partition
 leaves no manifest entry, so the rerun redoes exactly that partition.
 
 This layer deliberately drops to raw Ray tasks (one per input shard): the
@@ -53,9 +55,16 @@ def _process_shard(input_file: str, out_dir: str, idx: int, schema,
     pq.write_table(out, tmp)
     os.replace(tmp, part)
 
+    import base64
+
     import pyarrow.compute as pc
 
+    from sjot_ray.state.sketches import HyperLogLog, hash64
+
     n_pass = int(pc.sum(out["verdict"]).as_py() or 0)
+    hll = HyperLogLog(14)
+    if tbl.num_rows:
+        hll.add_hashes(hash64(out["doc_id"]))
     manifest = {
         "partition": idx,
         "input_file": input_file,
@@ -66,6 +75,7 @@ def _process_shard(input_file: str, out_dir: str, idx: int, schema,
         "wall_sec": round(time.time() - t0, 3),
         "engine_version": engine_version,
         "completed_at": time.time(),
+        "hll_doc_id": base64.b64encode(hll.serialize()).decode(),
     }
     mdir = os.path.join(out_dir, "_manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -139,17 +149,28 @@ def resumable_validate(input_dir: str, out_dir: str, schema=None,
                               __version__)
         for i, shard in todo])
 
-    # aggregate metrics across ALL manifests (old + new)
+    # aggregate metrics across ALL manifests (old + new); the per-shard
+    # HLL sketches merge into the job-level distinct estimate, so a
+    # resumed run recovers it without re-reading any data
+    import base64
+
+    from sjot_ray.state.sketches import HyperLogLog
+
     total = {"rows": 0, "rows_pass": 0, "rows_fail": 0}
+    merged_hll = HyperLogLog(14)
     for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
         if f.endswith(".json"):
             with open(os.path.join(mdir, f)) as fh:
                 m = json.load(fh)
             for k in total:
                 total[k] += m[k]
+            if m.get("hll_doc_id"):
+                merged_hll.merge(HyperLogLog.deserialize(
+                    base64.b64decode(m["hll_doc_id"]), 14))
     return {
         "partitions_total": len(shards),
         "partitions_processed": len(results),
         "partitions_skipped": skipped,
         **total,
+        "distinct_doc_ids_est": round(merged_hll.estimate()),
     }
