@@ -516,3 +516,29 @@ def test_embedding_near_dups_multiprobe_recall(ray_session):
             # with 3 sets, expect all 5 planted pairs recovered
             for i in range(5):
                 assert (i, 300 + i) in pairs, (i, sorted(pairs))
+
+
+def test_corpus_readers_roundtrip(ray_session, tmp_path):
+    """Format-agnostic reader/writer: parquet round-trip with column
+    pruning and shard-proportional blocks; the Lance path is import-gated
+    with the documented substitution message."""
+    import ray.data
+
+    from sjot_ray.sources.gen import interleaved_parquet
+    from sjot_ray.sources.readers import read_corpus_table, write_corpus_table
+
+    src = interleaved_parquet(20_000, seed=7,
+                              cache_dir=str(tmp_path / "src"))
+    ds = read_corpus_table(src, columns=["doc_id", "spans"])
+    assert set(ds.schema().base_schema.names) == {"doc_id", "spans"}
+    assert ds.count() == 20_000
+
+    out = str(tmp_path / "out")
+    write_corpus_table(ds, out)
+    back = read_corpus_table(out, columns=["doc_id"])
+    assert back.count() == 20_000
+
+    with pytest.raises(RuntimeError, match="pylance is not installed"):
+        read_corpus_table(src, format="lance")
+    with pytest.raises(ValueError):
+        read_corpus_table(src, format="orc")
