@@ -894,6 +894,66 @@ ORACLE_SQL.update({
 })
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+    Per-batch Arrow dedupe of (type, user) pairs, global dedupe by
+    co-locating pair-hash partitions through the manual hash shuffle
+    (pair cardinality ~ users × types — Ray groupby's per-group wall),
+    vectorized run-dedupe + per-type partial counts per partition, and a
+    tiny driver-side sum of one row per (partition, type)."""
+    from ..state.sketches import hash64, rehash
+    from .shuffle import hash_shuffle_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    B = int(min(1024, max(16, _parquet_rows(sf_dir, "events")
+                          // 400_000 + 1)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        h = rehash(hash64(g["event_type"])
+                   ^ hash64(g["user_id"]), 31).astype(np.int64)
+        return pa.table({"hkey": pa.array(h),
+                         "event_type": g["event_type"],
+                         "user_id": g["user_id"]})
+
+    def count_part(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("event_type", "ascending"),
+                                            ("user_id", "ascending")])
+        g2 = g.take(idx)
+        et = g2["event_type"].combine_chunks()
+        uid = g2["user_id"].to_numpy(zero_copy_only=False)
+        n = g2.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = pc.not_equal(et.slice(1), et.slice(0, n - 1))                 .to_numpy(zero_copy_only=False).astype(bool)                 | (uid[1:] != uid[:-1])
+        # distinct pairs in this partition, counted per type
+        firsts = np.flatnonzero(new)
+        type_new = np.ones(n, dtype=bool)
+        if n > 1:
+            type_new[1:] = pc.not_equal(et.slice(1), et.slice(0, n - 1))                 .to_numpy(zero_copy_only=False).astype(bool)
+        type_run = np.cumsum(type_new) - 1
+        counts = np.bincount(type_run[new])
+        starts = np.flatnonzero(type_new)
+        return pa.table({"event_type": et.take(pa.array(starts, pa.int64())),
+                         "n_users": pa.array(counts, pa.int64())})
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64())})
+    parts = hash_shuffle_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        "hkey", B, count_part, empty)
+    t = _t(parts)
+    out = t.group_by("event_type").aggregate([("n_users", "sum")])
+    return pa.table({"event_type": out["event_type"],
+                     "n_users": pc.cast(out["n_users_sum"], pa.int64())})
+
+
+ORACLE_SQL["distinct_users_per_type"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """SLIDING windows: 1-hour windows advancing every 15 minutes. Each
     event belongs to exactly 4 windows (starts = its 15-min bucket minus
