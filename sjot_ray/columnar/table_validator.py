@@ -84,6 +84,27 @@ def _is_scalar_str_type(rt) -> bool:
     return isinstance(rt, str) and not _is_container_type(rt)
 
 
+def _char_len_scalar_eval(arr, rt, extra_valid=None):
+    """(fail, values) for a char[n,m] rule over ANY column type. String
+    columns get the length check (values = lengths). Any other type is a
+    schema-table mismatch: every valid value fails (the reference labels
+    those what="value"; this dedicated rule keeps its static "length"
+    label — a documented diagnostic approximation for mismatched
+    columns, with the verdict exact either way)."""
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        valid = _valid_mask(arr)
+        if extra_valid is not None:
+            valid = valid & extra_valid
+        lengths = np.where(valid, _np(pc.utf8_length(arr)), 0) \
+            .astype(np.int64)
+        return _length_fail_mask(lengths, valid,
+                                 compile_bounds(rt, 5)), lengths
+    fail = _scalar_fail_mask(arr, rt)
+    if extra_valid is not None:
+        fail = fail & extra_valid
+    return fail, arr
+
+
 def _is_char_len_type(rt) -> bool:
     """char[n,m] string-length types: violations report what="length"
     with the actual length as the datum (index.js:920-966)."""
@@ -591,10 +612,9 @@ class TableValidator:
                 if name not in tbl.column_names:
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 arr = tbl[name]
-                valid = _valid_mask(arr)
-                lengths = np.where(valid, _np(pc.utf8_length(arr)), 0)                     .astype(np.int64)
-                return _length_fail_mask(lengths, valid,
-                                         compile_bounds(rt, 5)), lengths
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                return _char_len_scalar_eval(arr, rt)
             self._add(rule, ev)
             return
 
@@ -880,11 +900,8 @@ class TableValidator:
                     arr, parent_valid = _nested_field(tbl, list(path))
                     if arr is None:
                         return np.zeros(tbl.num_rows, dtype=bool), None
-                    valid = _valid_mask(arr) & parent_valid
-                    lengths = np.where(valid, _np(pc.utf8_length(arr)),
-                                       0).astype(np.int64)
-                    return _length_fail_mask(lengths, valid,
-                                             compile_bounds(rt, 5)), lengths
+                    return _char_len_scalar_eval(arr, rt,
+                                                 extra_valid=parent_valid)
                 self._add(r, ev)
                 continue
             r = Rule(major, 0, fdotted, prop_tp, "value", rt)
@@ -1122,8 +1139,7 @@ class TableValidator:
             if not _is_scalar_str_type(it) or _is_char_len_type(it):
                 raise ColumnarCompileError(
                     f"tuple slot {pos} type {it!r}: use the row engine")
-            r = Rule(major, minor, name, it_tp,
-                     "length" if _is_char_len_type(it) else "value", it,
+            r = Rule(major, minor, name, it_tp, "value", it,
                      child=True, list_col=name)
             null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
             null_default = default_value("null", self.sjots, None, it,
@@ -1687,11 +1703,22 @@ def _list_item_first_fail(arr, itemtype, parent_ok, sjots, sjot):
         # treats char[…] as array-ish and returns null, index.js:1195) and
         # reports what="value" value null — whats vary per item
         valid_flat = _valid_mask(flat)
-        lens = np.nan_to_num(
-            _np(pc.utf8_length(pc.fill_null(flat, "")))).astype(np.int64)
-        reprs = lens.astype("U21").astype(object)
-        reprs[~valid_flat] = "null"
-        whats = np.where(valid_flat, "length", "value").astype(object)
+        if pa.types.is_string(flat.type) \
+                or pa.types.is_large_string(flat.type):
+            lens = np.nan_to_num(
+                _np(pc.utf8_length(pc.fill_null(flat, "")))) \
+                .astype(np.int64)
+            reprs = lens.astype("U21").astype(object)
+            reprs[~valid_flat] = "null"
+            whats = np.where(valid_flat, "length", "value").astype(object)
+        else:
+            # schema-table mismatch (non-string items vs char[n,m]):
+            # every valid item already failed via _scalar_fail_mask; the
+            # reference reports these as what="value" with the raw value
+            reprs = np.asarray(
+                ["null" if v is None else js_string(v)
+                 for v in flat.to_pylist()], dtype=object)
+            whats = np.full(len(flat), "value", dtype=object)
         return row_fail, (reprs, value_idx, first_pos, whats)
     return row_fail, (flat, value_idx, first_pos)
 

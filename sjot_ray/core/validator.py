@@ -200,6 +200,18 @@ def resolve_external_refs(schema) -> list:
 
     def walk(t):
         if isinstance(t, str):
+            # container-suffixed refs ("URI#type[]", "URI#type{2,}") are
+            # array/set types whose ITEM type is the external ref — strip
+            # the suffixes before resolving (char[...] stays a scalar)
+            base = t
+            while base and (base.endswith("]") or base.endswith("}")) \
+                    and not (base.startswith("char")
+                             and base.find("]") == len(base) - 1):
+                i = base.rfind("{" if base.endswith("}") else "[")
+                if i <= 0:
+                    break
+                base = base[:i]
+            t = base
             h = t.find("#")
             if h > 0 and not t.startswith("(") and not t.endswith("]") \
                     and not t.endswith("}"):

@@ -134,13 +134,14 @@ class MinHashStage:
 
 
 def _coarse_buckets(n_rows: int, rows_per_part: int = 400_000) -> int:
-    """Coarse partition count for high-cardinality keyed work: Ray Data's
-    sort-based groupby costs ~O(#distinct keys) in per-group overhead
-    (measured: 3.2M distinct keys → ~56 s on this host vs 1 s for 64
-    partitions), so million-key groupings are re-expressed as a groupby
-    over B coarse ``key % B`` partitions with vectorized within-partition
-    runs. B scales with the input so per-task memory stays bounded."""
-    return int(min(4096, max(16, n_rows // rows_per_part + 1)))
+    """Partition count for high-cardinality keyed work (see
+    shuffle.coarse_buckets; Ray's sort-based groupby costs ~O(#distinct
+    keys) in per-group overhead — measured 3.2M keys → ~56 s — so
+    million-key groupings run over B coarse ``key % B`` partitions with
+    vectorized within-partition runs)."""
+    from .shuffle import coarse_buckets
+
+    return coarse_buckets(n_rows, rows_per_part)
 
 
 def _within_run_pairs(starts: np.ndarray, counts: np.ndarray,
@@ -480,6 +481,11 @@ def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
     """
     n_docs = ds.count()  # parquet: metadata-only
     B = _coarse_buckets(n_docs * 4, rows_per_part=200_000)
+    if radius > 3:
+        raise ValueError(
+            "simhash_near_pairs: 4x16-bit pigeonhole bucketing is only "
+            f"complete for radius <= 3 (got {radius}); pairs differing in "
+            "4+ bits spread across all chunks would be silently missed")
     fps = simhash_fingerprints(ds, text_col, id_col)
 
     def explode_chunks(t: pa.Table) -> pa.Table:

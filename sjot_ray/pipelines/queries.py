@@ -401,7 +401,9 @@ def q_dedup_exact(sf_dir: str):
     from .shuffle import hash_shuffle_apply
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    B = max(16, min(4096, _parquet_rows(sf_dir, "documents") // 400_000 + 1))
+    from .shuffle import coarse_buckets
+
+    B = coarse_buckets(_parquet_rows(sf_dir, "documents"))
 
     def keyed(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t["text"], r"\s+")
@@ -737,12 +739,12 @@ def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30,
     approaches the event count, which hits Ray groupby's per-group wall
     (see pipelines/shuffle.py)."""
     from ..state.sketches import rehash
-    from .shuffle import hash_shuffle_apply
+    from .shuffle import coarse_buckets, hash_shuffle_apply
 
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
     if n_rows is None:
         n_rows = ds.count()
-    B = int(min(1024, max(16, n_rows // 400_000 + 1)))
+    B = coarse_buckets(n_rows, cap=1024)
 
     def add_keys(t: pa.Table) -> pa.Table:
         day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
@@ -823,7 +825,7 @@ def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30,
     empty2 = pa.table({"user_id": pa.array([], pa.int64()),
                        "n_events": pa.array([], pa.int64()),
                        "n_sessions": pa.array([], pa.int64())})
-    B2 = int(min(1024, max(16, n_rows // 800_000 + 1)))
+    B2 = coarse_buckets(n_rows, rows_per_part=800_000, cap=1024)
     return hash_shuffle_apply(parts, "user_id", B2, merge, empty2)
 
 
@@ -905,8 +907,9 @@ def q_distinct_users_per_type(sf_dir: str):
     from .shuffle import hash_shuffle_apply
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    B = int(min(1024, max(16, _parquet_rows(sf_dir, "events")
-                          // 400_000 + 1)))
+    from .shuffle import coarse_buckets
+
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
 
     def pairs(t: pa.Table) -> pa.Table:
         g = t.group_by(["event_type", "user_id"]).aggregate([])
@@ -1013,7 +1016,6 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     top = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
                             zero_copy_batch=True))
     top = partial_topk(top)
-    ranks = []
     langs = top["lang"].to_numpy(zero_copy_only=False)
     new = np.ones(len(langs), dtype=bool)
     new[1:] = langs[1:] != langs[:-1]
@@ -1106,8 +1108,10 @@ def q_order_lineitem_join(sf_dir: str):
 
     # bucket count scales with the big side so per-task memory stays
     # bounded as the input grows (≈500K joined rows per bucket target)
+    from .shuffle import coarse_buckets
+
     total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir, "orders")
-    B = int(min(4096, max(16, total // 500_000 + 1)))
+    B = coarse_buckets(total, rows_per_part=500_000)
     orders = _read(sf_dir, "orders", columns=["o_orderkey"])
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_quantity"])

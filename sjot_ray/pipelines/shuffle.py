@@ -68,6 +68,14 @@ def _reduce(fn, empty: pa.Table, *part_refs) -> pa.Table:
     return fn(pa.concat_tables(parts, promote_options="default"))
 
 
+def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
+                   cap: int = 4096) -> int:
+    """Partition count for high-cardinality keyed work: scales with the
+    input so per-task memory stays bounded, floored at 16 for
+    parallelism, capped to bound scheduler fan-out."""
+    return int(min(cap, max(16, n_rows // rows_per_part + 1)))
+
+
 def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
                        fn, empty: pa.Table) -> "ray.data.Dataset":
     """Partition ``ds`` by ``key_col % n_parts`` (integer keys), apply

@@ -42,7 +42,9 @@ def duplicate_keys(ds: "ray.data.Dataset", key: str,
 
     if n_rows is None:
         n_rows = ds.count()
-    B = int(min(4096, max(16, n_rows // 400_000 + 1)))
+    from .shuffle import coarse_buckets
+
+    B = coarse_buckets(n_rows)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.select([key]).group_by(key).aggregate([([], "count_all")])
@@ -152,7 +154,9 @@ def referential_check_partitioned(ds: "ray.data.Dataset", column: str,
     catalog_column = catalog_column or column
     if n_rows is None:
         n_rows = ds.count()
-    B = int(min(4096, max(16, n_rows // 400_000 + 1)))
+    from .shuffle import coarse_buckets
+
+    B = coarse_buckets(n_rows)
     key_type = ds.schema().base_schema.field(column).type
 
     def probe_rows(t: pa.Table) -> pa.Table:
