@@ -409,3 +409,25 @@ def test_invalid_default_on_absent_optional():
                      copy.deepcopy(schema3)) is False
     assert row_valid({"attrs": {"fixed": "a"}}, None,
                      copy.deepcopy(schema3)) is True
+
+
+def test_char_rules_survive_type_mismatched_columns():
+    """char[n,m] rules over non-string Arrow columns must mark rows
+    invalid (schema-table mismatch), never crash the batch."""
+    tv = TableValidator({"@root": {"tags": "char[2][]"}})
+    v, viols, _ = tv.validate_batch(
+        pa.table({"tags": pa.array([[1, 2], None], pa.list_(pa.int64()))}))
+    assert list(v) == [False, False]  # row 1: required tags absent
+    v0 = {x["row_idx"]: x for x in viols}[0]
+    assert v0["what"] == "value"  # reference labels mismatches value
+    assert v0["value_repr"] == "1"
+
+    tv2 = TableValidator({"@root": {"meta": {"code": "char[2]"}}})
+    v2, _, _ = tv2.validate_batch(pa.table(
+        {"meta": pa.array([{"code": 7}],
+                          pa.struct([("code", pa.int64())]))}))
+    assert list(v2) == [False]
+
+    tv3 = TableValidator({"@root": {"c": "char[2,4]"}})
+    v3, _, _ = tv3.validate_batch(pa.table({"c": pa.array([5], pa.int64())}))
+    assert list(v3) == [False]

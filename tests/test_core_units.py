@@ -115,3 +115,19 @@ def test_external_schema_id_mismatch(tmp_path):
     schema = {"@root": {"v": f"{p}#T"}}
     with pytest.raises(SJOTSchemaError, match="@id URL mismatch"):
         validate({"v": {"x": 1}}, None, schema)
+
+
+def test_external_refs_with_container_suffixes():
+    """'URI#type[]' / 'URI#type{2,}' are array/set types whose ITEM type
+    is the external ref; the prefetcher must resolve them too."""
+    from sjot_ray.core.validator import (register_schema_url,
+                                         resolve_external_refs)
+
+    register_schema_url("mem://ext-list", {"tag": "(t[0-9])"})
+    sjots = resolve_external_refs(
+        {"@root": {"tags": "mem://ext-list#tag[]",
+                   "uniq?": "mem://ext-list#tag{1,}"}})
+    assert len(sjots) == 2
+    assert valid({"tags": ["t1", "t2"]}, None, sjots)
+    assert not valid({"tags": ["zzz"]}, None, sjots)
+    assert valid({"tags": [], "uniq": ["t3"]}, None, sjots)
