@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from sjot_ray.pipelines import dedup as D
 
         d["dedup_minhash_lsh"] = D.q_minhash_near_dups
+        d["dedup_groups"] = D.q_dedup_groups
         d["dedup_simhash"] = D.q_simhash_near_dups
         d["dedup_embedding_cosine"] = D.q_embedding_near_dups
         # dedup_ngram_jaccard is oracle-checked via queries.ORACLE_SQL

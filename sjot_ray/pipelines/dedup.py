@@ -641,6 +641,22 @@ def q_minhash_near_dups(sf_dir: str):
     return distributed_jaccard(pairs, ds, k=5, threshold=0.4)
 
 
+def q_dedup_groups(sf_dir: str):
+    """End-to-end dedup decision table: MinHash-LSH candidates →
+    distributed Jaccard verify → union-find components → one row per
+    near-dup-involved doc with its group id and the keep/drop decision
+    (keep = smallest doc_id in the component). Docs in no component are
+    implicitly kept and not listed. Rows-only oracle (LSH is not
+    SQL-expressible)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    edges = distributed_jaccard(minhash_candidates(ds), ds,
+                                k=5, threshold=0.4)
+    groups = near_dup_groups(edges)
+    keep = pc.equal(groups["doc_id"], groups["group_id"])
+    return groups.append_column("keep", keep)
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs at Hamming radius ≤3 (chunk-bucketed)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
