@@ -431,3 +431,34 @@ def test_char_rules_survive_type_mismatched_columns():
     tv3 = TableValidator({"@root": {"c": "char[2,4]"}})
     v3, _, _ = tv3.validate_batch(pa.table({"c": pa.array([5], pa.int64())}))
     assert list(v3) == [False]
+
+
+def test_scalar_type_mismatch_matrix():
+    """Every scalar SJOT type × every mismatched Arrow column type must
+    produce the row engine's verdict (usually invalid), never a crash."""
+    import copy
+
+    cells = [(pa.int64(), 3), (pa.string(), "x"), (pa.bool_(), True),
+             (pa.float64(), 1.5)]
+    types = ["string", "(a|b)", "char[2,4]", "char", "0..5", "boolean",
+             "int", "hex", "date", "true", "null", "atom", "number"]
+    mism = []
+    for st in types:
+        for at, val in cells:
+            schema = {"@root": {"v": st}}
+            tbl = pa.table({"v": pa.array([val], at)})
+            try:
+                tv = TableValidator(copy.deepcopy(schema))
+                verdict, _, _ = tv.validate_batch(tbl)
+                col_ok = bool(verdict[0])
+            except Exception as e:  # noqa: BLE001 - any crash is a bug
+                mism.append((st, str(at), "CRASH", repr(e)[:60]))
+                continue
+            try:
+                validate({"v": val}, None, copy.deepcopy(schema))
+                row_ok = True
+            except SJOTValidationError:
+                row_ok = False
+            if col_ok != row_ok:
+                mism.append((st, str(at), col_ok, row_ok))
+    assert not mism, mism
