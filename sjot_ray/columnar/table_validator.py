@@ -84,6 +84,11 @@ def _is_scalar_str_type(rt) -> bool:
     return isinstance(rt, str) and not _is_container_type(rt)
 
 
+def _is_listish(dt) -> bool:
+    return (pa.types.is_list(dt) or pa.types.is_large_list(dt)
+            or pa.types.is_fixed_size_list(dt) or pa.types.is_map(dt))
+
+
 def _char_len_scalar_eval(arr, rt, extra_valid=None):
     """(fail, values) for a char[n,m] rule over ANY column type. String
     columns get the length check (values = lengths). Any other type is a
@@ -331,6 +336,8 @@ def _set_dup_mask(arr) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
+    if not _is_listish(arr.type):  # shape mismatch handled by shape rule
+        return np.zeros(n, dtype=bool)
     valid = _valid_mask(arr)
     lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
     parent = np.repeat(np.arange(n), lengths)
@@ -675,6 +682,24 @@ class TableValidator:
                 self._compile_tuple_rules(name, rt, typepath, major)
                 return
 
+        # shape rule: a non-list column against an array/set type fails
+        # every valid value ("value X is not an array T[]") — keeps a
+        # schema-table mismatch from crashing the list kernels below
+        type_repr = rt if isinstance(rt, str) else js_string(rt)
+        shape_rule = Rule(major, minor, name, typepath, "value", type_repr)
+
+        def ev_shape(tbl, name=name):
+            if name not in tbl.column_names:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _is_listish(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr), arr
+        self._add(shape_rule, ev_shape)
+        minor += 1
+
         if is_set:
             rule = Rule(major, minor, name, typepath, "value",
                         rt if isinstance(rt, str) else js_string(rt))
@@ -705,6 +730,10 @@ class TableValidator:
                 if name not in tbl.column_names:
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 arr = tbl[name]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not _is_listish(arr.type):
+                    return np.zeros(tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr)
                 lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
                 mask = _length_fail_mask(lengths, valid, bounds), None
@@ -980,6 +1009,23 @@ class TableValidator:
         def key_match_mask(keys, pattern):
             return _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
 
+        # shape rule: a SCALAR column against an object type fails every
+        # valid value ("value X is not an object"); struct columns pass
+        # through (their fixed fields could validate elsewhere)
+        major = self._next_major()
+        shape_rule = Rule(major, 0, name, typepath, "value", "")
+
+        def ev_shape(tbl, name=name):
+            if name not in tbl.column_names:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _scalar_kind_of_arrow(arr.type) is None:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr), arr
+        self._add(shape_rule, ev_shape)
+
         for prop, proptype in obj_type.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):
@@ -1119,6 +1165,20 @@ class TableValidator:
         (index.js:246-251 validates data[i] against type[i] under
         typepath+"[]"; null items are replaced by type[i]'s default)."""
         minor = 0
+        shape_rule = Rule(major, minor, name, typepath, "value",
+                          js_string(rt))
+
+        def ev_shape(tbl, name=name):
+            if name not in tbl.column_names:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _is_listish(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr), arr
+        self._add(shape_rule, ev_shape)
+        minor += 1
         want = len(rt)
         rule = Rule(major, minor, name, typepath, "array of length",
                     js_string(rt))
@@ -1127,6 +1187,10 @@ class TableValidator:
             if name not in tbl.column_names:
                 return np.zeros(tbl.num_rows, dtype=bool), None
             arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_listish(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
             valid = _valid_mask(arr)
             lengths = np.where(valid, _np(pc.list_value_length(arr)),
                                want).astype(np.int64)
@@ -1294,6 +1358,10 @@ class TableValidator:
                     return np.zeros(child_tbl.num_rows, dtype=bool), None
                 ok = _valid_mask(child_tbl["__item__"])
                 arr = child_tbl[pname]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not _is_listish(arr.type):
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr) & ok
                 lengths = np.where(
                     valid, np.nan_to_num(_np(pc.list_value_length(arr))),
@@ -1345,7 +1413,7 @@ class TableValidator:
 
             def ev(tbl, path=tuple(fpath), bounds=bounds):
                 arr, parent_ok = _nested_field(tbl, list(path))
-                if arr is None:
+                if arr is None or not _is_listish(arr.type):
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr) & parent_ok
                 lengths = np.where(
@@ -1389,6 +1457,14 @@ class TableValidator:
             if cached is None:
                 arr = batch[list_col] if list_col in batch.column_names else None
                 if arr is None:
+                    cached = (pa.table({"__item__": pa.array([], pa.null()),
+                                        "__idx__": pa.array([], pa.int64())}),
+                              np.zeros(0, np.int64), np.zeros(0, np.int64))
+                elif not _is_listish(
+                        arr.type if not isinstance(arr, pa.ChunkedArray)
+                        else arr.type):
+                    # shape mismatch: no child rows (shape rules fail the
+                    # parent rows; the list kernels must not crash)
                     cached = (pa.table({"__item__": pa.array([], pa.null()),
                                         "__idx__": pa.array([], pa.int64())}),
                               np.zeros(0, np.int64), np.zeros(0, np.int64))
@@ -1639,6 +1715,8 @@ def _sort_sets(arr) -> pa.ListArray:
     normalization). Vectorized permutation + take."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not _is_listish(arr.type):  # shape mismatch: nothing to sort
+        return arr
     valid = _valid_mask(arr)
     lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
     parent = np.repeat(np.arange(len(arr)), lengths)
@@ -1675,6 +1753,8 @@ def _list_item_first_fail(arr, itemtype, parent_ok, sjots, sjot):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
+    if not _is_listish(arr.type):  # shape mismatch handled by shape rule
+        return np.zeros(n, dtype=bool), None
     arrow_valid = _valid_mask(arr)
     lengths = np.where(arrow_valid,
                        np.nan_to_num(_np(pc.list_value_length(arr))),

@@ -441,7 +441,9 @@ def test_scalar_type_mismatch_matrix():
     cells = [(pa.int64(), 3), (pa.string(), "x"), (pa.bool_(), True),
              (pa.float64(), 1.5)]
     types = ["string", "(a|b)", "char[2,4]", "char", "0..5", "boolean",
-             "int", "hex", "date", "true", "null", "atom", "number"]
+             "int", "hex", "date", "true", "null", "atom", "number",
+             "int[]", "string{1,}", "int[2]", ["string", "string"],
+             {"(k[0-9])": "string"}]
     mism = []
     for st in types:
         for at, val in cells:
