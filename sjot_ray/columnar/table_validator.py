@@ -1325,6 +1325,37 @@ class TableValidator:
             self._add(r, ev)
             minor += 1
 
+        if bool(obj_type.get("@final", False)):
+            # runtime @final against the item struct's physical fields
+            # (reference index.js:448-451; @sjot exempt)
+            prop_names = frozenset(
+                p.split("?")[0] for p in obj_type
+                if not p.startswith("@") and not p.startswith("("))
+            r = Rule(major, minor, list_col, typepath + "/@final",
+                     "additional property should not be present", "",
+                     no_value=True, child=True, list_col=list_col)
+
+            def ev(child_tbl, props=prop_names):
+                items = child_tbl["__item__"]
+                if isinstance(items, pa.ChunkedArray):
+                    items = items.combine_chunks()
+                n = child_tbl.num_rows
+                if not pa.types.is_struct(items.type):
+                    return np.zeros(n, dtype=bool), None
+                ok_parent = _valid_mask(items)
+                fail = np.zeros(n, dtype=bool)
+                first = np.full(n, None, dtype=object)
+                for f in items.type:
+                    if f.name in props or f.name == "@sjot":
+                        continue
+                    fv = _valid_mask(items.field(f.name))
+                    newly = fv & ~fail
+                    first[newly] = f.name
+                    fail |= fv
+                return fail & ok_parent, first
+            self._add(r, ev)
+            minor += 1
+
     def _compile_child_list_prop(self, list_col, pname, rt, typepath,
                                  major, minor) -> int:
         """List/set-typed field inside a list-item object (e.g.
@@ -1614,9 +1645,14 @@ class TableValidator:
             value_repr = ""
         elif rule.what == "additional property should not be present" \
                 and isinstance(values, np.ndarray):
-            # nested-struct @final: values holds the dotted extra path
-            if values[row] is not None:
-                datapath = f"$.{values[row]}"
+            # @final with per-row extra names: nested structs carry the
+            # dotted path; item objects carry the field name
+            i = child_idx if child_idx is not None else row
+            if values[i] is not None:
+                if rule.child:
+                    datapath = f"$.{rule.list_col}[{item_idx}].{values[i]}"
+                else:
+                    datapath = f"$.{values[i]}"
             value_repr = ""
         return {
             "row_idx": int(row),

@@ -464,3 +464,28 @@ def test_scalar_type_mismatch_matrix():
             if col_ok != row_ok:
                 mism.append((st, str(at), col_ok, row_ok))
     assert not mism, mism
+
+
+def test_final_in_item_objects():
+    """@final inside list-item objects rejects extra physical struct
+    fields (reference index.js:448-451), with the item-indexed datapath."""
+    schema = {"@root": {"spans": [{"@final": True, "kind": "(a|b)"}]}}
+    span_t = pa.struct([("kind", pa.string()), ("extra", pa.string())])
+    tbl = pa.table({"spans": pa.array(
+        [[{"kind": "a", "extra": None}],
+         [{"kind": "a", "extra": "X"}],
+         [{"kind": "b", "extra": None}, {"kind": "a", "extra": "Y"}]],
+        pa.list_(span_t))})
+    import copy
+
+    tv = TableValidator(copy.deepcopy(schema))
+    v, viols, _ = tv.validate_batch(tbl)
+    assert list(v) == [True, False, False]
+    viols = {x["row_idx"]: x for x in viols}
+    assert viols[1]["datapath"] == "$.spans[0].extra"
+    assert viols[2]["datapath"] == "$.spans[1].extra"
+    # row-engine agreement
+    assert validate({"spans": [{"kind": "a"}]}, None, copy.deepcopy(schema))
+    with pytest.raises(SJOTValidationError):
+        validate({"spans": [{"kind": "a", "extra": "X"}]}, None,
+                 copy.deepcopy(schema))
