@@ -576,6 +576,7 @@ class TableValidator:
                 self._compile_struct_props([name], rt, typepath)
             return
         if is_union(rt):
+            self._check_union_scalar_branches(rt)
             rule = Rule(major, 0, name, typepath, "value", js_string(rt))
             sjots, sjot = self.sjots, self.sjot
 
@@ -583,11 +584,12 @@ class TableValidator:
                 if name not in tbl.column_names:
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 arr = tbl[name]
-                if _scalar_kind_of_arrow(
-                        arr.type if not isinstance(arr, pa.ChunkedArray)
-                        else arr.type) is None:
-                    raise ColumnarCompileError(
-                        f"union over non-scalar column {name}")
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if _scalar_kind_of_arrow(arr.type) is None:
+                    # scalar-only union over a container column: no
+                    # branch can accept — every valid value fails
+                    return _valid_mask(arr), arr
                 fail = np.ones(tbl.num_rows, dtype=bool)
                 for branch in rt[0]:
                     b = branch
@@ -894,6 +896,7 @@ class TableValidator:
                 continue
             major = self._next_major()
             if is_union(rt):
+                self._check_union_scalar_branches(rt)
                 r = Rule(major, 0, fdotted, prop_tp, "value", js_string(rt))
                 sjots, sjot = self.sjots, self.sjot
 
@@ -901,6 +904,8 @@ class TableValidator:
                     arr, parent_valid = _nested_field(tbl, list(path))
                     if arr is None:
                         return np.zeros(tbl.num_rows, dtype=bool), None
+                    if _scalar_kind_of_arrow(arr.type) is None:
+                        return _valid_mask(arr) & parent_valid, arr
                     fail = np.ones(tbl.num_rows, dtype=bool)
                     for branch in rt[0]:
                         b = branch
@@ -964,6 +969,21 @@ class TableValidator:
                     fail |= fv
                 return fail & struct_ok, first
             self._add(r, ev)
+
+    def _check_union_scalar_branches(self, rt):
+        """Depth-1 unions are compiled as try-each SCALAR kernels; a
+        union carrying container/object branches would need per-branch
+        container rules the scalar evaluator can't express — fall back
+        to the row engine at COMPILE time (never a runtime worker
+        error)."""
+        for branch in rt[0]:
+            b = branch
+            while isinstance(b, str) and "#" in b and not b.startswith("("):
+                b = reftype(self.sjots, b, self.sjot)
+            if isinstance(b, dict) or isinstance(b, list) or (
+                    isinstance(b, str) and _is_container_type(b)):
+                raise ColumnarCompileError(
+                    "union with container/object branches: row engine")
 
     def _compile_map_object(self, name, obj_type, typepath):
         """Object type with regex property names over an Arrow map column

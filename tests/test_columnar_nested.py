@@ -489,3 +489,25 @@ def test_final_in_item_objects():
     with pytest.raises(SJOTValidationError):
         validate({"spans": [{"kind": "a", "extra": "X"}]}, None,
                  copy.deepcopy(schema))
+
+
+def test_union_shape_and_container_branches():
+    """Scalar-only unions over container columns fail rows (row-engine
+    parity, no worker crash); unions carrying container branches fall
+    back to the row engine at COMPILE time."""
+    import copy
+
+    from sjot_ray.columnar.table_validator import ColumnarCompileError
+
+    schema = {"@root": {"v": [["string", "int"]]}}
+    tv = TableValidator(copy.deepcopy(schema))
+    v, _, _ = tv.validate_batch(
+        pa.table({"v": pa.array([["a"]], pa.list_(pa.string()))}))
+    assert list(v) == [False]
+    with pytest.raises(SJOTValidationError):
+        validate({"v": ["a"]}, None, copy.deepcopy(schema))
+
+    with pytest.raises(ColumnarCompileError):
+        TableValidator({"@root": {"v": [["string", "int[]"]]}})
+    with pytest.raises(ColumnarCompileError):
+        TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
