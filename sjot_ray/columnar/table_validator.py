@@ -325,8 +325,10 @@ def _scalar_fail_mask(arr, type_str: str) -> np.ndarray:
         return _bool_fail_mask(arr, type_str)
     if kind == "null":
         return np.zeros(len(arr), dtype=bool)
-    raise ColumnarCompileError(
-        f"unsupported Arrow type {arr.type} for SJOT type {type_str!r}")
+    # container/other Arrow types against a scalar SJOT type: every valid
+    # value fails (reference: array/object data vs a scalar type is a
+    # "value" error) — never a runtime error inside a Ray worker
+    return _valid_mask(arr)
 
 
 def _set_dup_mask(arr) -> np.ndarray:
