@@ -818,6 +818,20 @@ class TableValidator:
         prop_names = {p.split("?")[0] for p in obj_type
                       if not p.startswith("@") and not p.startswith("(")}
 
+        # shape rule: a non-struct column/field against an object type
+        # fails every valid value ("value X is not an object") — maps
+        # pass through (they carry object data in a different layout)
+        major = self._next_major()
+        shape_rule = Rule(major, 0, dotted, typepath, "value", "")
+
+        def ev_shape(tbl, path=tuple(path)):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None or pa.types.is_struct(arr.type) \
+                    or pa.types.is_map(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr) & parent_ok, arr
+        self._add(shape_rule, ev_shape)
+
         for prop, proptype in obj_type.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):

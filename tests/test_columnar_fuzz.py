@@ -156,6 +156,11 @@ def doc_of(value, sjot_type):
 def test_columnar_fuzz_matches_row_engine(seed):
     rng = np.random.default_rng(1000 + seed)
     sjot_type, arrow_type, sampler = gen_type(rng)
+    if rng.random() < 0.15:
+        # schema-table mismatch mode: sample values of a DIFFERENT
+        # scalar shape than the schema expects — verdicts must still
+        # match the row engine (and nothing may crash)
+        _, arrow_type, sampler = SCALARS[rng.integers(0, len(SCALARS))]
     required = rng.random() < 0.5
     vprop = "v" if required else "v?"
     if not required and isinstance(sjot_type, str) \
