@@ -51,6 +51,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.errors import SJOTSchemaError
 from ..core.jsutil import js_string
 from ..core.ranges import compile_bounds, compile_range
 from ..core.validator import (
@@ -292,16 +293,6 @@ def _scalar_kind_of_arrow(dtype: pa.DataType) -> str | None:
     return None
 
 
-def _looks_numeric_type(type_str: str) -> bool:
-    return (type_str in _NUMERIC_TYPES or type_str == "integer"
-            or (not type_str.startswith("(")
-                and not type_str.startswith("char")
-                and type_str not in ("string", "boolean", "true", "false",
-                                     "object", "array", "null", "atom", "any")
-                and type_str not in FORMAT_PATTERNS
-                and re.search(r"[0-9.]", type_str) is not None))
-
-
 def _scalar_fail_mask(arr, type_str: str) -> np.ndarray:
     """Fail mask for a scalar SJOT type over a scalar Arrow column. Nulls
     never fail here — presence is a separate rule."""
@@ -316,9 +307,15 @@ def _scalar_fail_mask(arr, type_str: str) -> np.ndarray:
     if type_str in ("object", "array"):
         return _valid_mask(arr)  # scalar columns never hold objects/arrays
     if kind == "number":
-        if _looks_numeric_type(type_str):
+        # the reference's number branch range-scans ANY type string
+        # (comma-split pieces through parseFloat — so 4 IS valid against
+        # "char[2,4]" or "string[2,4]"); compile_range reproduces that
+        # parse, the row engine relies on it, and parity requires the
+        # columnar kernel to do the same
+        try:
             return _num_fail_mask(arr, type_str)
-        return _valid_mask(arr)
+        except SJOTSchemaError:
+            return _valid_mask(arr)
     if kind == "string":
         return _string_fail_mask(arr, type_str)
     if kind == "boolean":
@@ -692,7 +689,8 @@ class TableValidator:
         type_repr = rt if isinstance(rt, str) else js_string(rt)
         shape_rule = Rule(major, minor, name, typepath, "value", type_repr)
 
-        def ev_shape(tbl, name=name):
+        def ev_shape(tbl, name=name, rt_s=rt if isinstance(rt, str)
+                     else None):
             if name not in tbl.column_names:
                 return np.zeros(tbl.num_rows, dtype=bool), None
             arr = tbl[name]
@@ -700,6 +698,13 @@ class TableValidator:
                 arr = arr.combine_chunks()
             if _is_listish(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
+            if rt_s is not None:
+                # reference quirks for SCALAR data against container
+                # type strings: strings bounds-check char-prefixed types
+                # (index.js:679-690, 'zzz' IS valid for char[2,4][]);
+                # numbers range-scan the type string (4 IS valid for
+                # string[2,4]) — the scalar kernel reproduces both
+                return _scalar_fail_mask(arr, rt_s), arr
             return _valid_mask(arr), arr
         self._add(shape_rule, ev_shape)
         minor += 1
