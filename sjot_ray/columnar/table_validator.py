@@ -90,6 +90,13 @@ def _is_listish(dt) -> bool:
             or pa.types.is_fixed_size_list(dt) or pa.types.is_map(dt))
 
 
+def _is_list_type(dt) -> bool:
+    """List-shaped for ARRAY semantics — excludes maps, which carry
+    OBJECT data (a map column against an array type is 'not an array')."""
+    return (pa.types.is_list(dt) or pa.types.is_large_list(dt)
+            or pa.types.is_fixed_size_list(dt))
+
+
 def _char_len_scalar_eval(arr, rt, extra_valid=None):
     """(fail, values) for a char[n,m] rule over ANY column type. String
     columns get the length check (values = lengths). Any other type is a
@@ -105,6 +112,18 @@ def _char_len_scalar_eval(arr, rt, extra_valid=None):
             .astype(np.int64)
         return _length_fail_mask(lengths, valid,
                                  compile_bounds(rt, 5)), lengths
+    if _is_list_type(arr.type):
+        # reference duality: ARRAY data against "char[n,m]" is an array
+        # of "char" items with [n,m] length bounds (index.js:262-276)
+        valid = _valid_mask(arr)
+        if extra_valid is not None:
+            valid = valid & extra_valid
+        lengths = np.where(valid,
+                           np.nan_to_num(_np(pc.list_value_length(arr))),
+                           0).astype(np.int64)
+        fail = _length_fail_mask(lengths, valid, compile_bounds(rt, 5))
+        item_fail, _ = _list_item_first_fail(arr, "char", valid, [{}], {})
+        return fail | (item_fail & valid), lengths
     fail = _scalar_fail_mask(arr, rt)
     if extra_valid is not None:
         fail = fail & extra_valid
@@ -335,7 +354,7 @@ def _set_dup_mask(arr) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    if not _is_listish(arr.type):  # shape mismatch handled by shape rule
+    if not _is_list_type(arr.type):  # shape mismatch handled by shape rule
         return np.zeros(n, dtype=bool)
     valid = _valid_mask(arr)
     lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
@@ -384,6 +403,39 @@ def _nested_field(tbl, path):
             return None, parent_valid
         arr = arr.field(i)
     return arr, parent_valid
+
+
+def _map_entries_of(tbl, col):
+    """Map column → (keys, values, parent_row, row_valid) or None."""
+    if col not in tbl.column_names:
+        return None
+    arr = tbl[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_map(arr.type):
+        return None
+    lst = arr.cast(pa.list_(pa.struct(
+        [("key", arr.type.key_type), ("value", arr.type.item_type)])))
+    valid = _valid_mask(lst)
+    lengths = np.where(valid, np.nan_to_num(_np(pc.list_value_length(lst))),
+                       0).astype(np.int64)
+    flat = lst.flatten()
+    parent = np.repeat(np.arange(len(lst)), lengths)
+    return flat.field("key"), flat.field("value"), parent, valid
+
+
+def _map_entry_presence(tbl, col, key_name):
+    """(has_key per row, map-column validity per row); zeros when the
+    column is absent or not a map."""
+    zeros = np.zeros(tbl.num_rows, dtype=bool)
+    e = _map_entries_of(tbl, col)
+    if e is None:
+        return zeros, zeros
+    keys, _vals, parent, valid = e
+    m = _np(pc.fill_null(pc.equal(keys, key_name), False)).astype(bool)
+    has = np.zeros(tbl.num_rows, dtype=bool)
+    has[parent[m]] = True
+    return has, valid
 
 
 def _nested_presence(tbl, path):
@@ -696,7 +748,7 @@ class TableValidator:
             arr = tbl[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            if _is_listish(arr.type):
+            if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             if rt_s is not None:
                 # reference quirks for SCALAR data against container
@@ -741,7 +793,7 @@ class TableValidator:
                 arr = tbl[name]
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                if not _is_listish(arr.type):
+                if not _is_list_type(arr.type):
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr)
                 lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
@@ -889,10 +941,15 @@ class TableValidator:
 
                 def ev(tbl, path=tuple(path), pname=pname):
                     struct_ok = _nested_presence(tbl, list(path))
+                    present = np.zeros(tbl.num_rows, dtype=bool)
                     arr, _ = _nested_field(tbl, list(path) + [pname])
-                    if arr is None:
-                        return struct_ok, None
-                    return struct_ok & ~_valid_mask(arr), None
+                    if arr is not None:
+                        present = _valid_mask(arr)
+                    if len(path) == 1:
+                        # a top-level map column carries props as entries
+                        has, _mv = _map_entry_presence(tbl, path[0], pname)
+                        present = present | has
+                    return struct_ok & ~present, None
                 self._add(r, ev)
             else:
                 dv = self._default_violation(prop, q, proptype, typepath)
@@ -967,6 +1024,56 @@ class TableValidator:
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 return _scalar_fail_mask(arr, rt) & parent_valid, arr
             self._add(r, ev)
+
+        if len(path) == 1:
+            # map-layout companions: a top-level map column carries the
+            # object as entries — validate scalar prop values and @final
+            # extras against them (verdict parity for dict data stored
+            # as map<string, T>; nested/non-scalar props cannot be
+            # represented in a scalar-valued map and need no rules)
+            col = path[0]
+            for prop, proptype in obj_type.items():
+                if prop.startswith("@") or prop.startswith("("):
+                    continue
+                pname = prop.split("?")[0]
+                rt2, prop_tp2 = self._resolve_path(proptype,
+                                                   f"{typepath}/{prop}")
+                if not _is_scalar_str_type(rt2) or _is_char_len_type(rt2):
+                    continue
+                major = self._next_major()
+                r = Rule(major, 0, f"{col}.{pname}", prop_tp2, "value",
+                         rt2, child=True, list_col=col, map_entry=True)
+
+                def ev(child_tbl, pname=pname, rt2=rt2):
+                    if "key" not in child_tbl.column_names:
+                        return np.zeros(child_tbl.num_rows,
+                                        dtype=bool), None
+                    keys = child_tbl["key"]
+                    vals = child_tbl["value"]
+                    km = _np(pc.fill_null(pc.equal(keys, pname),
+                                          False)).astype(bool)
+                    return km & _scalar_fail_mask(vals, rt2), (keys, vals)
+                self._add(r, ev)
+            if bool(obj_type.get("@final", False)):
+                major = self._next_major()
+                r = Rule(major, 0, col, typepath + "/@final",
+                         "additional property should not be present", "",
+                         no_value=True, child=True, list_col=col,
+                         map_entry=True)
+
+                def ev(child_tbl, props=frozenset(prop_names)):
+                    if "key" not in child_tbl.column_names:
+                        return np.zeros(child_tbl.num_rows,
+                                        dtype=bool), None
+                    keys = child_tbl["key"]
+                    matched = ~_valid_mask(keys)
+                    matched |= _np(pc.fill_null(pc.equal(keys, "@sjot"),
+                                                False)).astype(bool)
+                    for f in props:
+                        matched |= _np(pc.fill_null(pc.equal(keys, f),
+                                                    False)).astype(bool)
+                    return ~matched, (keys, child_tbl["value"])
+                self._add(r, ev)
 
         if bool(obj_type.get("@final", False)):
             major = self._next_major()
@@ -1050,9 +1157,9 @@ class TableValidator:
         def key_match_mask(keys, pattern):
             return _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
 
-        # shape rule: a SCALAR column against an object type fails every
-        # valid value ("value X is not an object"); struct columns pass
-        # through (their fixed fields could validate elsewhere)
+        # shape rule: anything that is not object data (neither a map
+        # nor a struct column) fails every valid value ("value X is not
+        # an object") — scalars AND list columns alike
         major = self._next_major()
         shape_rule = Rule(major, 0, name, typepath, "value", "")
 
@@ -1062,7 +1169,7 @@ class TableValidator:
             arr = tbl[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            if _scalar_kind_of_arrow(arr.type) is None:
+            if pa.types.is_map(arr.type) or pa.types.is_struct(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             return _valid_mask(arr), arr
         self._add(shape_rule, ev_shape)
@@ -1128,6 +1235,35 @@ class TableValidator:
                         vf = vf | ~_valid_mask(vals)
                     return km & vf, (keys, vals)
                 self._add(r, ev)
+
+                r2 = Rule(major, 1, name, f"{typepath}/{prop}", "value",
+                          rt)
+
+                def ev_struct(tbl, rx=prop, rt=rt):
+                    # struct-layout: physical field names matching the
+                    # pattern validate against the prop type
+                    if name not in tbl.column_names:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    a0 = tbl[name]
+                    if isinstance(a0, pa.ChunkedArray):
+                        a0 = a0.combine_chunks()
+                    if not pa.types.is_struct(a0.type):
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    from ..core.validator import compile_regex_type
+                    matcher = compile_regex_type(rx)
+                    svalid = _valid_mask(a0)
+                    fail = np.zeros(tbl.num_rows, dtype=bool)
+                    values = None
+                    for fld in a0.type:
+                        if matcher.fullmatch(fld.name) is None:
+                            continue
+                        farr = a0.field(fld.name)
+                        ff = _scalar_fail_mask(farr, rt) & svalid
+                        if values is None:
+                            values = farr
+                        fail |= ff
+                    return fail, values
+                self._add(r2, ev_struct)
                 continue
 
             q = prop.find("?")
@@ -1139,8 +1275,20 @@ class TableValidator:
                          "should be present", "", no_value=True)
 
                 def ev(tbl, pname=pname):
-                    has, valid = entry_presence(tbl, pname)
-                    return valid & ~has, None
+                    has, valid_map = entry_presence(tbl, pname)
+                    # struct-layout objects carry the prop as a field
+                    svalid = np.zeros(tbl.num_rows, dtype=bool)
+                    spresent = np.zeros(tbl.num_rows, dtype=bool)
+                    if name in tbl.column_names:
+                        a0 = tbl[name]
+                        if isinstance(a0, pa.ChunkedArray):
+                            a0 = a0.combine_chunks()
+                        if pa.types.is_struct(a0.type):
+                            svalid = _valid_mask(a0)
+                            f, pv = _nested_field(tbl, [name, pname])
+                            if f is not None:
+                                spresent = pv & _valid_mask(f)
+                    return (valid_map | svalid) & ~(has | spresent), None
                 self._add(r, ev)
             else:
                 dv = self._default_violation(prop, q, proptype, typepath)
@@ -1175,6 +1323,15 @@ class TableValidator:
                 return km & vf, (keys, vals)
             self._add(r, ev)
 
+            r2 = Rule(major, 1, f"{name}.{pname}", prop_tp, "value", rt)
+
+            def ev_struct(tbl, pname=pname, rt=rt):
+                f, pv = _nested_field(tbl, [name, pname])
+                if f is None:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                return _scalar_fail_mask(f, rt) & pv, f
+            self._add(r2, ev_struct)
+
         if bool(obj_type.get("@final", False)):
             major = self._next_major()
             r = Rule(major, 0, name, typepath + "/@final",
@@ -1198,6 +1355,36 @@ class TableValidator:
                 return ~matched, (keys, child_tbl["value"])
             self._add(r, ev)
 
+            r2 = Rule(major, 1, name, typepath + "/@final",
+                      "additional property should not be present", "",
+                      no_value=True)
+
+            def ev_struct_final(tbl, fixed=frozenset(fixed_names),
+                                regexes=tuple(regex_props)):
+                if name not in tbl.column_names:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                a0 = tbl[name]
+                if isinstance(a0, pa.ChunkedArray):
+                    a0 = a0.combine_chunks()
+                if not pa.types.is_struct(a0.type):
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                from ..core.validator import compile_regex_type
+                matchers = [compile_regex_type(rx) for rx in regexes]
+                svalid = _valid_mask(a0)
+                fail = np.zeros(tbl.num_rows, dtype=bool)
+                first = np.full(tbl.num_rows, None, dtype=object)
+                for fld in a0.type:
+                    if fld.name in fixed or fld.name == "@sjot":
+                        continue
+                    if any(m.fullmatch(fld.name) for m in matchers):
+                        continue
+                    fv = _valid_mask(a0.field(fld.name))
+                    newly = fv & ~fail
+                    first[newly] = f"{name}.{fld.name}"
+                    fail |= fv
+                return fail & svalid, first
+            self._add(r2, ev_struct_final)
+
     def _compile_tuple_rules(self, name, rt, typepath, major):
         """Tuple [type, type, ...] over a list column: a length rule
         (reference "array of length", index.js:240-244 — typepath without
@@ -1215,7 +1402,7 @@ class TableValidator:
             arr = tbl[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            if _is_listish(arr.type):
+            if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             return _valid_mask(arr), arr
         self._add(shape_rule, ev_shape)
@@ -1230,7 +1417,7 @@ class TableValidator:
             arr = tbl[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            if not _is_listish(arr.type):
+            if not _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             valid = _valid_mask(arr)
             lengths = np.where(valid, _np(pc.list_value_length(arr)),
@@ -1409,6 +1596,21 @@ class TableValidator:
         if not _is_scalar_str_type(itemtype):
             raise ColumnarCompileError(
                 "doubly-nested containers inside list items: row engine")
+        r0 = Rule(major, minor, list_col, typepath, "value", rt,
+                  child=True, list_col=list_col, field_name=pname)
+
+        def ev_shape(child_tbl, pname=pname, rt_s=rt):
+            if pname not in child_tbl.column_names:
+                return np.zeros(child_tbl.num_rows, dtype=bool), None
+            arr = child_tbl[pname]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _is_list_type(arr.type):
+                return np.zeros(child_tbl.num_rows, dtype=bool), None
+            ok = _valid_mask(child_tbl["__item__"])
+            return _scalar_fail_mask(arr, rt_s) & ok, arr
+        self._add(r0, ev_shape)
+        minor += 1
         if is_set:
             r = Rule(major, minor, list_col, typepath, "value", rt,
                      child=True, list_col=list_col, field_name=pname)
@@ -1432,7 +1634,7 @@ class TableValidator:
                 arr = child_tbl[pname]
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                if not _is_listish(arr.type):
+                if not _is_list_type(arr.type):
                     return np.zeros(child_tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr) & ok
                 lengths = np.where(
@@ -1470,6 +1672,17 @@ class TableValidator:
                 "doubly-nested containers inside structs: row engine")
         dotted = ".".join(fpath)
         minor = 0
+        # shape rule: non-list field against an array/set type (same
+        # scalar-data quirks as the top-level shape rule)
+        r0 = Rule(major, minor, dotted, typepath, "value", rt)
+
+        def ev_shape(tbl, path=tuple(fpath), rt_s=rt):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None or _is_list_type(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _scalar_fail_mask(arr, rt_s) & parent_ok, arr
+        self._add(r0, ev_shape)
+        minor += 1
         if is_set:
             r = Rule(major, minor, dotted, typepath, "value", rt)
 
@@ -1485,7 +1698,7 @@ class TableValidator:
 
             def ev(tbl, path=tuple(fpath), bounds=bounds):
                 arr, parent_ok = _nested_field(tbl, list(path))
-                if arr is None or not _is_listish(arr.type):
+                if arr is None or not _is_list_type(arr.type):
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 valid = _valid_mask(arr) & parent_ok
                 lengths = np.where(
@@ -1792,7 +2005,7 @@ def _sort_sets(arr) -> pa.ListArray:
     normalization). Vectorized permutation + take."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if not _is_listish(arr.type):  # shape mismatch: nothing to sort
+    if not _is_list_type(arr.type):  # shape mismatch: nothing to sort
         return arr
     valid = _valid_mask(arr)
     lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
@@ -1830,7 +2043,7 @@ def _list_item_first_fail(arr, itemtype, parent_ok, sjots, sjot):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    if not _is_listish(arr.type):  # shape mismatch handled by shape rule
+    if not _is_list_type(arr.type):  # shape mismatch handled by shape rule
         return np.zeros(n, dtype=bool), None
     arrow_valid = _valid_mask(arr)
     lengths = np.where(arrow_valid,

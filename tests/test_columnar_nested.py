@@ -511,3 +511,23 @@ def test_union_shape_and_container_branches():
         TableValidator({"@root": {"v": [["string", "int[]"]]}})
     with pytest.raises(ColumnarCompileError):
         TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
+
+
+def test_struct_schema_over_map_column():
+    """A top-level map column carries object data as entries: required
+    presence, scalar values, and @final must validate against the
+    entries (verdict parity with the row engine on dict data)."""
+    import copy
+
+    from sjot_ray.core import valid
+
+    m = pa.map_(pa.string(), pa.string())
+    schema = {"@root": {"v": {"a": "(x|y)", "b?": "string",
+                              "@final": True}}}
+    rows = [[("a", "x")], [("b", "z")], [("a", "BAD")],
+            [("a", "y"), ("zz", "q")], []]
+    tv = TableValidator(copy.deepcopy(schema))
+    cv, _, _ = tv.validate_batch(pa.table({"v": pa.array(rows, m)}))
+    for cell, got in zip(rows, cv):
+        want = valid({"v": dict(cell)}, None, copy.deepcopy(schema))
+        assert bool(got) == want, (cell, bool(got), want)
