@@ -501,26 +501,62 @@ def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
         return pa.concat_tables(parts)
 
     def within(g: pa.Table) -> pa.Table:
+        """Pairs within a chunk bucket, mass-duplicate-safe: members with
+        IDENTICAL fingerprints form transitive distance-0 groups, so
+        each equal-fp group emits STAR edges (min-id → others) and the
+        pairwise popcount runs over one REPRESENTATIVE per distinct
+        fingerprint — a bucket of N copies of one document costs O(N)
+        instead of O(N²) (cross-group distances equal the representative
+        distance, so connectivity and radius semantics are preserved;
+        the full pair set is the transitive closure of these edges)."""
         ck = g["ckey"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
         fp = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.lexsort((ids, ck))
+        order = np.lexsort((ids, fp, ck))
         ck_s, ids_s, fp_s = ck[order], ids[order], fp[order]
-        new = np.ones(len(ck_s), dtype=bool)
-        new[1:] = ck_s[1:] != ck_s[:-1]
+        n = len(ck_s)
+        empty3_ = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "hamming": pa.array([], pa.int64())})
+        if n == 0:
+            return empty3_
+        # equal-(ckey, fp) sub-runs → star edges at distance 0
+        sub_new = np.ones(n, dtype=bool)
+        sub_new[1:] = (ck_s[1:] != ck_s[:-1]) | (fp_s[1:] != fp_s[:-1])
+        sub_run = np.cumsum(sub_new) - 1
+        sub_counts = np.bincount(sub_run)
+        sub_starts = np.cumsum(sub_counts) - sub_counts
+        star_a, star_b = [], []
+        for st, c in zip(sub_starts[sub_counts >= 2],
+                         sub_counts[sub_counts >= 2]):
+            star_a.append(np.full(c - 1, ids_s[st]))
+            star_b.append(ids_s[st + 1:st + c])
+        # one representative per distinct fp → pairwise popcount per ckey
+        rep_ids, rep_fp, rep_ck = (ids_s[sub_starts], fp_s[sub_starts],
+                                   ck_s[sub_starts])
+        new = np.ones(len(rep_ck), dtype=bool)
+        new[1:] = rep_ck[1:] != rep_ck[:-1]
         counts = np.bincount(np.cumsum(new) - 1)
         starts = np.cumsum(counts) - counts
         ai, bi = _within_run_pairs(starts, counts, counts >= 2)
-        if len(ai) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        d = hamming_distance64(fp_s[ai], fp_s[bi])
-        keep = d <= radius
-        # ids ascend within a run ⇒ id_a < id_b
-        return pa.table({"id_a": pa.array(ids_s[ai[keep]], pa.int64()),
-                         "id_b": pa.array(ids_s[bi[keep]], pa.int64()),
-                         "hamming": pa.array(d[keep], pa.int64())})
+        parts = []
+        if len(ai):
+            d = hamming_distance64(rep_fp[ai], rep_fp[bi])
+            keep = (d <= radius) & (d > 0)
+            a, b = rep_ids[ai[keep]], rep_ids[bi[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            parts.append(pa.table({
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64())}))
+        if star_a:
+            sa = np.concatenate(star_a)
+            sb = np.concatenate(star_b)
+            parts.append(pa.table({
+                "id_a": pa.array(sa, pa.int64()),
+                "id_b": pa.array(sb, pa.int64()),
+                "hamming": pa.array(np.zeros(len(sa), np.int64))}))
+        return pa.concat_tables(parts) if parts else empty3_
 
     from .shuffle import hash_shuffle_apply
 

@@ -542,3 +542,38 @@ def test_corpus_readers_roundtrip(ray_session, tmp_path):
         read_corpus_table(src, format="lance")
     with pytest.raises(ValueError):
         read_corpus_table(src, format="orc")
+
+
+def test_simhash_mass_duplicates_linear(ray_session):
+    """A mass-duplicated document (N identical fingerprints in one
+    bucket) must produce O(N) star edges, not O(N^2) pairs, and keep
+    the component connected."""
+    import time
+
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import near_dup_groups, simhash_near_pairs
+
+    n = 5000
+    texts = [f"unique doc {i} " + " ".join(f"w{j}" for j in range(20))
+             for i in range(200)]
+    ids = list(range(200))
+    texts += ["copy copy copy of the same thing"] * n
+    ids += list(range(1000, 1000 + n))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    t0 = time.time()
+    out = simhash_near_pairs(ray.data.from_arrow(tbl), radius=3)
+    wall = time.time() - t0
+    # star edges: each of the 4 chunks contributes one (min, other) star
+    # per dup group, deduped → exactly n-1 edges for the dup block
+    dup_edges = [(a, b) for a, b in zip(out["id_a"].to_pylist(),
+                                        out["id_b"].to_pylist())
+                 if a >= 1000]
+    assert len(dup_edges) == n - 1, len(dup_edges)
+    groups = near_dup_groups(
+        out.filter(pa.array(
+            np.array(out["id_a"].to_pylist()) >= 1000)),
+        ("id_a", "id_b")).to_pandas()
+    assert groups["group_id"].nunique() == 1  # one connected component
+    assert wall < 60, wall
