@@ -30,8 +30,18 @@ inside item objects and nested structs (first-failing-item reduction
 over a second-level flatten), and regex property names over Arrow map
 columns (per-entry rules on the flattened key/value table,
 index.js:388-405).
-Anything outside this surface raises :class:`ColumnarCompileError` —
-callers fall back to the row engine (``sjot_ray.stages``).
+Anything outside this surface raises :class:`ColumnarCompileError` AT
+COMPILE TIME — callers fall back to the row engine (``sjot_ray.stages``);
+no evaluation path raises inside a Ray worker. Schema–table SHAPE
+mismatches (a container type over a scalar column, a scalar type over a
+list column, object types over map vs struct layouts) produce the row
+engine's verdicts via per-family shape rules, including the reference's
+type dualities: ``char[n,m]`` is a string-length check for string data
+but an array-of-char for list data, the number branch range-scans any
+type string, and map columns carry object data. Embedded ``@sjot`` under
+``any``-typed columns is NOT interpreted (use ``ValidateJsonColumn``);
+mismatch diagnostics may differ from the row engine in ``what`` labels
+(verdicts always agree — fuzz-verified across shape matrices).
 
 Arrow-null semantics (documented design choice): a null column value ≡ an
 absent JSON property. Required-prop nulls report "should be present";
