@@ -170,24 +170,41 @@ def register_schema_url(url: str, schema: dict) -> None:
     _SCHEMA_URL_REGISTRY[url] = schema
 
 
-def load_external_schema(url: str):
+def load_external_schema(url: str, allow_local: bool = False):
     """External ``URI#type`` schema fetch (reference: synchronous XHR,
-    index.js:1166-1191). This engine resolves, in order: the URL
-    registry (:func:`register_schema_url`), then ``file://`` URLs and
-    plain local paths — all driver-side, at schema-compile time. Network
-    URLs are disabled by design: register or prefetch them up front."""
+    index.js:1166-1191). Resolves from the URL registry
+    (:func:`register_schema_url`); with ``allow_local=True`` — passed
+    ONLY by the driver-side compile-time prefetcher
+    (:func:`resolve_external_refs`) — also ``file://`` URLs and plain
+    local paths. Validation-time resolution (``reftype``) is
+    registry-only: a ref string arriving in untrusted DATA (embedded
+    ``@sjot``) must never read worker-local files (arbitrary-path read
+    / file-existence oracle). Network URLs are disabled by design:
+    register or prefetch them up front. File read/parse errors surface
+    as :class:`SJOTSchemaError` (so a bad ref fails the document, not
+    the Ray task)."""
     import copy
     import json
 
     hit = _SCHEMA_URL_REGISTRY.get(url)
     if hit is not None:
         return copy.deepcopy(hit)
-    path = url[len("file://"):] if url.startswith("file://") else url
-    if "://" not in path and os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+    if allow_local:
+        path = url[len("file://"):] if url.startswith("file://") else url
+        if "://" not in path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    loaded = json.load(f)
+            except (OSError, UnicodeDecodeError, ValueError) as e:
+                raise SJOTSchemaError(
+                    f'schema "{url}" load error: {e}', f"/{url}") from None
+            if not isinstance(loaded, dict):
+                raise SJOTSchemaError(
+                    f'schema "{url}" load error: not a JSON object',
+                    f"/{url}")
+            return loaded
     raise _ExternalLoadDisabled(
-        f"external schema loading disabled for non-local URL: {url}")
+        f"external schema loading disabled for unregistered URL: {url}")
 
 
 def resolve_external_refs(schema) -> list:
@@ -218,7 +235,7 @@ def resolve_external_refs(schema) -> list:
                 uri = t[:h]
                 if uri not in seen:
                     seen.add(uri)
-                    loaded = load_external_schema(uri)
+                    loaded = load_external_schema(uri, allow_local=True)
                     if loaded.get("@id", uri) != uri:
                         raise SJOTSchemaError(
                             f'schema "{uri}" load error due to @id URL'

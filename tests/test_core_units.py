@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import pytest
 
-from sjot_ray.core import SJOT, SJOTSchemaError, valid, validate
+from sjot_ray.core import (SJOT, SJOTSchemaError, SJOTValidationError, valid,
+                           validate)
 
 
 def test_recursive_schema_bounded_depth():
@@ -86,10 +87,17 @@ def test_external_schema_file_loading(tmp_path):
     p = tmp_path / "ext_schema.json"
     p.write_text(json.dumps(ext))
 
-    # plain-path URI, lazy load at validation time
+    # plain-path URI through the compile-time prefetcher
     schema = {"@root": {"reading": f"{p}#Temp"}}
-    assert valid({"reading": {"celsius": 20.5}}, None, schema)
-    assert not valid({"reading": {"celsius": 200.0}}, None, schema)
+    sjots0 = resolve_external_refs(schema)
+    assert valid({"reading": {"celsius": 20.5}}, None, sjots0)
+    assert not valid({"reading": {"celsius": 200.0}}, None, sjots0)
+
+    # WITHOUT prefetch, validation-time resolution is registry-only:
+    # an unprefetched file-path ref fails the document with a schema
+    # error (never reads worker-local files at validation time)
+    with pytest.raises(SJOTSchemaError):
+        validate({"reading": {"celsius": 20.5}}, None, schema)
 
     # file:// URI through the compile-time prefetcher
     schema2 = {"@root": {"reading": f"file://{p}#Temp"}}
@@ -109,12 +117,43 @@ def test_external_schema_id_mismatch(tmp_path):
     (index.js:1150-1151)."""
     import json
 
+    from sjot_ray.core.validator import resolve_external_refs
+
     bad = {"@id": "http://other/schema", "T": {"x": "int"}}
     p = tmp_path / "bad.json"
     p.write_text(json.dumps(bad))
     schema = {"@root": {"v": f"{p}#T"}}
     with pytest.raises(SJOTSchemaError, match="@id URL mismatch"):
-        validate({"v": {"x": 1}}, None, schema)
+        resolve_external_refs(schema)
+
+
+def test_external_schema_no_validation_time_file_read(tmp_path):
+    """Validation-time refs never touch the filesystem: a document
+    carrying an embedded @sjot ref to an EXISTING local file fails the
+    document with SJOTValidationError/SJOTSchemaError — it neither reads
+    the file nor leaks its existence, and never raises a raw
+    JSONDecodeError out of the per-doc handlers (ADVICE r2 high)."""
+    import json
+
+    from sjot_ray.core.validator import resolve_external_refs
+
+    secret = tmp_path / "secret.json"
+    secret.write_text(json.dumps({"T": "int"}))
+    notjson = tmp_path / "garbage.bin"
+    notjson.write_bytes(b"\x00\xffnot json")
+
+    # data-driven ref under an 'any' type: must fail the DOC, not read
+    schema = {"@root": {"v": "any"}}
+    for target in (str(secret), f"file://{secret}", str(notjson),
+                   str(tmp_path / "missing.json")):
+        doc = {"v": {"@sjot": f"{target}#T", "x": 1}}
+        with pytest.raises((SJOTValidationError, SJOTSchemaError)):
+            validate(doc, None, schema)
+
+    # compile-time prefetch of a non-JSON file: SJOTSchemaError, not a
+    # raw JSONDecodeError
+    with pytest.raises(SJOTSchemaError, match="load error"):
+        resolve_external_refs({"@root": {"v": f"{notjson}#T"}})
 
 
 def test_external_refs_with_container_suffixes():
