@@ -112,6 +112,9 @@ class MinHashStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         sh, offsets = _shingle_hashes(t[self.text_col], self.k)
         sig = minhash_signatures(sh, offsets, self.num_perm)
+        # content hash: equal text ⇒ equal shingle set ⇒ Jaccard exactly
+        # 1.0 — the mass-duplicate collapse key used by pairs_in_partition
+        chash = hash64(t[self.text_col]).astype(np.int64)
         # bucket key: the band's signature rows mixed into one int64
         # (band index salted in, so equal hashes in different bands don't
         # collide into one bucket)
@@ -130,6 +133,7 @@ class MinHashStage:
             self.id_col: pa.concat_arrays(
                 [i.combine_chunks() if isinstance(i, pa.ChunkedArray) else i
                  for i in ids]),
+            "chash": pa.array(np.tile(chash, self.bands)),
         })
 
 
@@ -163,13 +167,26 @@ def _within_run_pairs(starts: np.ndarray, counts: np.ndarray,
 
 def minhash_candidates(ds: "ray.data.Dataset", text_col="text",
                        id_col="doc_id") -> "ray.data.Dataset":
-    """LSH buckets with >1 member → ALL within-bucket pairs.
+    """LSH buckets with >1 member → candidate pairs, mass-duplicate-safe.
 
-    Emitting every pair (not anchor-star) is required for recall: a true
-    near-dup pair (b, c) in a bucket whose min-id anchor a matches neither
-    would otherwise be lost. LSH buckets are small by construction, so the
-    triangular blow-up is bounded; duplicates across bands are dropped in
-    the verify join's first round.
+    Within a bucket, members with EQUAL content hash (equal text ⇒ equal
+    shingle set ⇒ Jaccard exactly 1.0) are collapsed: each equal-content
+    group emits STAR edges (min-id → other members) and contributes one
+    REPRESENTATIVE to the all-pairs step across distinct contents. A
+    corpus with N copies of one document (boilerplate — the common
+    near-dup case) therefore costs O(N) candidates per band instead of
+    O(N²) — the same guard the SimHash path uses. Because every candidate
+    is still exact-Jaccard-verified downstream, the collapse is purely a
+    candidate-generation optimization; the verified output's contract is
+    that the full pair set is the transitive closure over Jaccard-1.0
+    edges (for x outside the group, J(x, member) = J(x, representative)
+    exactly, so closure preserves scores; a 64-bit content-hash collision
+    between unequal texts could only cost candidate recall, never emit a
+    wrong score).
+
+    Across DISTINCT contents, every representative pair (not anchor-star)
+    is required for recall: a true near-dup pair (b, c) in a bucket whose
+    min-id anchor a matches neither would otherwise be lost.
 
     Shape for scale: bucket keys are near-unique (one per doc per band),
     so co-location runs through the manual hash shuffle
@@ -192,19 +209,44 @@ def minhash_candidates(ds: "ray.data.Dataset", text_col="text",
     def pairs_in_partition(g: pa.Table) -> pa.Table:
         bk = g["bkey"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, bk))
-        bk_s, ids_s = bk[order], ids[order]
-        new = np.ones(len(bk_s), dtype=bool)
-        new[1:] = bk_s[1:] != bk_s[:-1]
-        run = np.cumsum(new) - 1
-        counts = np.bincount(run)
+        ch = g["chash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ch, bk))
+        bk_s, ch_s, ids_s = bk[order], ch[order], ids[order]
+        n = len(bk_s)
+        if n == 0:
+            return _empty_pairs()
+        # equal-(bkey, chash) sub-runs → star edges (min-id first: ids
+        # ascend within a sub-run)
+        sub_new = np.ones(n, dtype=bool)
+        sub_new[1:] = (bk_s[1:] != bk_s[:-1]) | (ch_s[1:] != ch_s[:-1])
+        sub_run = np.cumsum(sub_new) - 1
+        sub_counts = np.bincount(sub_run)
+        sub_starts = np.cumsum(sub_counts) - sub_counts
+        star_a, star_b = [], []
+        for st, c in zip(sub_starts[sub_counts >= 2],
+                         sub_counts[sub_counts >= 2]):
+            star_a.append(np.full(c - 1, ids_s[st]))
+            star_b.append(ids_s[st + 1:st + c])
+        # one representative per distinct content → all-pairs per bucket
+        rep_ids, rep_bk = ids_s[sub_starts], bk_s[sub_starts]
+        new = np.ones(len(rep_bk), dtype=bool)
+        new[1:] = rep_bk[1:] != rep_bk[:-1]
+        counts = np.bincount(np.cumsum(new) - 1)
         starts = np.cumsum(counts) - counts
         ai, bi = _within_run_pairs(starts, counts, counts >= 2)
-        if len(ai) == 0:
+        a_parts, b_parts = [], []
+        if len(ai):
+            a, b = rep_ids[ai], rep_ids[bi]
+            a_parts.append(np.minimum(a, b))
+            b_parts.append(np.maximum(a, b))
+        if star_a:
+            a_parts.append(np.concatenate(star_a))
+            b_parts.append(np.concatenate(star_b))
+        if not a_parts:
             return _empty_pairs()
-        # ids ascend within a run, so ai < bi index-wise ⇒ id_a < id_b
-        return pa.table({"id_a": pa.array(ids_s[ai], pa.int64()),
-                         "id_b": pa.array(ids_s[bi], pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "id_b": pa.array(np.concatenate(b_parts), pa.int64())})
 
     return hash_shuffle_apply(bands, "bkey", B, pairs_in_partition,
                               _empty_pairs())
@@ -287,6 +329,11 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
     corpus text never leaves its read tasks and nothing large lands on
     the driver. Duplicate pairs (the same pair from several LSH bands)
     are dropped in round 1.
+
+    Scores are rounded to 4 digits (half-towards-infinity, DuckDB
+    parity) BEFORE the threshold is applied, so the reported score and
+    the admission decision always agree (a raw 0.39996 reports 0.4 and
+    is kept at threshold 0.4).
 
     Returns the (small) verified-pair table sorted by (id_a, id_b).
     """
@@ -390,17 +437,20 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
         inter = np.bincount(p_s[1:][dup], minlength=P).astype(np.float64)
         union = len_a + len_b - inter
         ja = inter / np.maximum(union, 1)
+        # round BEFORE thresholding (deliberate, matches the original
+        # verify_jaccard semantics): a raw 0.39996 rounds to 0.4000 and is
+        # KEPT at threshold 0.4 — the reported score and the admission
+        # decision always agree
+        ja_r = pc.round(pa.array(ja, pa.float64()), 4,
+                        round_mode="half_towards_infinity")
         return pa.table({"id_a": prs["id_a"], "id_b": prs["id_b"],
-                         "jaccard": pa.array(ja, pa.float64())})
+                         "jaccard": ja_r})
 
     scored = hash_shuffle_apply(keyed_b, "key", B, score, empty)
     out = scored.filter(expr=f"jaccard >= {threshold}")
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     t = pa.concat_tables(batches) if batches else empty
     if t.num_rows:
-        t = t.set_column(2, "jaccard",
-                         pc.round(t["jaccard"], 4,
-                                  round_mode="half_towards_infinity"))
         idx = pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
         t = t.take(idx)
@@ -465,7 +515,19 @@ def simhash_fingerprints(ds: "ray.data.Dataset", text_col="text",
 
 def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
                        text_col="text", id_col="doc_id") -> pa.Table:
-    """All pairs within Hamming distance ≤ radius of each other's SimHash.
+    """Near-dup pairs at Hamming distance ≤ radius, as a STAR +
+    REPRESENTATIVE edge set whose distance-0 transitive closure is the
+    full pair set.
+
+    Members with IDENTICAL fingerprints are collapsed (mass-duplicate
+    safety): each equal-fingerprint group contributes star edges
+    (min-id → other members, distance 0) plus one representative to the
+    pairwise popcount. Consequently, with A==B (distance 0) and C at
+    distance 2, the output holds (A,B,0) and (A,C,2) but NOT (B,C) —
+    (B,C) is recovered by closing over distance-0 edges, and its
+    distance equals the representative pair's. Consumers wanting the
+    explicit full pair list must take that closure (it is O(N²) rows for
+    N copies of one document — the reason it is not emitted eagerly).
 
     Pigeonhole bucketing: split each 64-bit fingerprint into four 16-bit
     chunks; any pair at distance ≤3 agrees exactly on at least one chunk,
@@ -694,7 +756,11 @@ def q_dedup_groups(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
-    """SimHash near-dup pairs at Hamming radius ≤3 (chunk-bucketed)."""
+    """SimHash near-dup pairs at Hamming radius ≤3 (chunk-bucketed).
+
+    Output contract (see :func:`simhash_near_pairs`): star edges within
+    equal-fingerprint groups + representative-to-representative pairs;
+    the full pair set is the transitive closure over distance-0 edges."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return simhash_near_pairs(ds, radius=3)

@@ -577,3 +577,47 @@ def test_simhash_mass_duplicates_linear(ray_session):
         ("id_a", "id_b")).to_pandas()
     assert groups["group_id"].nunique() == 1  # one connected component
     assert wall < 60, wall
+
+
+def test_minhash_mass_duplicates_linear(ray_session):
+    """N copies of one document (same signature in ALL 16 bands) must
+    produce O(N) candidates — star edges within the equal-content group
+    — not 16*O(N^2) pairs (r2 VERDICT #1 / ADVICE medium). The verified
+    output still connects the whole group at Jaccard 1.0."""
+    import time
+
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import (BANDS, distributed_jaccard,
+                                          minhash_candidates,
+                                          near_dup_groups)
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(500)]
+    n = 10_000
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(100)]
+    ids = list(range(100))
+    texts += ["the same boilerplate text repeated for every single copy"] * n
+    ids += list(range(1000, 1000 + n))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    t0 = time.time()
+    pairs_ds = minhash_candidates(ds).materialize()
+    n_cand = pairs_ds.count()
+    # star edges only: ≤ one (min, other) edge per dup member per band,
+    # plus a few representative pairs among the 100 random docs
+    assert n_cand <= BANDS * (n - 1) + 1000, n_cand
+    verified = distributed_jaccard(pairs_ds, ds, threshold=0.5)
+    wall = time.time() - t0
+    dup_edges = [(a, b, j) for a, b, j in
+                 zip(verified["id_a"].to_pylist(),
+                     verified["id_b"].to_pylist(),
+                     verified["jaccard"].to_pylist()) if a >= 1000]
+    assert len(dup_edges) == n - 1, len(dup_edges)
+    assert all(j == 1.0 for _, _, j in dup_edges)
+    groups = near_dup_groups(verified).to_pandas()
+    dup_groups = groups[groups["doc_id"] >= 1000]
+    assert dup_groups["group_id"].nunique() == 1
+    assert len(dup_groups) == n
+    assert wall < 90, wall
