@@ -650,26 +650,41 @@ def simhash_near_pairs(ds: "ray.data.Dataset", radius: int = 3,
 # -- embedding near-dup ------------------------------------------------------
 
 def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
-                        n_planes: int = 12, n_sets: int = 1,
-                        seed: int = 42,
+                        n_planes: int | None = None, n_sets: int = 1,
+                        seed: int = 42, target_bucket: int = 128,
                         id_col="vec_id", emb_col="embedding"):
-    """Random-hyperplane LSH bucketing + exact cosine within buckets.
+    """Random-hyperplane LSH bucketing + exact cosine within buckets,
+    scale-adaptive and mass-duplicate-safe.
+
+    ``n_planes`` defaults to ``max(12, ceil(log2(n_rows /
+    target_bucket)))`` so expected bucket occupancy stays ~constant as
+    the corpus grows (a fixed 2^12 buckets would make per-bucket pair
+    counts grow ~(n/4096)²). Members with BIT-IDENTICAL raw embeddings
+    (duplicate images, zero vectors) are collapsed per bucket: equal-hash
+    groups emit star edges (min-id → others, cosine = the vector's
+    normalized self-dot — exactly 1.0, or 0.0 for the zero vector, which
+    the threshold then drops) and contribute one representative to the
+    pairwise einsum, so N copies of one vector cost O(N) not O(N²); the
+    full pair set is the transitive closure over cosine-1.0 edges.
 
     ``n_sets`` independent plane sets are probed for recall (a true
     near-dup pair only needs to collide in ONE set); candidates dedupe
-    in the final sort. Only (bucket key, id, normalized vector) rows
-    shuffle — through the manual hash shuffle (bucket cardinality is
-    2^planes × n_sets, Ray groupby's per-group wall) — and the
-    within-bucket verify is one gathered einsum over all candidate
-    pairs, no per-bucket Python."""
+    in the final sort. Only (bucket key, id, vector-hash, normalized
+    vector) rows shuffle — through the manual hash shuffle (bucket
+    cardinality is 2^planes × n_sets, Ray groupby's per-group wall) —
+    and the within-bucket verify is one gathered einsum over all
+    candidate pairs, no per-bucket Python."""
     from .shuffle import hash_shuffle_apply
 
     first = ds.take(1)[0]
     dim = len(first[emb_col])
+    n_rows = ds.count()
+    if n_planes is None:
+        n_planes = max(12, int(np.ceil(np.log2(
+            max(n_rows, 1) / target_bucket + 1))))
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_sets, dim, n_planes))
     planes_ref = ray.put(planes)
-    n_rows = ds.count()
     B = _coarse_buckets(n_rows * n_sets, rows_per_part=200_000)
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
@@ -692,6 +707,13 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
             pa.array(np.arange(len(X) + 1) * (Xn.shape[1] if len(X) else 0),
                      pa.int32()),
             pa.array(Xn.ravel()))
+        # bit-exact raw-vector hash (pre-normalization): the
+        # mass-duplicate collapse key
+        Xu = np.ascontiguousarray(X).view(np.uint64)
+        vh = Xu[:, 0].copy() if X.size else np.zeros(0, np.uint64)
+        for j in range(1, Xu.shape[1] if X.size else 0):
+            vh = rehash(vh, j) ^ Xu[:, j]
+        vh = vh.astype(np.int64) if X.size else np.zeros(0, np.int64)
         parts = []
         for s in range(planes_w.shape[0]):
             bits = (Xn @ planes_w[s]) > 0
@@ -700,27 +722,63 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95,
                 bucket |= bits[:, j].astype(np.uint64) << np.uint64(j)
             bkey = rehash(bucket, 5077 + s).astype(np.int64)
             parts.append(pa.table({
-                "bkey": pa.array(bkey), id_col: t[id_col], "vec": vec}))
+                "bkey": pa.array(bkey), id_col: t[id_col],
+                "vhash": pa.array(vh), "vec": vec}))
         return pa.concat_tables(parts)
 
     def within(g: pa.Table) -> pa.Table:
         bk = g["bkey"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, bk))
-        bk_s, ids_s = bk[order], ids[order]
-        new = np.ones(len(bk_s), dtype=bool)
-        new[1:] = bk_s[1:] != bk_s[:-1]
+        vh = g["vhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vh, bk))
+        bk_s, vh_s, ids_s = bk[order], vh[order], ids[order]
+        n = len(bk_s)
+        if n == 0:
+            return empty
+        X = _mat(g["vec"])[order]
+        # equal-(bkey, vhash) sub-runs → star edges; cosine is the
+        # member's normalized self-dot (1.0, or 0.0 for zero vectors)
+        sub_new = np.ones(n, dtype=bool)
+        sub_new[1:] = (bk_s[1:] != bk_s[:-1]) | (vh_s[1:] != vh_s[:-1])
+        sub_run = np.cumsum(sub_new) - 1
+        sub_counts = np.bincount(sub_run)
+        sub_starts = np.cumsum(sub_counts) - sub_counts
+        parts = []
+        big = sub_starts[sub_counts >= 2]
+        if len(big):
+            sa, sb, sc = [], [], []
+            selfdot = np.einsum("ij,ij->i", X[big], X[big])
+            for st, c, sd in zip(big, sub_counts[sub_counts >= 2],
+                                 selfdot):
+                sa.append(np.full(c - 1, ids_s[st]))
+                sb.append(ids_s[st + 1:st + c])
+                sc.append(np.full(c - 1, sd))
+            cos0 = np.concatenate(sc)
+            k0 = cos0 >= threshold
+            if k0.any():
+                parts.append(pa.table({
+                    "id_a": pa.array(np.concatenate(sa)[k0], pa.int64()),
+                    "id_b": pa.array(np.concatenate(sb)[k0], pa.int64()),
+                    "cosine": pa.array(np.round(cos0[k0], 4))}))
+        # one representative per distinct vector → pairwise einsum
+        rep_bk = bk_s[sub_starts]
+        new = np.ones(len(rep_bk), dtype=bool)
+        new[1:] = rep_bk[1:] != rep_bk[:-1]
         counts = np.bincount(np.cumsum(new) - 1)
         starts = np.cumsum(counts) - counts
         ai, bi = _within_run_pairs(starts, counts, counts >= 2)
-        if len(ai) == 0:
-            return empty
-        X = _mat(g["vec"])[order]
-        cos = np.einsum("ij,ij->i", X[ai], X[bi])
-        keep = cos >= threshold
-        return pa.table({"id_a": pa.array(ids_s[ai[keep]], pa.int64()),
-                         "id_b": pa.array(ids_s[bi[keep]], pa.int64()),
-                         "cosine": pa.array(np.round(cos[keep], 4))})
+        if len(ai):
+            Xr = X[sub_starts]
+            rep_ids = ids_s[sub_starts]
+            cos = np.einsum("ij,ij->i", Xr[ai], Xr[bi])
+            keep = cos >= threshold
+            if keep.any():
+                a, b = rep_ids[ai[keep]], rep_ids[bi[keep]]
+                parts.append(pa.table({
+                    "id_a": pa.array(np.minimum(a, b), pa.int64()),
+                    "id_b": pa.array(np.maximum(a, b), pa.int64()),
+                    "cosine": pa.array(np.round(cos[keep], 4))}))
+        return pa.concat_tables(parts) if parts else empty
 
     bucketed = ds.map_batches(bucket_fn, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -621,3 +621,55 @@ def test_minhash_mass_duplicates_linear(ray_session):
     assert dup_groups["group_id"].nunique() == 1
     assert len(dup_groups) == n
     assert wall < 90, wall
+
+
+def test_embedding_mass_duplicates_linear(ray_session):
+    """N bit-identical embeddings in one LSH bucket must produce O(N)
+    star edges (cosine exactly 1.0), not O(N^2) pairs; zero vectors
+    (self-dot 0.0) must emit nothing (r2 VERDICT #2)."""
+    import time
+
+    import ray.data
+
+    from sjot_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 8000
+    base = rng.normal(size=(50, dim))
+    dup = rng.normal(size=dim)
+    vecs = list(base) + [dup] * n + [np.zeros(dim)] * 100
+    ids = list(range(50)) + list(range(1000, 1000 + n)) \
+        + list(range(50_000, 50_100))
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))})
+    t0 = time.time()
+    out = embedding_near_dups(ray.data.from_arrow(tbl), threshold=0.9,
+                              n_sets=2)
+    rows = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    wall = time.time() - t0
+    a = rows["id_a"].to_numpy(zero_copy_only=False)
+    b = rows["id_b"].to_numpy(zero_copy_only=False)
+    c = rows["cosine"].to_numpy(zero_copy_only=False)
+    # dup block: star edges only, possibly repeated across the 2 plane
+    # sets (pre-dedup) → ≤ 2*(n-1) rows, all anchored at min id 1000
+    dup_rows = (a >= 1000) & (a < 50_000)
+    assert dup_rows.sum() <= 2 * (n - 1), dup_rows.sum()
+    assert set(a[dup_rows]) == {1000}
+    assert (c[dup_rows] == 1.0).all()
+    assert len(set(b[dup_rows])) == n - 1
+    # zero vectors: self-dot 0.0 < threshold → no edges at all
+    assert not ((a >= 50_000) | (b >= 50_000)).any()
+    assert wall < 60, wall
+
+
+def test_embedding_lsh_planes_scale_with_rows(ray_session):
+    """n_planes defaults to log2(n/target_bucket) so bucket occupancy
+    stays bounded as the corpus grows."""
+    from sjot_ray.pipelines.dedup import embedding_near_dups
+
+    # probe the default formula directly
+    assert max(12, int(np.ceil(np.log2(5_000 / 128 + 1)))) == 12
+    assert max(12, int(np.ceil(np.log2(100_000_000 / 128 + 1)))) == 20
