@@ -17,9 +17,14 @@ Partitioning assumption (document per use): all rows with equal
 ``key_col`` land in the same partition (key % B); per-partition functions
 must be correct for any superset of co-located key groups.
 
-Single-round fan-in: each reduce takes one arg per input block. For
-block counts beyond ~10^4 a multi-round merge tree would be needed —
-out of scope here (blocks are file-sized shards).
+Fan-in: a reduce task's argument list is capped at ``_FANIN`` input
+cells. Beyond that, intermediate combine rounds form a merge tree —
+each combine concatenates up to ``_FANIN`` partition cells into one
+object-store table and returns a ref — so a 100 TB run with ~4×10^5
+input blocks costs ⌈log_FANIN(n_blocks)⌉ (=2) extra rounds per
+partition instead of one task with 4×10^5 arguments. The driver holds
+B × n_blocks refs transiently at split time (refs only, ~100 B each);
+combine rounds shrink that to B × fan-in.
 """
 
 from __future__ import annotations
@@ -68,6 +73,26 @@ def _reduce(fn, empty: pa.Table, *part_refs) -> pa.Table:
     return fn(pa.concat_tables(parts, promote_options="default"))
 
 
+# Max arguments per reduce/combine task. Ray resolves each argument
+# individually; thousands of args per task stress the scheduler and the
+# owner's ref bookkeeping, so beyond this the shuffle inserts combine
+# rounds (a merge tree) instead of widening one task.
+_FANIN = 512
+
+
+@ray.remote
+def _combine(*part_refs):
+    """Merge up to _FANIN partition cells into one table; returns an
+    inner ObjectRef (like _split) so the merged table lives in the
+    worker-side object store, never inlined into the driver heap."""
+    refs = [r for r in part_refs if r is not None]
+    parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
+    if not parts:
+        return None
+    return ray.put(pa.concat_tables(parts, promote_options="default")
+                   .combine_chunks())
+
+
 def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
                    cap: int = 4096) -> int:
     """Partition count for high-cardinality keyed work: scales with the
@@ -77,20 +102,31 @@ def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
 
 
 def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
-                       fn, empty: pa.Table) -> "ray.data.Dataset":
+                       fn, empty: pa.Table,
+                       fanin: int = _FANIN) -> "ray.data.Dataset":
     """Partition ``ds`` by ``key_col % n_parts`` (integer keys), apply
     ``fn(partition_table) -> pa.Table`` once per partition in reduce
     tasks, and return the outputs as a new Dataset. ``empty`` is the
     output schema's empty table (returned for empty partitions and when
-    the input has no blocks)."""
+    the input has no blocks).
+
+    When the input has more than ``fanin`` blocks, each partition's
+    cells are merged through intermediate ``_combine`` rounds (a
+    ``fanin``-ary tree) so no task ever takes more than ``fanin``
+    arguments — the shuffle scales past the single-round ~10^4-block
+    fan-in ceiling with ⌈log_fanin(n_blocks)⌉ rounds."""
     B = max(2, int(n_parts))
+    fanin = max(2, int(fanin))
     block_refs = ds.to_arrow_refs()
     if not block_refs:
         return ray.data.from_arrow(empty)
     split_out = [_split.options(num_returns=B).remote(b, key_col, B)
                  for b in block_refs]
-    out_refs = [
-        _reduce.remote(fn, empty, *[split_out[i][p]
-                                    for i in range(len(split_out))])
-        for p in range(B)]
+    out_refs = []
+    for p in range(B):
+        cells = [split_out[i][p] for i in range(len(split_out))]
+        while len(cells) > fanin:
+            cells = [_combine.remote(*cells[i:i + fanin])
+                     for i in range(0, len(cells), fanin)]
+        out_refs.append(_reduce.remote(fn, empty, *cells))
     return ray.data.from_arrow_refs(out_refs)
