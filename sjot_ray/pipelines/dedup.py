@@ -254,6 +254,16 @@ def minhash_candidates(ds: "ray.data.Dataset", text_col="text",
 
 # -- distributed Jaccard verify ---------------------------------------------
 
+@ray.remote
+def _block_unique_ids(t: pa.Table) -> np.ndarray:
+    """Sorted-unique candidate ids of one pair block (runs in a task so
+    the driver only ever sees deduplicated id sets)."""
+    if t.num_rows == 0:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate([
+        t["id_a"].to_numpy(zero_copy_only=False),
+        t["id_b"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+
 def _shingle_set_rows(docs_ds: "ray.data.Dataset", ids_ref,
                       text_col: str, id_col: str,
                       k: int) -> "ray.data.Dataset":
@@ -312,10 +322,10 @@ def _split_doc_pair_rows(g: pa.Table):
     return docs, prs, order[pos[ok]]
 
 
-def distributed_jaccard(pairs: "ray.data.Dataset",
-                        docs_ds: "ray.data.Dataset", text_col="text",
-                        id_col="doc_id", k: int = 5,
-                        threshold: float = 0.5) -> pa.Table:
+def distributed_jaccard_ds(pairs: "ray.data.Dataset",
+                           docs_ds: "ray.data.Dataset", text_col="text",
+                           id_col="doc_id", k: int = 5,
+                           threshold: float = 0.5) -> "ray.data.Dataset":
     """Exact n-gram Jaccard on candidate pairs via a keyed two-round join.
 
     Round 1 co-locates pair rows with id_a's shingle-set row (partition =
@@ -335,7 +345,9 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
     the admission decision always agree (a raw 0.39996 reports 0.4 and
     is kept at threshold 0.4).
 
-    Returns the (small) verified-pair table sorted by (id_a, id_b).
+    Returns the verified-pair rows as a DATASET (the scale path for
+    downstream distributed grouping); :func:`distributed_jaccard` wraps
+    this with the driver-side collect + sort for small results.
     """
     # pin the (small) candidate-pair dataset in the object store so the
     # consumers below don't re-run the LSH candidate generation
@@ -345,19 +357,18 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
     if n_pairs == 0:
-        return empty
+        return ray.data.from_arrow(empty)
 
-    # candidate-id set: scan the (already materialized, small) pair
-    # blocks directly — same driver memory as the broadcast id set built
-    # next, one fewer Ray job than a distributed unique()
-    id_parts = []
-    for ref in pairs.to_arrow_refs():
-        b = ray.get(ref)
-        if b.num_rows:
-            id_parts.append(b["id_a"].to_numpy(zero_copy_only=False))
-            id_parts.append(b["id_b"].to_numpy(zero_copy_only=False))
-    cand = np.unique(np.concatenate(id_parts).astype(np.int64)) \
-        if id_parts else np.zeros(0, np.int64)
+    # candidate-id set for the broadcast filter: per-block unique runs in
+    # TASKS, so raw pair arrays never land on the driver — it only merges
+    # the already-deduplicated per-block id sets (bounded by the
+    # candidate-doc count, which the mass-duplicate star-edge collapse
+    # keeps ≪ corpus)
+    id_uniqs = ray.get([_block_unique_ids.remote(r)
+                        for r in pairs.to_arrow_refs()])
+    id_uniqs = [u for u in id_uniqs if len(u)]
+    cand = np.unique(np.concatenate(id_uniqs)) if id_uniqs \
+        else np.zeros(0, np.int64)
     ids_ref = ray.put(pa.array(cand, pa.int64()))
     B = _coarse_buckets(max(n_pairs, len(cand)), rows_per_part=200_000)
 
@@ -447,7 +458,22 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
                          "jaccard": ja_r})
 
     scored = hash_shuffle_apply(keyed_b, "key", B, score, empty)
-    out = scored.filter(expr=f"jaccard >= {threshold}")
+    return scored.filter(expr=f"jaccard >= {threshold}")
+
+
+def distributed_jaccard(pairs: "ray.data.Dataset",
+                        docs_ds: "ray.data.Dataset", text_col="text",
+                        id_col="doc_id", k: int = 5,
+                        threshold: float = 0.5) -> pa.Table:
+    """:func:`distributed_jaccard_ds` collected to a driver-side table
+    sorted by (id_a, id_b) — for small verified outputs (queries,
+    tests); distributed consumers (component grouping) should take the
+    Dataset variant instead."""
+    out = distributed_jaccard_ds(pairs, docs_ds, text_col, id_col, k,
+                                 threshold)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     t = pa.concat_tables(batches) if batches else empty
     if t.num_rows:
@@ -460,7 +486,10 @@ def distributed_jaccard(pairs: "ray.data.Dataset",
 def near_dup_groups(edges: pa.Table, id_cols=("id_a", "id_b")) -> pa.Table:
     """Union-find connected components over verified near-dup edges →
     (doc_id, group_id = min id in component). Runs on the driver over the
-    EDGE list only (edges are the tiny verified output, not the corpus)."""
+    EDGE list only — the small-input convenience; the scale path is
+    :func:`.components.near_dup_groups_distributed` (min-label
+    propagation over the hash shuffle, nothing edge-proportional on the
+    driver), which :func:`q_dedup_groups` uses."""
     a = edges[id_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
     b = edges[id_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
     parent: dict[int, int] = {}
@@ -799,16 +828,20 @@ def q_minhash_near_dups(sf_dir: str):
 
 def q_dedup_groups(sf_dir: str):
     """End-to-end dedup decision table: MinHash-LSH candidates →
-    distributed Jaccard verify → union-find components → one row per
-    near-dup-involved doc with its group id and the keep/drop decision
-    (keep = smallest doc_id in the component). Docs in no component are
-    implicitly kept and not listed. Rows-only oracle (LSH is not
+    distributed Jaccard verify → DISTRIBUTED min-label-propagation
+    components (:mod:`.components`) → one row per near-dup-involved doc
+    with its group id and the keep/drop decision (keep = smallest doc_id
+    in the component). Docs in no component are implicitly kept and not
+    listed. The whole chain is worker-side; the driver only collects the
+    final decision table. Rows-only oracle (LSH is not
     SQL-expressible)."""
+    from .components import near_dup_groups_distributed
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    edges = distributed_jaccard(minhash_candidates(ds), ds,
-                                k=5, threshold=0.4)
-    groups = near_dup_groups(edges)
+    edges_ds = distributed_jaccard_ds(minhash_candidates(ds), ds,
+                                      k=5, threshold=0.4)
+    groups = near_dup_groups_distributed(edges_ds)
     keep = pc.equal(groups["doc_id"], groups["group_id"])
     return groups.append_column("keep", keep)
 

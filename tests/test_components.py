@@ -1,0 +1,124 @@
+"""Distributed connected components (min-label propagation +
+pointer-jumping) vs the driver-side union-find reference."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+def _uf_reference(edges: pa.Table) -> dict[int, int]:
+    from sjot_ray.pipelines.dedup import near_dup_groups
+
+    t = near_dup_groups(edges)
+    return dict(zip(t["doc_id"].to_pylist(), t["group_id"].to_pylist()))
+
+
+def test_components_match_union_find(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.components import near_dup_groups_distributed
+
+    rng = np.random.default_rng(5)
+    # random sparse graph: many small components + dup edges + self edges
+    a = rng.integers(0, 3000, 4000).astype(np.int64)
+    b = (a + rng.integers(0, 5, 4000)).astype(np.int64)
+    edges = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    want = _uf_reference(edges)
+    got_t = near_dup_groups_distributed(ray.data.from_arrow(edges))
+    got = dict(zip(got_t["doc_id"].to_pylist(),
+                   got_t["group_id"].to_pylist()))
+    assert got == want
+
+
+def test_components_long_chain_converges(ray_session):
+    """A 5000-node path graph needs pointer jumping (plain neighbor
+    propagation would need 5000 rounds; the shortcut term converges in
+    O(log n))."""
+    import ray.data
+
+    from sjot_ray.pipelines.components import connected_components
+
+    n = 5000
+    a = np.arange(n, dtype=np.int64)
+    edges = pa.table({"id_a": pa.array(a), "id_b": pa.array(a + 1)})
+    labels = connected_components(ray.data.from_arrow(edges),
+                                  max_rounds=20)
+    t = pa.concat_tables(list(
+        labels.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert t.num_rows == n + 1
+    assert (t["label"].to_numpy(zero_copy_only=False) == 0).all()
+
+
+def test_components_empty_and_self_edges(ray_session):
+    import ray.data
+
+    from sjot_ray.pipelines.components import near_dup_groups_distributed
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    assert near_dup_groups_distributed(
+        ray.data.from_arrow(empty)).num_rows == 0
+    selfs = pa.table({"id_a": pa.array([7, 7], pa.int64()),
+                      "id_b": pa.array([7, 8], pa.int64())})
+    t = near_dup_groups_distributed(ray.data.from_arrow(selfs))
+    assert dict(zip(t["doc_id"].to_pylist(),
+                    t["group_id"].to_pylist())) == {7: 7, 8: 7}
+
+
+def test_components_million_edges(ray_session):
+    """Planted 10^6-edge graph resolves to one component, worker-side
+    (driver holds only refs + per-round change counts; RSS evidence in
+    scripts/components_scale_check.py / BASELINE.md)."""
+    import time
+
+    import ray.data
+
+    from sjot_ray.pipelines.components import near_dup_groups_distributed
+
+    rng = np.random.default_rng(1)
+    m, n_nodes = 1_000_000, 200_000
+    src = rng.integers(0, n_nodes, m)
+    dst = rng.integers(0, n_nodes, m)
+    edges = pa.table({
+        "id_a": pa.array(np.minimum(src, dst), pa.int64()),
+        "id_b": pa.array(np.maximum(src, dst) + 1, pa.int64())})
+    t0 = time.time()
+    t = near_dup_groups_distributed(ray.data.from_arrow(edges))
+    wall = time.time() - t0
+    # 1M random edges over 200K nodes: giant component ~everything
+    assert t.num_rows >= n_nodes * 0.99
+    assert len(set(t["group_id"].to_pylist())) < 10
+    assert wall < 300, wall
+
+
+def test_dedup_groups_distributed_matches_driver_path(ray_session):
+    """q_dedup_groups' distributed component chain produces the same
+    decision table as the driver union-find over the same verified
+    edges."""
+    import ray.data
+
+    from sjot_ray.pipelines.components import near_dup_groups_distributed
+    from sjot_ray.pipelines.dedup import (distributed_jaccard,
+                                          distributed_jaccard_ds,
+                                          minhash_candidates,
+                                          near_dup_groups)
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(400)]
+    texts, ids = [], []
+    for i in range(150):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, 30)))
+    for j in range(8):  # planted near-dups
+        ids.append(500 + j)
+        tk = texts[j].split()
+        tk[3] = "XX"
+        texts.append(" ".join(tk))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    pairs = minhash_candidates(ds).materialize()
+    edges_tbl = distributed_jaccard(pairs, ds, threshold=0.4)
+    want = near_dup_groups(edges_tbl).to_pandas()
+    got = near_dup_groups_distributed(
+        distributed_jaccard_ds(pairs, ds, threshold=0.4)).to_pandas()
+    assert want.equals(got)
