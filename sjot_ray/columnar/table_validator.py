@@ -29,7 +29,11 @@ recursive default injection in ``normalize_batch``), list/set fields
 inside item objects and nested structs (first-failing-item reduction
 over a second-level flatten), and regex property names over Arrow map
 columns (per-entry rules on the flattened key/value table,
-index.js:388-405).
+index.js:388-405) AND over struct layouts at any nesting depth
+(matching fields discovered per batch from the struct's Arrow type,
+first-failing-field-wins in field order = the reference's
+data-iteration order; scalar value types — object-typed regex props
+remain a row-engine fallback).
 Anything outside this surface raises :class:`ColumnarCompileError` AT
 COMPILE TIME — callers fall back to the row engine (``sjot_ray.stages``);
 no evaluation path raises inside a Ray worker. Schema–table SHAPE
@@ -170,6 +174,10 @@ class Rule:
     # returns (mask, (keys, values)) and the datapath is $.col.<key>
     const_repr: str | None = None   # absent-optional-with-invalid-default
     # rules: the violation fields are compile-time constants
+    dyn: bool = False         # per-row dynamic diagnostics; ev returns
+    # (mask, (datapaths, value_reprs)) object ndarrays filled for
+    # failing rows (regex property names over nested struct fields —
+    # matching FIELDS are only known from the batch's Arrow schema)
 
     def key_base(self) -> int:
         return (self.major << (_ITEM_BITS + _MINOR_BITS)) | self.minor
@@ -935,8 +943,49 @@ class TableValidator:
                         self._add(r, ev)
                 continue
             if prop.startswith("("):
-                raise ColumnarCompileError(
-                    "regex property names in nested structs: row engine")
+                # regex property name over a nested struct: matching
+                # FIELDS are discovered per batch from the struct's Arrow
+                # type; field order = data-property order, so
+                # first-failing-field-wins inside the rule reproduces the
+                # reference's data-iteration order (index.js:388-405;
+                # row engine core/validator.py kind-2 entries). Scalar
+                # value types only — anything else stays on the row
+                # engine (compile-time fallback).
+                rt, prop_tp = self._resolve_path(proptype,
+                                                 f"{typepath}/{prop}")
+                if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
+                    raise ColumnarCompileError(
+                        "non-scalar regex-prop value types in nested"
+                        " structs: row engine")
+                from ..core.validator import compile_regex_type
+                matcher = compile_regex_type(prop)
+                major = self._next_major()
+                r = Rule(major, 0, dotted, prop_tp, "value", rt, dyn=True)
+
+                def ev(tbl, path=tuple(path), matcher=matcher, rt=rt):
+                    arr, parent_valid = _nested_field(tbl, list(path))
+                    if arr is None or not pa.types.is_struct(arr.type):
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    struct_ok = parent_valid & _valid_mask(arr)
+                    fail = np.zeros(tbl.num_rows, dtype=bool)
+                    paths_o = np.full(tbl.num_rows, None, dtype=object)
+                    reprs_o = np.full(tbl.num_rows, None, dtype=object)
+                    base = ".".join(path)
+                    for f in arr.type:
+                        if matcher.fullmatch(f.name) is None:
+                            continue
+                        farr = arr.field(f.name)
+                        ff = _scalar_fail_mask(farr, rt) & struct_ok
+                        newly = ff & ~fail
+                        for i in np.nonzero(newly)[0]:
+                            v = farr[int(i)].as_py()
+                            reprs_o[i] = "" if isinstance(v, (dict, list)) \
+                                else js_string(v)
+                            paths_o[i] = f"{base}.{f.name}"
+                        fail |= ff
+                    return fail, (paths_o, reprs_o)
+                self._add(r, ev)
+                continue
             q = prop.find("?")
             pname = prop[:q] if q != -1 else prop
             required = q == -1
@@ -1086,12 +1135,16 @@ class TableValidator:
                 self._add(r, ev)
 
         if bool(obj_type.get("@final", False)):
+            from ..core.validator import compile_regex_type
+            regex_matchers = tuple(compile_regex_type(p) for p in obj_type
+                                   if p.startswith("("))
             major = self._next_major()
             r = Rule(major, 0, dotted, typepath + "/@final",
                      "additional property should not be present", "",
                      no_value=True)
 
-            def ev(tbl, path=tuple(path), props=frozenset(prop_names)):
+            def ev(tbl, path=tuple(path), props=frozenset(prop_names),
+                   rxs=regex_matchers):
                 arr, parent_valid = _nested_field(tbl, list(path))
                 if arr is None or not pa.types.is_struct(arr.type):
                     return np.zeros(tbl.num_rows, dtype=bool), None
@@ -1099,7 +1152,8 @@ class TableValidator:
                 fail = np.zeros(tbl.num_rows, dtype=bool)
                 first = np.full(tbl.num_rows, None, dtype=object)
                 for f in arr.type:
-                    if f.name in props:
+                    if f.name in props or f.name == "@sjot" \
+                            or any(m.fullmatch(f.name) for m in rxs):
                         continue
                     fv = _valid_mask(arr.field(f.name))
                     newly = fv & ~fail
@@ -1246,12 +1300,14 @@ class TableValidator:
                     return km & vf, (keys, vals)
                 self._add(r, ev)
 
-                r2 = Rule(major, 1, name, f"{typepath}/{prop}", "value",
-                          rt)
+                r2 = Rule(major, 1, name, prop_tp, "value", rt, dyn=True)
 
                 def ev_struct(tbl, rx=prop, rt=rt):
                     # struct-layout: physical field names matching the
-                    # pattern validate against the prop type
+                    # pattern validate against the prop type; field order
+                    # = data-property order, first failing field wins
+                    # (exact per-field datapath/value via the dyn
+                    # mechanism)
                     if name not in tbl.column_names:
                         return np.zeros(tbl.num_rows, dtype=bool), None
                     a0 = tbl[name]
@@ -1263,16 +1319,21 @@ class TableValidator:
                     matcher = compile_regex_type(rx)
                     svalid = _valid_mask(a0)
                     fail = np.zeros(tbl.num_rows, dtype=bool)
-                    values = None
+                    paths_o = np.full(tbl.num_rows, None, dtype=object)
+                    reprs_o = np.full(tbl.num_rows, None, dtype=object)
                     for fld in a0.type:
                         if matcher.fullmatch(fld.name) is None:
                             continue
                         farr = a0.field(fld.name)
                         ff = _scalar_fail_mask(farr, rt) & svalid
-                        if values is None:
-                            values = farr
+                        newly = ff & ~fail
+                        for i in np.nonzero(newly)[0]:
+                            v = farr[int(i)].as_py()
+                            reprs_o[i] = "" if isinstance(v, (dict, list)) \
+                                else js_string(v)
+                            paths_o[i] = f"{name}.{fld.name}"
                         fail |= ff
-                    return fail, values
+                    return fail, (paths_o, reprs_o)
                 self._add(r2, ev_struct)
                 continue
 
@@ -1845,6 +1906,16 @@ class TableValidator:
                 "typepath": rule.typepath,
                 "what": rule.what,
                 "value_repr": rule.const_repr,
+                "rule": f"{rule.major}.{rule.minor}",
+            }
+        if rule.dyn and values is not None:
+            paths, reprs = values
+            return {
+                "row_idx": int(row),
+                "datapath": f"$.{paths[row]}",
+                "typepath": rule.typepath,
+                "what": rule.what,
+                "value_repr": reprs[row],
                 "rule": f"{rule.major}.{rule.minor}",
             }
         if rule.map_entry and values is not None:

@@ -94,6 +94,19 @@ def gen_type(rng, depth=0):
             props[f"{name}{opt}"] = st
             fields.append((name, at))
             samplers[name] = sam
+        if rng.random() < 0.35:
+            # regex property name over the struct's physical fields
+            # (scalar value type) — r2 VERDICT #5 coverage; some field
+            # names match the pattern, some don't (those are @final
+            # extras when present)
+            rst, rat, rsam = SCALARS[2]
+            props["(x[0-9])"] = rst
+            for j in range(int(rng.integers(1, 3))):
+                fname = f"x{j}" if rng.random() < 0.8 else f"xz{j}"
+                if any(f[0] == fname for f in fields):
+                    continue
+                fields.append((fname, rat))
+                samplers[fname] = rsam
         if rng.random() < 0.3:
             props["@final"] = True
         opt_names = [k.split("?")[0] for k in props

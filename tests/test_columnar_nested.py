@@ -531,3 +531,114 @@ def test_struct_schema_over_map_column():
     for cell, got in zip(rows, cv):
         want = valid({"v": dict(cell)}, None, copy.deepcopy(schema))
         assert bool(got) == want, (cell, bool(got), want)
+
+
+# -- regex property names inside nested structs (r2 VERDICT #5) --------------
+
+REGEX_NESTED_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {
+        "id": "0..",
+        "attrs": {
+            "@final": True,
+            "name": "string",
+            "(x_[a-z]+)": "0..100",
+            "(tag_.*)": "(red|blue)",
+        },
+    },
+}
+
+
+def regex_nested_table():
+    attrs_t = pa.struct([
+        ("name", pa.string()), ("x_alpha", pa.int64()),
+        ("x_beta", pa.int64()), ("tag_color", pa.string()),
+        ("other", pa.string())])
+    attrs = [
+        {"name": "a", "x_alpha": 5, "x_beta": None, "tag_color": "red",
+         "other": None},                                   # valid
+        {"name": "a", "x_alpha": 500, "x_beta": None, "tag_color": None,
+         "other": None},                                   # x_alpha range
+        {"name": "a", "x_alpha": 5, "x_beta": -1, "tag_color": None,
+         "other": None},                                   # x_beta range
+        {"name": "a", "x_alpha": None, "x_beta": None,
+         "tag_color": "green", "other": None},             # tag enum
+        {"name": "a", "x_alpha": 101, "x_beta": -2, "tag_color": "green",
+         "other": None},               # multiple fails → first in order
+        {"name": "a", "x_alpha": None, "x_beta": None, "tag_color": None,
+         "other": "X"},                # @final extra (regex fields exempt)
+        {"name": None, "x_alpha": 7, "x_beta": None, "tag_color": None,
+         "other": None},               # required literal prop missing
+        None,                          # attrs absent (required)
+    ]
+    return pa.table({
+        "id": pa.array(list(range(1, len(attrs) + 1)), pa.int64()),
+        "attrs": pa.array(attrs, attrs_t),
+    })
+
+
+def test_regex_props_nested_struct_parity():
+    _assert_parity(regex_nested_table(), REGEX_NESTED_SCHEMA)
+
+
+def test_regex_props_nested_struct_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = regex_nested_table()
+    tv = TableValidator(copy.deepcopy(REGEX_NESTED_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(REGEX_NESTED_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_regex_props_deeper_nesting_parity():
+    """Pattern props two struct levels down."""
+    schema = {"@root": "#D",
+              "D": {"outer": {"inner?": {"(k[0-9])": "(on|off)"}}}}
+    inner_t = pa.struct([("k1", pa.string()), ("k2", pa.string())])
+    outer_t = pa.struct([("inner", inner_t)])
+    rows = [
+        {"inner": {"k1": "on", "k2": None}},
+        {"inner": {"k1": "bad", "k2": "off"}},
+        {"inner": {"k1": "on", "k2": "evil"}},
+        {"inner": None},
+        None,
+    ]
+    tbl = pa.table({"outer": pa.array(rows, outer_t)})
+    _assert_parity(tbl, schema)
+
+
+def test_regex_props_match_literal_prop_too():
+    """The reference's regex pass re-validates data props already matched
+    by literal props when the name also matches the pattern
+    (core/validator.py kind-2 iterates ALL data keys)."""
+    schema = {"@root": "#D",
+              "D": {"box": {"kx?": "string", "(k.)": "(a|b)"}}}
+    box_t = pa.struct([("kx", pa.string())])
+    tbl = pa.table({"box": pa.array(
+        [{"kx": "a"}, {"kx": "zzz"}], box_t)})
+    _assert_parity(tbl, schema)
+
+
+def test_regex_props_nonscalar_type_falls_back():
+    """Regex prop with an object value type inside a nested struct is a
+    compile-time fallback to the row engine, never a worker raise."""
+    import copy
+
+    from sjot_ray.columnar.table_validator import ColumnarCompileError
+
+    schema = {"@root": "#D",
+              "D": {"box": {"(k.)": {"v": "int"}}}}
+    with pytest.raises(ColumnarCompileError):
+        TableValidator(copy.deepcopy(schema))
