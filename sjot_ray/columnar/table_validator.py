@@ -42,10 +42,14 @@ list column, object types over map vs struct layouts) produce the row
 engine's verdicts via per-family shape rules, including the reference's
 type dualities: ``char[n,m]`` is a string-length check for string data
 but an array-of-char for list data, the number branch range-scans any
-type string, and map columns carry object data. Embedded ``@sjot`` under
-``any``-typed columns is NOT interpreted (use ``ValidateJsonColumn``);
-mismatch diagnostics may differ from the row engine in ``what`` labels
-(verdicts always agree — fuzz-verified across shape matrices).
+type string, and map columns carry object data. Embedded ``@sjot``
+under a TOP-LEVEL ``any``-typed column IS interpreted: carrier rows
+(struct field / map key "@sjot") are detected per batch and routed
+through the row engine inside the same pass, so mixed corpora stay on
+the fast path (``any`` fields nested deeper remain uninterpreted — use
+``ValidateJsonColumn`` for those). Mismatch diagnostics may differ
+from the row engine in ``what`` labels (verdicts always agree —
+fuzz-verified across shape matrices).
 
 Arrow-null semantics (documented design choice): a null column value ≡ an
 absent JSON property. Required-prop nulls report "should be present";
@@ -463,6 +467,20 @@ def _nested_presence(tbl, path):
     return parent_valid & _valid_mask(arr)
 
 
+def _py_doc(v):
+    """Arrow ``as_py`` cell → JSON value under the engine's conventions:
+    struct-layout null fields ≡ absent (dropped recursively), map cells
+    (lists of (key, value) tuples) become dicts, list items stay."""
+    if isinstance(v, list) and v and isinstance(v[0], tuple) \
+            and len(v[0]) == 2:
+        return {k: _py_doc(x) for k, x in v}
+    if isinstance(v, dict):
+        return {k: _py_doc(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_py_doc(x) for x in v]
+    return v
+
+
 def _pset_fail(kind, present_list, n):
     count = np.sum(present_list, axis=0) if present_list else np.zeros(n)
     if kind == "@one":
@@ -550,6 +568,72 @@ class TableValidator:
                 return valid & (lengths > 0), arr
             self._add(rule, ev)
 
+    def _compile_embedded_sjot_rule(self, name, typepath, major):
+        """Embedded ``@sjot`` under a top-level ``any``-typed column:
+        detect carrier rows per batch (struct field / map key "@sjot")
+        and validate ONLY those with the row engine — exact reference
+        semantics (type-name refs, inline schema dicts, schema lists)
+        at per-row cost proportional to the carrier count."""
+        rule = Rule(major, 0, name, typepath, "value", "", dyn=True)
+        sjots, sjot = self.sjots, self.sjot
+
+        def ev(tbl, name=name, tp=typepath):
+            zeros = np.zeros(tbl.num_rows, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_struct(arr.type):
+                i = arr.type.get_field_index("@sjot")
+                if i < 0:
+                    return zeros, None
+                carriers = _valid_mask(arr) & _valid_mask(arr.field(i))
+            elif pa.types.is_map(arr.type):
+                e = _map_entries_of(tbl, name)
+                if e is None:
+                    return zeros, None
+                keys, _vals, parent, valid = e
+                m = _np(pc.fill_null(pc.equal(keys, "@sjot"),
+                                     False)).astype(bool)
+                carriers = np.zeros(tbl.num_rows, dtype=bool)
+                carriers[parent[m]] = True
+                carriers &= valid
+            else:
+                return zeros, None
+            if not carriers.any():
+                return zeros, None
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            fail = np.zeros(tbl.num_rows, dtype=bool)
+            paths_o = np.full(tbl.num_rows, None, dtype=object)
+            reprs_o = np.full(tbl.num_rows, None, dtype=object)
+            whats_o = np.full(tbl.num_rows, None, dtype=object)
+            tps_o = np.full(tbl.num_rows, None, dtype=object)
+            for i in np.nonzero(carriers)[0]:
+                doc = _py_doc(arr[int(i)].as_py())
+                try:
+                    validate_value(sjots, doc, "any", sjot,
+                                   f"$.{name}", tp, ctx)
+                except SJOTValidationError as e:
+                    row = e.violation_row()
+                    fail[i] = True
+                    # datapath already carries the $.{name} prefix
+                    paths_o[i] = row["datapath"][2:] \
+                        if row["datapath"].startswith("$.") else name
+                    reprs_o[i] = row["value_repr"]
+                    whats_o[i] = row["what"]
+                    tps_o[i] = row["typepath"]
+                except SJOTSchemaError as e:
+                    fail[i] = True
+                    paths_o[i] = name
+                    reprs_o[i] = ""
+                    whats_o[i] = e.msg
+                    tps_o[i] = e.typepath
+            return fail, (paths_o, reprs_o, whats_o, tps_o)
+        self._add(rule, ev)
+
     def _compile_propset(self, kind, propsets, typepath):
         for pset in propsets:
             major = self._next_major()
@@ -630,7 +714,20 @@ class TableValidator:
         self._compile_value_rules(name, rt, prop_typepath, major)
 
     def _compile_value_rules(self, name, rt, typepath, major):
-        if rt == "any" or rt == "object" or rt == "array":
+        if rt == "any":
+            # wildcard — no value constraint — EXCEPT the reference's
+            # embedded-@sjot branch (index.js: 'any' data carrying an
+            # "@sjot" member validates against that embedded schema/ref;
+            # core/validator.py:690). Rows whose struct/map cell
+            # physically carries "@sjot" are the rare slow path: they
+            # run through the ROW engine inside this same rule, so mixed
+            # corpora stay on the columnar fast path without a
+            # whole-dataset fallback. The row engine may inject defaults
+            # into its transient copy; normalize_batch does NOT rewrite
+            # embedded sub-documents.
+            self._compile_embedded_sjot_rule(name, typepath, major)
+            return
+        if rt == "object" or rt == "array":
             # wildcards: no value constraint on a typed column (the Arrow
             # schema already fixes the shape; "object"/"array" mismatches
             # on scalar columns are a decode-stage concern)
@@ -1909,12 +2006,16 @@ class TableValidator:
                 "rule": f"{rule.major}.{rule.minor}",
             }
         if rule.dyn and values is not None:
-            paths, reprs = values
+            paths, reprs = values[0], values[1]
+            whats = values[2] if len(values) > 2 else None
+            tps = values[3] if len(values) > 3 else None
             return {
                 "row_idx": int(row),
                 "datapath": f"$.{paths[row]}",
-                "typepath": rule.typepath,
-                "what": rule.what,
+                "typepath": tps[row] if tps is not None
+                and tps[row] is not None else rule.typepath,
+                "what": whats[row] if whats is not None
+                and whats[row] is not None else rule.what,
                 "value_repr": reprs[row],
                 "rule": f"{rule.major}.{rule.minor}",
             }

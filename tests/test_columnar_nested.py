@@ -642,3 +642,101 @@ def test_regex_props_nonscalar_type_falls_back():
               "D": {"box": {"(k.)": {"v": "int"}}}}
     with pytest.raises(ColumnarCompileError):
         TableValidator(copy.deepcopy(schema))
+
+
+# -- embedded @sjot under a top-level any column (r2 VERDICT #8) -------------
+
+EMBED_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {"id": "0..", "payload?": "any"},
+    "Inner": {"n": "1..9"},
+}
+
+
+def embed_table():
+    payload_t = pa.struct([("@sjot", pa.string()), ("n", pa.int64()),
+                           ("z", pa.string())])
+    payloads = [
+        None,                                       # absent optional
+        {"@sjot": None, "n": 5, "z": "free"},       # no @sjot → any passes
+        {"@sjot": "#Inner", "n": 5, "z": None},     # embedded ref, valid
+        {"@sjot": "#Inner", "n": 50, "z": None},    # embedded ref, range
+        {"@sjot": "#Inner", "n": None, "z": None},  # required n missing
+        {"@sjot": "#Nope", "n": 1, "z": None},      # unknown type name
+    ]
+    return pa.table({
+        "id": pa.array(list(range(1, len(payloads) + 1)), pa.int64()),
+        "payload": pa.array(payloads, payload_t)})
+
+
+def test_embedded_sjot_columnar_matches_row_engine():
+    """Mixed corpus: @sjot carrier rows validate via the in-pass row
+    engine; everything else stays columnar — verdict AND first-violation
+    parity for the validation-error rows (the unknown-type-name schema
+    error fails the row in the columnar op by the no-worker-raise
+    contract, while the raw row engine raises SJOTSchemaError)."""
+    import copy
+
+    tbl = embed_table()
+    tv = TableValidator(copy.deepcopy(EMBED_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    from sjot_ray.core import SJOTSchemaError
+
+    for i, row in enumerate(tbl.to_pylist()):
+        doc = _doc_of(row)
+        try:
+            validate(copy.deepcopy(doc), None, copy.deepcopy(EMBED_SCHEMA))
+            ok, rv = True, None
+        except SJOTValidationError as e:
+            ok, rv = False, e.violation_row()
+        except SJOTSchemaError:
+            ok, rv = False, None  # schema error → row fails, no raise
+        assert bool(verdict[i]) == ok, (i, doc, viols.get(i))
+        if rv is not None:
+            cv = viols[i]
+            for k in ("datapath", "typepath", "what", "value_repr"):
+                assert cv[k] == rv[k], (i, k, cv[k], rv[k])
+
+
+def test_embedded_sjot_columnar_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = embed_table()
+    tv = TableValidator(copy.deepcopy(EMBED_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(EMBED_SCHEMA), "mode": "validate"}
+             for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+
+
+def test_embedded_sjot_map_layout():
+    """@sjot detection over a map<string,int> column (inline numeric
+    payload)."""
+    import copy
+
+    schema = {"@root": "#D", "D": {"m?": "any"}, "T": {"a": "1..5"}}
+    # map values are int64; @sjot key can't carry a type NAME in this
+    # layout, so carriers with non-string @sjot values fail like the row
+    # engine (Invalid @sjot schema)
+    tbl = pa.table({"m": pa.array(
+        [[("a", 3)], [("@sjot", 1), ("a", 3)], None],
+        pa.map_(pa.string(), pa.int64()))})
+    tv = TableValidator(copy.deepcopy(schema))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    from sjot_ray.core import SJOTSchemaError
+
+    for i, row in enumerate(tbl.to_pylist()):
+        doc = _doc_of({"m": dict(row["m"])} if row["m"] is not None else {})
+        try:
+            validate(copy.deepcopy(doc), None, copy.deepcopy(schema))
+            ok = True
+        except (SJOTValidationError, SJOTSchemaError):
+            ok = False
+        assert bool(verdict[i]) == ok, (i, doc, viols)
