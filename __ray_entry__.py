@@ -42,7 +42,10 @@ def _flagship_summary(sf_dir: str):
 
 
 def _flagship_violations(sf_dir: str):
-    """Violation rows of the flagship corpus (first 1000, deterministic)."""
+    """ALL violation rows of the flagship corpus in the reference
+    diagnostic format (doc_id, datapath, typepath, what, value_repr) —
+    oracle-checked against the generator's planted-violation sidecar
+    (see ``oracle_sql``/``_ensure_violation_sidecars``)."""
     import pyarrow.parquet as pq
 
     from sjot_ray.pipelines.flagship import read_corpus, validated, violations
@@ -50,7 +53,8 @@ def _flagship_violations(sf_dir: str):
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     num_docs = max(2_000, 2 * n_events)
     v = violations(validated(read_corpus(num_docs, seed=42)))
-    return v.sort("doc_id").limit(1000)
+    cols = ["doc_id", "datapath", "typepath", "what", "value_repr"]
+    return v.select_columns(cols).sort("doc_id")
 
 
 def _dangling_media(sf_dir: str):
@@ -127,7 +131,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return d
 
 
+def _ensure_violation_sidecars() -> None:
+    """Write the expected-violations sidecar parquet for every sf dir's
+    flagship corpus size. The sidecar is the generator's PLANTED
+    violation metadata rendered in the reference diagnostic format
+    (sjot_ray/sources/gen.py `_CLASS_TEMPLATES`, node-oracle-verified in
+    tests) — an engine-independent ground truth DuckDB can join."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.sources.gen import expected_violations_parquet
+
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        ev = os.path.join(d, "events.parquet")
+        if os.path.exists(ev):
+            n_events = pq.read_metadata(ev).num_rows
+            expected_violations_parquet(max(2_000, 2 * n_events), 42)
+
+
 def oracle_sql() -> dict[str, str]:
     from sjot_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    d = dict(ORACLE_SQL)
+    _ensure_violation_sidecars()
+    d["flagship_violations"] = """
+        SELECT doc_id, datapath, typepath, what, value_repr
+        FROM read_parquet(
+            '/tmp/sjot_ray_corpus/expected_violations_n*_s42.parquet')
+        WHERE num_docs = greatest(2000, 2 * (SELECT count(*) FROM events))
+        ORDER BY doc_id
+    """
+    return d

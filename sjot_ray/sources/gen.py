@@ -272,3 +272,90 @@ def doc_row_to_json(row: dict) -> dict:
     for p in row.get("_extra_props") or []:
         doc[p] = True
     return doc
+
+
+# -- expected-violations sidecar (the flagship correctness oracle) -----------
+
+# Reference-format violation templates per planted class, transcribed
+# from the node reference validator's output on sample docs
+# (/root/reference/index.js diagnostic format; verified end-to-end by
+# tests/test_pipelines.py::test_expected_violations_match_reference).
+# A ``None`` value_repr means "per-doc value" (filled from the table).
+_CLASS_TEMPLATES = {
+    "neg_offset": ("$.spans[0].offset", "/@root/#Doc/spans[]/#Span/offset",
+                   "value", None),
+    "missing_kind": ("$.spans[0].kind", "/@root/#Doc/spans[]/#Span",
+                     "should be present", ""),
+    "bad_doc_id_regex": ("$.doc_id", "/@root/#Doc/doc_id", "value", None),
+    "bad_kind_enum": ("$.spans[0].kind", "/@root/#Doc/spans[]/#Span/kind",
+                      "value", "weird"),
+    "dup_set_item": ("$.tags", "/@root/#Doc/tags?", "value", ""),
+    "empty_spans": ("$.spans", "/@root/#Doc/spans[]", "length", "1"),
+    "extra_prop": ("$.bogus_prop", "/@root/#Doc/@final",
+                   "additional property should not be present", ""),
+}
+
+
+def expected_violations(num_docs: int, seed: int = 42) -> pa.Table:
+    """Ground-truth violation rows for the generated corpus, derived from
+    the PLANTED violation metadata (independent of both validation
+    engines): one row per violating doc with the reference's diagnostic
+    fields. Columns: row_idx (corpus row), doc_id, datapath, typepath,
+    what, value_repr. Each bad doc carries exactly one planted class, so
+    first-error-wins is trivially the planted violation."""
+    tbl = generate_interleaved(num_docs, seed)
+    vc = np.asarray(tbl["violation_class"].to_pylist(), dtype=object)
+    rows = np.nonzero(vc != "")[0]
+    doc_ids = tbl["doc_id"].take(pa.array(rows, pa.int64()))
+    n = len(rows)
+    dp = np.empty(n, dtype=object)
+    tp = np.empty(n, dtype=object)
+    wh = np.empty(n, dtype=object)
+    vr = np.empty(n, dtype=object)
+    cls = vc[rows]
+    for c, (d, t, w, v) in _CLASS_TEMPLATES.items():
+        m = cls == c
+        dp[m], tp[m], wh[m] = d, t, w
+        if v is not None:
+            vr[m] = v
+    # per-doc values: the negative offset and the bogus doc_id
+    neg = cls == "neg_offset"
+    if neg.any():
+        sel = tbl["spans"].take(pa.array(rows[neg], pa.int64()))
+        offs = pc.struct_field(pc.list_element(sel, 0), "offset")
+        vr[neg] = [str(int(x)) for x in offs.to_pylist()]
+    bad_id = cls == "bad_doc_id_regex"
+    if bad_id.any():
+        ids = tbl["doc_id"].take(pa.array(rows[bad_id], pa.int64()))
+        vr[bad_id] = np.asarray(ids.to_pylist(), dtype=object)
+    return pa.table({
+        "row_idx": pa.array(rows, pa.int64()),
+        "doc_id": doc_ids,
+        "datapath": pa.array(dp, pa.string()),
+        "typepath": pa.array(tp, pa.string()),
+        "what": pa.array(wh, pa.string()),
+        "value_repr": pa.array(vr, pa.string()),
+    })
+
+
+def expected_violations_parquet(num_docs: int, seed: int = 42,
+                                cache_dir: str = "/tmp/sjot_ray_corpus"
+                                ) -> str:
+    """Write-once parquet cache of :func:`expected_violations` (the
+    DuckDB-joinable flagship oracle; the driver's oracle SQL reads it
+    with a ``row_idx < corpus_size`` filter)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"expected_violations_n{num_docs}_s{seed}.parquet")
+    if not os.path.exists(path):
+        t = expected_violations(num_docs, seed)
+        # constant num_docs column: the per-size sidecars share one glob
+        # in the oracle SQL, which selects its corpus size with
+        # ``WHERE num_docs = …`` (the RNG stream — and therefore the
+        # planted violations — depends on the corpus size)
+        t = t.append_column(
+            "num_docs", pa.array(np.full(t.num_rows, num_docs), pa.int64()))
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path

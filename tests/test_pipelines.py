@@ -708,3 +708,50 @@ def test_hash_shuffle_multi_round_fanin(ray_session):
     for k, s, c in zip(res["key"].to_pylist(), res["v_sum"].to_pylist(),
                        res["cnt"].to_pylist()):
         assert truth_cnt[k] == c and int(truth_sum[k]) == s
+
+
+def test_expected_violations_match_reference():
+    """The planted-violation sidecar (the flagship_violations oracle) is
+    verified row-by-row against the NODE reference validator: for every
+    violating doc the reference's error string must carry exactly the
+    sidecar's datapath/what/value_repr/typepath (r2 VERDICT #6)."""
+    import json
+
+    from sjot_ray.sources.gen import (FLAGSHIP_SCHEMA, doc_row_to_json,
+                                      expected_violations,
+                                      generate_interleaved)
+    from .conftest import run_reference
+
+    n = 3000
+    tbl = generate_interleaved(n, seed=42)
+    exp = expected_violations(n, seed=42)
+    exp_by_row = {r["row_idx"]: r for r in exp.to_pylist()}
+    rows = tbl.to_pylist()
+    vc = tbl["violation_class"].to_pylist()
+    cases, idxs = [], []
+    for i, c in enumerate(vc):
+        if c:
+            cases.append({"data": doc_row_to_json(rows[i]), "type": "@root",
+                          "schema": FLAGSHIP_SCHEMA, "mode": "validate"})
+            idxs.append(i)
+    refs = run_reference(cases)
+    assert len(idxs) == exp.num_rows
+    for i, ref in zip(idxs, refs):
+        assert not ref["valid"], (i, vc[i])
+        e = exp_by_row[i]
+        val = f' value {json.dumps(e["value_repr"])}' \
+            if e["what"] == "value" and e["value_repr"] else ""
+        if e["what"] == "value" and e["value_repr"].lstrip("-").isdigit():
+            val = f' value {e["value_repr"]}'
+        if e["what"] == "length":
+            frag = f'{e["datapath"]} length'
+        elif val:
+            frag = f'{e["datapath"]}{val} is not of type'
+        elif e["what"] == "value":
+            frag = f'{e["datapath"]} value'
+        else:
+            frag = f'{e["datapath"]} {e["what"]}'
+        assert ref["error"].startswith(frag), (i, vc[i], ref["error"], e)
+        assert ref["error"].endswith(e["typepath"]), (ref["error"], e)
+    # sanity: every violating doc is represented and classes covered
+    assert len({r["what"] for r in exp_by_row.values()}) >= 3
