@@ -37,13 +37,28 @@ def _round(arr, ndigits: int):
     default to half-to-even which diverges on exact halves)."""
     return pc.round(arr, ndigits, round_mode="half_towards_infinity")
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+def _read(sf_dir: str, table: str, columns=None,
+          split: bool = True) -> "ray.data.Dataset":
     """Pruned parquet read with a row-proportional block count: Ray's
     read splitter otherwise targets ~200 blocks regardless of input
     size, and 200 tiny tasks of fixed overhead dominate small-table
-    queries (measured 2-3x wall)."""
-    rows = _parquet_rows(sf_dir, table)
-    nb = int(min(512, max(1, rows // 16384)))
+    queries (measured 2-3x wall).
+
+    ``split=False`` additionally caps the count at the file's ROW GROUP
+    count. A row group is the parquet read-parallelism unit: asking for
+    more blocks makes one task decode the whole group and re-split it
+    post-decode, which only pays when the DOWNSTREAM stage is CPU-heavy
+    enough to use the extra blocks. Measured on the single-row-group
+    600K-row lineitem at 32 CPUs: plain aggregates run 0.46 s capped vs
+    1.7 s split (q1), while the row-engine events validation runs 0.55 s
+    split vs 1.1 s capped — so cheap-aggregate queries pass
+    ``split=False`` and compute-heavy ones keep the default."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    nb = int(min(512, max(1, md.num_rows // 16384)))
+    if not split:
+        nb = min(nb, md.num_row_groups)
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
                                  columns=columns, override_num_blocks=nb)
 
@@ -182,7 +197,8 @@ def q_column_stats_lineitem(sf_dir: str):
     """Exact column stats via mergeable per-batch partials."""
     from .wide_checks import column_stats
 
-    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"],
+               split=False)
     t = column_stats(ds, ["l_quantity", "l_extendedprice"])
 
     return pa.table({
@@ -203,7 +219,7 @@ def q_q1_lineitem(sf_dir: str):
     then a tiny keyed groupby over partials."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
-                        "l_extendedprice"])
+                        "l_extendedprice"], split=False)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -249,7 +265,8 @@ def q_segment_revenue(sf_dir: str):
             [("o_totalprice", "sum"), ([], "count_all")])
         return g.rename_columns(["segment", "revenue", "n_orders"])
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                   split=False)
     agg = (orders.map_batches(add_segment, batch_format="pyarrow",
                               zero_copy_batch=True)
            .groupby("segment").sum(["revenue", "n_orders"]))
@@ -997,7 +1014,8 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     """Grouped top-k (windowed rank): top-3 docs by n_chars per lang.
     Per-batch partial top-k per group, tiny final re-rank — no global
     sort."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"],
+               split=False)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(t, sort_keys=[("lang", "ascending"),
