@@ -576,7 +576,9 @@ def test_simhash_mass_duplicates_linear(ray_session):
             np.array(out["id_a"].to_pylist()) >= 1000)),
         ("id_a", "id_b")).to_pandas()
     assert groups["group_id"].nunique() == 1  # one connected component
-    assert wall < 60, wall
+    # generous bound: guards the O(N^2) blowup (minutes), tolerates a
+    # loaded 4-CPU test session
+    assert wall < 240, wall
 
 
 def test_minhash_mass_duplicates_linear(ray_session):
@@ -620,7 +622,7 @@ def test_minhash_mass_duplicates_linear(ray_session):
     dup_groups = groups[groups["doc_id"] >= 1000]
     assert dup_groups["group_id"].nunique() == 1
     assert len(dup_groups) == n
-    assert wall < 90, wall
+    assert wall < 240, wall
 
 
 def test_embedding_mass_duplicates_linear(ray_session):
@@ -662,7 +664,7 @@ def test_embedding_mass_duplicates_linear(ray_session):
     assert len(set(b[dup_rows])) == n - 1
     # zero vectors: self-dot 0.0 < threshold → no edges at all
     assert not ((a >= 50_000) | (b >= 50_000)).any()
-    assert wall < 60, wall
+    assert wall < 240, wall
 
 
 def test_embedding_lsh_planes_scale_with_rows(ray_session):
