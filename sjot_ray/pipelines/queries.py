@@ -388,9 +388,14 @@ def q_text_quality(sf_dir: str):
         tl = tok_len.to_numpy(zero_copy_only=False).astype(np.float64)
         sums = np.add.reduceat(tl, starts) if len(tl) else np.zeros(0)
         sums = np.where(lengths > 0, sums, 0.0)
-        # distinct tokens per row (lexsort trick)
+        # distinct tokens per row: dictionary-encode once (tokens →
+        # int32 codes, bijective) and lexsort integer codes — no Python
+        # string materialization (r2 VERDICT minor)
         parent = np.repeat(np.arange(t.num_rows), lengths)
-        vals = np.asarray(flat.to_pylist(), dtype=object)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vals = enc.indices.to_numpy(zero_copy_only=False)
         order = np.lexsort((vals, parent))
         p_s, v_s = parent[order], vals[order]
         newgrp = np.ones(len(p_s), dtype=bool)
