@@ -1672,8 +1672,51 @@ class TableValidator:
                         minor += 1
                 continue
             if prop.startswith("("):
-                raise ColumnarCompileError(
-                    "regex property names in item objects: row engine")
+                # regex property name over item-struct fields: same
+                # treatment as nested structs — matching fields found per
+                # batch from the item struct's Arrow type, field order =
+                # data order, first-failing-field-wins; exact per-item
+                # datapath/value via the dyn mechanism. Scalar value
+                # types only.
+                rt, prop_tp = self._resolve_path(proptype,
+                                                 f"{typepath}/{prop}")
+                if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
+                    raise ColumnarCompileError(
+                        "non-scalar regex-prop value types in item"
+                        " objects: row engine")
+                from ..core.validator import compile_regex_type
+                matcher = compile_regex_type(prop)
+                r = Rule(major, minor, list_col, prop_tp, "value", rt,
+                         child=True, list_col=list_col, dyn=True)
+
+                def ev(child_tbl, matcher=matcher, rt=rt):
+                    items = child_tbl["__item__"]
+                    if isinstance(items, pa.ChunkedArray):
+                        items = items.combine_chunks()
+                    n = child_tbl.num_rows
+                    if not pa.types.is_struct(items.type):
+                        return np.zeros(n, dtype=bool), None
+                    ok_parent = _valid_mask(items)
+                    fail = np.zeros(n, dtype=bool)
+                    paths_o = np.full(n, None, dtype=object)
+                    reprs_o = np.full(n, None, dtype=object)
+                    for f in items.type:
+                        if matcher.fullmatch(f.name) is None:
+                            continue
+                        farr = items.field(f.name)
+                        ff = _scalar_fail_mask(farr, rt) & ok_parent
+                        newly = ff & ~fail
+                        for i in np.nonzero(newly)[0]:
+                            v = farr[int(i)].as_py()
+                            reprs_o[i] = "" \
+                                if isinstance(v, (dict, list)) \
+                                else js_string(v)
+                            paths_o[i] = f.name
+                        fail |= ff
+                    return fail, (paths_o, reprs_o)
+                self._add(r, ev)
+                minor += 1
+                continue
             q = prop.find("?")
             pname = prop[:q] if q != -1 else prop
             required = q == -1
@@ -1711,6 +1754,25 @@ class TableValidator:
             if not isinstance(rt, str):
                 raise ColumnarCompileError(
                     "tuple/union/object types inside list items: row engine")
+            if _is_char_len_type(rt):
+                # char[n,m] string-length type: "length" label + the
+                # LENGTH as the datum (reference index.js:679-690)
+                r = Rule(major, minor, list_col, prop_tp, "length", rt,
+                         child=True, list_col=list_col, field_name=pname)
+
+                def ev_len(child_tbl, pname=pname, rt=rt):
+                    if pname not in child_tbl.column_names:
+                        return (np.zeros(child_tbl.num_rows, dtype=bool),
+                                None)
+                    arr = child_tbl[pname]
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    return _char_len_scalar_eval(
+                        arr, rt,
+                        extra_valid=_valid_mask(child_tbl["__item__"]))
+                self._add(r, ev_len)
+                minor += 1
+                continue
             r = Rule(major, minor, list_col, prop_tp, "value", rt,
                      child=True, list_col=list_col, field_name=pname)
 
@@ -1723,15 +1785,19 @@ class TableValidator:
 
         if bool(obj_type.get("@final", False)):
             # runtime @final against the item struct's physical fields
-            # (reference index.js:448-451; @sjot exempt)
+            # (reference index.js:448-451; @sjot and regex-matched
+            # fields exempt)
+            from ..core.validator import compile_regex_type
             prop_names = frozenset(
                 p.split("?")[0] for p in obj_type
                 if not p.startswith("@") and not p.startswith("("))
+            regex_matchers = tuple(compile_regex_type(p) for p in obj_type
+                                   if p.startswith("("))
             r = Rule(major, minor, list_col, typepath + "/@final",
                      "additional property should not be present", "",
                      no_value=True, child=True, list_col=list_col)
 
-            def ev(child_tbl, props=prop_names):
+            def ev(child_tbl, props=prop_names, rxs=regex_matchers):
                 items = child_tbl["__item__"]
                 if isinstance(items, pa.ChunkedArray):
                     items = items.combine_chunks()
@@ -1742,7 +1808,8 @@ class TableValidator:
                 fail = np.zeros(n, dtype=bool)
                 first = np.full(n, None, dtype=object)
                 for f in items.type:
-                    if f.name in props or f.name == "@sjot":
+                    if f.name in props or f.name == "@sjot" \
+                            or any(m.fullmatch(f.name) for m in rxs):
                         continue
                     fv = _valid_mask(items.field(f.name))
                     newly = fv & ~fail
@@ -2009,14 +2076,20 @@ class TableValidator:
             paths, reprs = values[0], values[1]
             whats = values[2] if len(values) > 2 else None
             tps = values[3] if len(values) > 3 else None
+            i = child_idx if rule.child and child_idx is not None else row
+            if rule.child:
+                # child dyn rules carry the item-struct FIELD name
+                datapath = f"$.{rule.list_col}[{item_idx}].{paths[i]}"
+            else:
+                datapath = f"$.{paths[i]}"
             return {
                 "row_idx": int(row),
-                "datapath": f"$.{paths[row]}",
-                "typepath": tps[row] if tps is not None
-                and tps[row] is not None else rule.typepath,
-                "what": whats[row] if whats is not None
-                and whats[row] is not None else rule.what,
-                "value_repr": reprs[row],
+                "datapath": datapath,
+                "typepath": tps[i] if tps is not None
+                and tps[i] is not None else rule.typepath,
+                "what": whats[i] if whats is not None
+                and whats[i] is not None else rule.what,
+                "value_repr": reprs[i],
                 "rule": f"{rule.major}.{rule.minor}",
             }
         if rule.map_entry and values is not None:

@@ -45,8 +45,39 @@ def gen_type(rng, depth=0):
     if depth < 2:
         kinds += ["struct", "struct"]
     if depth == 0:
-        kinds += ["map"]
+        kinds += ["map", "objlist"]
     kind = rng.choice(kinds)
+    if kind == "objlist":
+        # list<struct> items: scalar props, optional regex prop, @final
+        n_props = int(rng.integers(1, 3))
+        props, fields, samplers = {}, [], {}
+        for i in range(n_props):
+            st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
+            opt = "?" if rng.random() < 0.5 else ""
+            props[f"f{i}{opt}"] = st
+            fields.append((f"f{i}", at))
+            samplers[f"f{i}"] = sam
+        if rng.random() < 0.5:
+            rst, rat, rsam = SCALARS[1]  # 0..100 over int fields
+            props["(m[0-9])"] = rst
+            for j in range(int(rng.integers(1, 3))):
+                fname = f"m{j}" if rng.random() < 0.8 else f"mx{j}"
+                if any(f[0] == fname for f in fields):
+                    continue
+                fields.append((fname, rat))
+                samplers[fname] = rsam
+        if rng.random() < 0.4:
+            props["@final"] = True
+
+        def sampler(r, samplers=samplers):
+            if r.random() < 0.15:
+                return None
+            out = []
+            for _ in range(int(r.integers(0, 4))):
+                out.append(None if r.random() < 0.1
+                           else {k: s(r) for k, s in samplers.items()})
+            return out
+        return [props], pa.list_(pa.struct(fields)), sampler
     if kind == "scalar":
         st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
         return st, at, sam
@@ -153,8 +184,8 @@ def gen_type(rng, depth=0):
 
 
 def doc_of(value, sjot_type):
-    """Arrow cell → JSON value (null ≡ absent for struct fields; list
-    items stay; map entries → dict)."""
+    """Arrow cell → JSON value (null ≡ absent for struct fields, incl.
+    dict items inside lists; null list items stay; map entries → dict)."""
     if isinstance(value, list) and isinstance(sjot_type, dict):
         return {k: doc_of(v, None) for k, v in value}  # map cell
     if isinstance(value, list) and value and isinstance(value[0], tuple):
@@ -162,6 +193,9 @@ def doc_of(value, sjot_type):
     if isinstance(value, dict):
         return {k: doc_of(v, None) for k, v in value.items()
                 if v is not None}
+    if isinstance(value, list):
+        return [doc_of(x, None) if isinstance(x, dict) else x
+                for x in value]
     return value
 
 

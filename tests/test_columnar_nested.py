@@ -15,13 +15,16 @@ from sjot_ray.core import SJOTValidationError, validate
 
 def _doc_of(row: dict) -> dict:
     """Arrow row → JSON doc under the null ≡ absent convention (nested
-    dicts recursively; null list items stay — they're meaningful)."""
+    dicts recursively, incl. dict items inside lists; null list items
+    themselves stay — they're meaningful)."""
     out = {}
     for k, v in row.items():
         if v is None:
             continue
         if isinstance(v, dict):
             v = _doc_of(v)
+        elif isinstance(v, list):
+            v = [_doc_of(x) if isinstance(x, dict) else x for x in v]
         out[k] = v
     return out
 
@@ -740,3 +743,57 @@ def test_embedded_sjot_map_layout():
         except (SJOTValidationError, SJOTSchemaError):
             ok = False
         assert bool(verdict[i]) == ok, (i, doc, viols)
+
+
+# -- regex property names in item objects ------------------------------------
+
+ITEM_REGEX_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {"items": [{
+        "@final": True,
+        "name": "string",
+        "(m_[a-z]+)": "0..10",
+    }]},
+}
+
+
+def item_regex_table():
+    item_t = pa.struct([("name", pa.string()), ("m_a", pa.int64()),
+                        ("m_b", pa.int64()), ("other", pa.string())])
+    rows = [
+        [{"name": "x", "m_a": 5, "m_b": None, "other": None}],   # valid
+        [{"name": "x", "m_a": 50, "m_b": None, "other": None}],  # m_a range
+        [{"name": "x", "m_a": 1, "m_b": -3, "other": None}],     # m_b range
+        [{"name": "x", "m_a": 1, "m_b": None, "other": None},
+         {"name": "y", "m_a": 99, "m_b": 99, "other": None}],    # item 1
+        [{"name": "x", "m_a": None, "m_b": None, "other": "E"}],  # @final
+        [{"name": None, "m_a": 2, "m_b": None, "other": None}],  # req name
+        [],                                                      # fine
+        None,                                                    # absent req
+    ]
+    return pa.table({"items": pa.array(rows, pa.list_(item_t))})
+
+
+def test_regex_props_item_objects_parity():
+    _assert_parity(item_regex_table(), ITEM_REGEX_SCHEMA)
+
+
+def test_regex_props_item_objects_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = item_regex_table()
+    tv = TableValidator(copy.deepcopy(ITEM_REGEX_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(ITEM_REGEX_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
