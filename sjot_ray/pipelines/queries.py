@@ -1223,3 +1223,148 @@ ORACLE_SQL["order_lineitem_join"] = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID heuristic + rolling-hash fingerprint
+
+# fixed stopword profiles (deterministic heuristic; the operator — not
+# classifier accuracy over this synthetic corpus — is what's under test)
+_LANG_PROFILES = (
+    ("en", ("the", "a", "fast", "slow", "big", "small")),
+    ("de", ("hash", "batch", "window", "merge", "filter")),
+    ("fr", ("query", "table", "join", "group", "order")),
+)
+
+_FP_MOD = np.int64(1_000_000_007)
+_FP_BASE = np.int64(31)
+_FP_SEED = np.int64(7)
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID n-gram/stopword heuristic: per-language token-hit
+    counts (with multiplicity) + argmax prediction, first-profile wins
+    ties. Fully vectorized: one token flatten, one is_in per profile,
+    segment sums."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat = toks.flatten()
+        parent = np.repeat(np.arange(t.num_rows), lengths)
+        scores = []
+        for _lang, words in _LANG_PROFILES:
+            hit = pc.is_in(flat, value_set=pa.array(words)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            scores.append(np.bincount(parent, weights=hit,
+                                      minlength=t.num_rows).astype(np.int64))
+        S = np.stack(scores)                      # (n_lang, n_rows)
+        best = np.argmax(S, axis=0)               # first max wins ties
+        langs = np.asarray([l for l, _ in _LANG_PROFILES], dtype=object)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "s_en": pa.array(S[0], pa.int64()),
+            "s_de": pa.array(S[1], pa.int64()),
+            "s_fr": pa.array(S[2], pa.int64()),
+            "lang_pred": pa.array(langs[best], pa.string()),
+        })
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+ORACLE_SQL["lang_id"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+    scored AS (
+      SELECT doc_id,
+        len(list_filter(w, t -> list_contains(
+            ['the','a','fast','slow','big','small'], t))) AS s_en,
+        len(list_filter(w, t -> list_contains(
+            ['hash','batch','window','merge','filter'], t))) AS s_de,
+        len(list_filter(w, t -> list_contains(
+            ['query','table','join','group','order'], t))) AS s_fr
+      FROM toks)
+    SELECT doc_id, s_en, s_de, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Per-document rolling-hash fingerprint over the text's code
+    points: acc = (acc*31 + cp) mod 1e9+7, seeded 7 — the polynomial
+    fingerprint a shard-level dedup/lineage manifest would carry.
+    Vectorized via the closed form fp = 7·31^L + Σ cp_i·31^(L-1-i)
+    (mod p) over the UTF-8 byte buffer for all-ASCII rows (byte ==
+    code point); rows with non-ASCII bytes take a per-row fallback —
+    same definition, code points via Python ord."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")  # null-text robustness (absent here)
+        n = len(col)
+        lengths_b = pc.binary_length(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # raw UTF-8 bytes + per-row offsets from the Arrow buffers
+        arr = col.cast(pa.large_binary())
+        buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + n + 1]
+        maxlen = int(lengths_b.max()) if n else 0
+        # pow31[k] = 31^k mod p
+        pow31 = np.empty(maxlen + 1, dtype=np.int64)
+        if maxlen >= 0:
+            pow31[0] = 1
+            for k in range(1, maxlen + 1):
+                pow31[k] = (pow31[k - 1] * _FP_BASE) % _FP_MOD
+        parent = np.repeat(np.arange(n), lengths_b)
+        starts = offs[:-1]
+        pos = np.arange(len(parent)) - np.repeat(
+            np.cumsum(lengths_b) - lengths_b, lengths_b)
+        flat = buf[np.repeat(starts, lengths_b) + pos].astype(np.int64)
+        exp = np.repeat(lengths_b, lengths_b) - 1 - pos
+        contrib = (flat % _FP_MOD) * pow31[exp] % _FP_MOD
+        row_starts = np.cumsum(lengths_b) - lengths_b
+        sums = np.zeros(n, dtype=np.int64)
+        if len(contrib):
+            nonempty = lengths_b > 0
+            sums_ne = np.add.reduceat(contrib % _FP_MOD,
+                                      row_starts[nonempty]) % _FP_MOD
+            sums[nonempty] = sums_ne
+        fp = (sums + _FP_SEED * pow31[lengths_b]) % _FP_MOD
+        # non-ASCII rows: recompute over CODE POINTS (oracle semantics)
+        ascii_ok = np.ones(n, dtype=bool)
+        if len(flat):
+            high = np.bincount(parent[flat >= 128], minlength=n)
+            ascii_ok = high == 0
+        if not ascii_ok.all():
+            texts = col.to_pylist()
+            for i in np.nonzero(~ascii_ok)[0]:
+                acc = int(_FP_SEED)
+                for ch in texts[i] or "":
+                    acc = (acc * 31 + ord(ch)) % int(_FP_MOD)
+                fp[i] = acc
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(fp, pa.int64())})
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+ORACLE_SQL["doc_fingerprint"] = """
+    SELECT doc_id,
+           list_reduce(list_prepend(7::BIGINT,
+               list_transform(range(1, len(text) + 1),
+                              i -> ascii(text[i]))),
+               (acc, b) -> (acc * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+"""
