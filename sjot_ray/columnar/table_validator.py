@@ -539,9 +539,10 @@ class TableValidator:
         for prop, proptype in type_.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):
-                    self._compile_propset(prop, proptype, typepath)
+                    self._compile_propset(prop, proptype, typepath,
+                                           type_)
                 elif prop == "@dep":
-                    self._compile_dep(proptype, typepath)
+                    self._compile_dep(proptype, typepath, type_)
                 continue
             if prop.startswith("("):
                 raise ColumnarCompileError(
@@ -634,30 +635,54 @@ class TableValidator:
             return fail, (paths_o, reprs_o, whats_o, tps_o)
         self._add(rule, ev)
 
-    def _compile_propset(self, kind, propsets, typepath):
+    def _injected_present(self, obj_type, upto_key) -> frozenset:
+        """Props whose VALID default the row engine injects before
+        reaching ``upto_key`` in schema order: the reference mutates the
+        document (index.js:429-433), so a propset/@dep encountered LATER
+        sees those optionals as present regardless of the data. Props
+        with failing defaults are excluded — for their rows the default
+        violation (an earlier rule) wins first-error anyway."""
+        out = set()
+        for k, v in obj_type.items():
+            if k == upto_key:
+                break
+            if k.startswith("@") or k.startswith("("):
+                continue
+            q = k.find("?")
+            if q != -1 and q < len(k) - 1 \
+                    and self._default_violation(k, q, v, "") is None:
+                out.add(k[:q])
+        return frozenset(out)
+
+    def _compile_propset(self, kind, propsets, typepath, obj_type):
+        inj = self._injected_present(obj_type, kind)
         for pset in propsets:
             major = self._next_major()
             rule = Rule(major, 0, "", typepath + "/" + kind,
                         f"requires {_PSET_WORD[kind]} {','.join(pset)}"
                         " properties", "", no_value=True)
 
-            def ev(tbl, pset=pset, kind=kind):
-                present = [_presence(tbl, p) for p in pset]
+            def ev(tbl, pset=pset, kind=kind, inj=inj):
+                present = [np.ones(tbl.num_rows, dtype=bool) if p in inj
+                           else _presence(tbl, p) for p in pset]
                 return _pset_fail(kind, present, tbl.num_rows), None
             self._add(rule, ev)
 
-    def _compile_dep(self, deps, typepath):
+    def _compile_dep(self, deps, typepath, obj_type):
+        inj = self._injected_present(obj_type, "@dep")
         for name, dep in deps.items():
             major = self._next_major()
             rule = Rule(major, 0, name, typepath + "/@dep",
                         f"requires {js_string(dep)}", "", no_value=True)
             dlist = [dep] if isinstance(dep, str) else list(dep)
 
-            def ev(tbl, name=name, dlist=dlist):
-                has = _presence(tbl, name)
+            def ev(tbl, name=name, dlist=dlist, inj=inj):
+                has = np.ones(tbl.num_rows, dtype=bool) if name in inj \
+                    else _presence(tbl, name)
                 ok = np.ones(tbl.num_rows, dtype=bool)
                 for d in dlist:
-                    ok &= _presence(tbl, d)
+                    if d not in inj:
+                        ok &= _presence(tbl, d)
                 return has & ~ok, None
             self._add(rule, ev)
 
@@ -1007,6 +1032,7 @@ class TableValidator:
         for prop, proptype in obj_type.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):
+                    inj = self._injected_present(obj_type, prop)
                     for pset in proptype:
                         major = self._next_major()
                         r = Rule(major, 0, dotted, typepath + "/" + prop,
@@ -1014,14 +1040,19 @@ class TableValidator:
                                  f" {','.join(pset)} properties", "",
                                  no_value=True)
 
-                        def ev(tbl, path=tuple(path), pset=pset, kind=prop):
+                        def ev(tbl, path=tuple(path), pset=pset, kind=prop,
+                               inj=inj):
                             struct_ok = _nested_presence(tbl, list(path))
-                            present = [_nested_presence(tbl, list(path) + [p])
-                                       for p in pset]
+                            present = [
+                                np.ones(tbl.num_rows, dtype=bool)
+                                if p in inj
+                                else _nested_presence(tbl, list(path) + [p])
+                                for p in pset]
                             return (_pset_fail(kind, present, tbl.num_rows)
                                     & struct_ok), None
                         self._add(r, ev)
                 elif prop == "@dep":
+                    inj = self._injected_present(obj_type, "@dep")
                     for dname, dep in proptype.items():
                         dlist = [dep] if isinstance(dep, str) else list(dep)
                         major = self._next_major()
@@ -1031,11 +1062,16 @@ class TableValidator:
                                  no_value=True)
 
                         def ev(tbl, path=tuple(path), dname=dname,
-                               dlist=dlist):
-                            has = _nested_presence(tbl, list(path) + [dname])
+                               dlist=dlist, inj=inj):
+                            struct_ok = _nested_presence(tbl, list(path))
+                            has = (struct_ok if dname in inj else
+                                   _nested_presence(tbl,
+                                                    list(path) + [dname]))
                             ok = np.ones(tbl.num_rows, dtype=bool)
                             for d in dlist:
-                                ok &= _nested_presence(tbl, list(path) + [d])
+                                if d not in inj:
+                                    ok &= _nested_presence(
+                                        tbl, list(path) + [d])
                             return has & ~ok, None
                         self._add(r, ev)
                 continue
@@ -1159,8 +1195,8 @@ class TableValidator:
                 self._compile_struct_list_prop(fpath, rt, prop_tp, major)
                 continue
             if isinstance(rt, list):
-                raise ColumnarCompileError(
-                    "tuple types inside nested structs: row engine")
+                self._compile_struct_tuple_prop(fpath, rt, prop_tp, major)
+                continue
             if rt.startswith("char[") and rt != "char[]":
                 r = Rule(major, 0, fdotted, prop_tp, "length", rt)
 
@@ -1315,6 +1351,24 @@ class TableValidator:
             has[parent[m]] = True
             return has, valid
 
+        def prop_presence(tbl, key_name):
+            """(has_prop, object-valid) across BOTH layouts: map entry
+            presence OR struct-field presence (propsets/@dep must see
+            struct-layout objects too)."""
+            has, valid_map = entry_presence(tbl, key_name)
+            svalid = np.zeros(tbl.num_rows, dtype=bool)
+            spresent = np.zeros(tbl.num_rows, dtype=bool)
+            if name in tbl.column_names:
+                a0 = tbl[name]
+                if isinstance(a0, pa.ChunkedArray):
+                    a0 = a0.combine_chunks()
+                if pa.types.is_struct(a0.type):
+                    svalid = _valid_mask(a0)
+                    f, pv = _nested_field(tbl, [name, key_name])
+                    if f is not None:
+                        spresent = pv & _valid_mask(f)
+            return has | spresent, valid_map | svalid
+
         def key_match_mask(keys, pattern):
             return _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
 
@@ -1338,6 +1392,7 @@ class TableValidator:
         for prop, proptype in obj_type.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):
+                    inj = self._injected_present(obj_type, prop)
                     for pset in proptype:
                         major = self._next_major()
                         r = Rule(major, 0, name, typepath + "/" + prop,
@@ -1345,14 +1400,18 @@ class TableValidator:
                                  f" {','.join(pset)} properties", "",
                                  no_value=True)
 
-                        def ev(tbl, pset=pset, kind=prop):
-                            pres, valid = zip(*[entry_presence(tbl, p)
+                        def ev(tbl, pset=pset, kind=prop, inj=inj):
+                            pres, valid = zip(*[prop_presence(tbl, p)
                                                 for p in pset])
+                            obj_ok = valid[0]
+                            pres = [obj_ok if p in inj else pr
+                                    for p, pr in zip(pset, pres)]
                             return (_pset_fail(kind, list(pres),
                                                tbl.num_rows)
-                                    & valid[0]), None
+                                    & obj_ok), None
                         self._add(r, ev)
                 elif prop == "@dep":
+                    inj = self._injected_present(obj_type, "@dep")
                     for dname, dep in proptype.items():
                         dlist = [dep] if isinstance(dep, str) else list(dep)
                         major = self._next_major()
@@ -1361,12 +1420,15 @@ class TableValidator:
                                  f"requires {js_string(dep)}", "",
                                  no_value=True)
 
-                        def ev(tbl, dname=dname, dlist=dlist):
-                            has, _ = entry_presence(tbl, dname)
+                        def ev(tbl, dname=dname, dlist=dlist, inj=inj):
+                            has, obj_ok = prop_presence(tbl, dname)
+                            if dname in inj:
+                                has = obj_ok
                             ok = np.ones(tbl.num_rows, dtype=bool)
                             for d in dlist:
-                                h, _ = entry_presence(tbl, d)
-                                ok &= h
+                                if d not in inj:
+                                    h, _ = prop_presence(tbl, d)
+                                    ok &= h
                             return has & ~ok, None
                         self._add(r, ev)
                 continue
@@ -1467,7 +1529,7 @@ class TableValidator:
                              const_repr=repr_)
 
                     def ev(tbl, pname=pname):
-                        has, valid = entry_presence(tbl, pname)
+                        has, valid = prop_presence(tbl, pname)
                         return valid & ~has, None
                     self._add(r, ev)
 
@@ -1956,6 +2018,82 @@ class TableValidator:
             return _list_item_first_fail(arr, itemtype, parent_ok,
                                          sjots, sjot)
         self._add(r, ev)
+
+    def _compile_struct_tuple_prop(self, fpath, rt, typepath, major):
+        """Tuple [type, type, …] field inside a nested struct (e.g.
+        ``meta.pair``): shape + exact-length rules, then one positional
+        rule per slot over the list's flattened items (reference
+        index.js:240-254), located via the struct path. Scalar slot
+        types only — same restriction as top-level tuples."""
+        dotted = ".".join(fpath)
+        minor = 0
+        shape_rule = Rule(major, minor, dotted, typepath, "value",
+                          js_string(rt))
+
+        def ev_shape(tbl, path=tuple(fpath)):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None or _is_list_type(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr) & parent_ok, arr
+        self._add(shape_rule, ev_shape)
+        minor += 1
+        want = len(rt)
+        rule = Rule(major, minor, dotted, typepath, "array of length",
+                    js_string(rt))
+
+        def ev_len(tbl, path=tuple(fpath), want=want):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None or not _is_list_type(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            valid = _valid_mask(arr) & parent_ok
+            lengths = np.where(valid, np.nan_to_num(
+                _np(pc.list_value_length(arr))), want).astype(np.int64)
+            return valid & (lengths != want), lengths
+        self._add(rule, ev_len)
+        minor += 1
+
+        for pos, t in enumerate(rt):
+            it, it_tp = self._resolve_path(t, typepath + "[]")
+            if not _is_scalar_str_type(it) or _is_char_len_type(it):
+                raise ColumnarCompileError(
+                    f"tuple slot {pos} type {it!r} in nested struct:"
+                    " use the row engine")
+            r = Rule(major, minor, dotted, it_tp, "value", it, inner=True)
+            null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
+            null_default = default_value("null", self.sjots, None, it,
+                                         self.sjot) if null_item_fails \
+                else None
+
+            def ev_slot(tbl, path=tuple(fpath), pos=pos, it=it,
+                        null_item_fails=null_item_fails,
+                        null_default=null_default):
+                arr, parent_ok = _nested_field(tbl, list(path))
+                if arr is None:
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not _is_list_type(arr.type):
+                    return np.zeros(tbl.num_rows, dtype=bool), None
+                n = tbl.num_rows
+                valid = _valid_mask(arr) & parent_ok
+                lengths = np.where(_valid_mask(arr), np.nan_to_num(
+                    _np(pc.list_value_length(arr))), 0).astype(np.int64)
+                flat = arr.flatten()
+                f_fail = _scalar_fail_mask(flat, it)
+                if null_item_fails:
+                    f_fail = f_fail | ~_valid_mask(flat)
+                    flat = _fill_item_default(flat, null_default)
+                starts = np.cumsum(lengths) - lengths
+                has_pos = lengths > pos
+                vidx = np.where(has_pos, starts + pos, 0)
+                fail = np.zeros(n, dtype=bool)
+                sel = has_pos & valid
+                if sel.any() and len(f_fail):
+                    fail[sel] = f_fail[vidx[sel]]
+                fpos = np.full(n, pos, dtype=np.int64)
+                return fail, (flat, vidx, fpos)
+            self._add(r, ev_slot)
+            minor += 1
 
     # -- execution ---------------------------------------------------------
 

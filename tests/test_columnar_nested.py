@@ -797,3 +797,101 @@ def test_regex_props_item_objects_vs_reference_oracle():
             v = viols[i]
             frag = f'{v["datapath"]} {v["what"]}'
             assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+# -- tuple fields inside nested structs --------------------------------------
+
+NESTED_TUPLE_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {"meta": {"pair?": ["string", "(a|b)", "1..5"],
+                     "tag?": "string"}},
+}
+
+
+def nested_tuple_table():
+    meta_t = pa.struct([("pair", pa.list_(pa.string())),
+                        ("tag", pa.string())])
+    rows = [
+        {"pair": ["x", "a", "3"], "tag": None},        # valid
+        {"pair": ["x", "c", "3"], "tag": None},        # slot 1 enum
+        {"pair": ["x", "a", "9"], "tag": None},        # slot 2 range
+        {"pair": ["x", "a"], "tag": None},             # too short
+        {"pair": ["x", "a", "3", "z"], "tag": None},   # too long
+        {"pair": None, "tag": "t"},                    # absent optional
+        {"pair": ["x", None, "3"], "tag": None},       # null item slot 1
+        None,                                          # struct absent
+    ]
+    return pa.table({"meta": pa.array(rows, meta_t)})
+
+
+def test_nested_tuple_parity():
+    _assert_parity(nested_tuple_table(), NESTED_TUPLE_SCHEMA)
+
+
+def test_nested_tuple_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = nested_tuple_table()
+    tv = TableValidator(copy.deepcopy(NESTED_TUPLE_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(NESTED_TUPLE_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+
+
+def test_propsets_see_injected_defaults():
+    """The reference INJECTS valid optional defaults into the document,
+    so a propset/@dep occurring later in schema order sees those props
+    as present (index.js:429-433 then 412-424). Columnar parity across
+    top-level struct, nested struct, and regex-prop (map-object-path)
+    layouts."""
+    import copy
+
+    from .conftest import run_reference
+
+    # @one[[p0,p1]]: p0?7 is ALWAYS present after injection → the doc
+    # fails exactly when p1 is also present
+    box_t = pa.struct([("p0", pa.int64()), ("p1", pa.int64())])
+    rows = [
+        {"p0": None, "p1": None},   # p0 injected → exactly one → valid
+        {"p0": 3, "p1": None},      # valid
+        {"p0": None, "p1": 4},      # p0 injected + p1 → two → invalid
+        {"p0": 3, "p1": 4},         # invalid
+    ]
+    for schema in (
+        {"@root": {"box": {"p0?7": "0..100", "p1?": "0..100",
+                           "@one": [["p0", "p1"]]}}},
+        # same shape but routed through the map-object path (regex prop)
+        {"@root": {"box": {"p0?7": "0..100", "p1?": "0..100",
+                           "(z.)?": "0..100", "@one": [["p0", "p1"]]}}},
+        # nested one level deeper
+        {"@root": {"outer": {"box": {"p0?7": "0..100", "p1?": "0..100",
+                                     "@one": [["p0", "p1"]]}}}},
+    ):
+        nested = "outer" in schema["@root"]
+        if nested:
+            tbl = pa.table({"outer": pa.array(
+                [{"box": r} for r in rows],
+                pa.struct([("box", box_t)]))})
+        else:
+            tbl = pa.table({"box": pa.array(rows, box_t)})
+        tv = _assert_parity(tbl, schema, n_invalid_min=2)
+        docs = [_doc_of(r) for r in tbl.to_pylist()]
+        verdict, _, _ = tv.validate_batch(tbl)
+        cases = [{"data": d, "type": "@root",
+                  "schema": copy.deepcopy(schema), "mode": "validate"}
+                 for d in docs]
+        for i, ref in enumerate(run_reference(cases)):
+            assert bool(verdict[i]) == ref["valid"], (schema, i, ref)
+
+    # @dep keyed on an injected prop: p0?7 present → requires p1
+    schema = {"@root": {"box": {"p0?7": "0..100", "p1?": "0..100",
+                                "@dep": {"p0": ["p1"]}}}}
+    tbl = pa.table({"box": pa.array(rows, box_t)})
+    _assert_parity(tbl, schema, n_invalid_min=1)
