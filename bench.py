@@ -75,7 +75,7 @@ def run_bench() -> dict:
         "ann_cosine_topk", "validate_documents",
         "validate_events_props", "uniqueness_events_user",
         "order_lineitem_join", "user_sessions_salted",
-        "dedup_embedding_exact")
+        "dedup_embedding_exact", "lang_id", "doc_fingerprint")
     for name in names:
         fn = getattr(Q, f"q_{name}")
         best = float("inf")
