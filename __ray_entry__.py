@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: getattr(Q, f"q_{name}") for name in Q.ORACLE_SQL
     }
     # non-SQL-expressible pipelines (rows-only checks)
+    d["ann_ivf_topk"] = Q.q_ann_ivf_topk
     d["flagship_interleaved"] = _flagship_summary
     d["sample_documents"] = Q.q_sample_documents
     d["flagship_violations"] = _flagship_violations

@@ -1368,3 +1368,111 @@ ORACLE_SQL["doc_fingerprint"] = """
                (acc, b) -> (acc * 31 + b) % 1000000007) AS fingerprint
     FROM documents
 """
+
+
+def _kmeans_cosine(X: np.ndarray, n_clusters: int, seed: int = 42,
+                   iters: int = 10) -> np.ndarray:
+    """Seeded spherical k-means (Lloyd on normalized vectors, cosine =
+    dot). Deterministic; empty clusters re-seeded from the farthest
+    points. Returns (n_clusters, dim) normalized centroids."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    C = X[rng.choice(n, size=min(n_clusters, n), replace=False)].copy()
+    if len(C) < n_clusters:
+        C = np.vstack([C, rng.normal(size=(n_clusters - len(C),
+                                           X.shape[1]))])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        sim = X @ C.T
+        assign = np.argmax(sim, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        sizes = np.bincount(assign, minlength=n_clusters)
+        empty = sizes == 0
+        if empty.any():
+            # farthest points from their centroid re-seed empty clusters
+            far = np.argsort(sim[np.arange(n), assign])[:int(empty.sum())]
+            newC[empty] = X[far]
+        C = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True),
+                              1e-12)
+    return C
+
+
+def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   n_clusters: int | None = None,
+                   nprobe: int | None = None):
+    """IVF cosine top-k — the similarity-search SCALE path next to the
+    brute-force baseline (q_ann_cosine_topk): spherical-k-means coarse
+    centroids (trained once on a driver-side sample, broadcast); each
+    batch assigns its vectors to centroids with one matmul and scores each
+    query ONLY against rows in that query's ``nprobe`` nearest clusters
+    — at scale this prunes (1 - nprobe/n_clusters) of the scoring work
+    and, with cluster-partitioned storage, the read itself. With
+    ``nprobe == n_clusters`` the result equals the exact baseline
+    (tested); the approximate default trades recall for the pruning.
+    Rows-only oracle (approximate by design)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_rows = _parquet_rows(sf_dir, "embeddings")
+    if n_clusters is None:
+        n_clusters = int(min(1024, max(8, np.sqrt(n_rows))))
+    if nprobe is None:
+        nprobe = max(2, n_clusters // 4)
+    nprobe = min(nprobe, n_clusters)
+
+    # train on a bounded sample (first blocks — deterministic), driver-side
+    sample = _t(ds.limit(20_000))
+    Xs = _emb_matrix(sample["embedding"])
+    Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+    C = _kmeans_cosine(Xs, n_clusters)
+
+    qt = _t(ds.filter(expr=f"vec_id < {int(n_queries)}"))
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _emb_matrix(qt["embedding"])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # per-query probed clusters + the union set
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probed_union = np.unique(probe)
+    state_ref = ray.put((q_ids, Qn, C, probe, probed_union))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_w, Qn_w, C_w, probe_w, union_w = ray.get(state_ref)
+        X = _emb_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        assign = np.argmax(Xn @ C_w.T, axis=1)
+        keep = np.isin(assign, union_w)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        Xn, ids, assign = Xn[keep], ids[keep], assign[keep]
+        S = Qn_w @ Xn.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            in_probe = np.isin(assign, probe_w[qi]) \
+                & (ids != q_ids_w[qi])
+            s = S[qi][in_probe]
+            nb = ids[in_probe]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([int(q_ids_w[qi])] * len(top))
+            out_n.extend(nb[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    parts = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    pdf = parts.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    pdf["score_r"] = pdf["score"].round(5)
+    pdf = pdf.sort_values(["query_id", "score_r", "neighbor_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id").head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True))

@@ -757,3 +757,48 @@ def test_expected_violations_match_reference():
         assert ref["error"].endswith(e["typepath"]), (ref["error"], e)
     # sanity: every violating doc is represented and classes covered
     assert len({r["what"] for r in exp_by_row.values()}) >= 3
+
+
+def test_ann_ivf_full_probe_equals_exact(ray_session):
+    """IVF with nprobe == n_clusters probes everything → must equal the
+    brute-force baseline exactly (same ranking, same tie-breaks)."""
+    from sjot_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    exact = Q.q_ann_cosine_topk(sf).to_pandas()
+    ivf = Q.q_ann_ivf_topk(sf, n_clusters=16, nprobe=16).to_pandas()
+    assert exact.equals(ivf)
+
+
+def test_ann_ivf_planted_cluster_recall(ray_session, tmp_path):
+    """Clustered corpus: each query's true neighbors share its cluster,
+    so even nprobe=1 must recover them (the pruning path works)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sjot_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(0)
+    dim, per = 32, 50
+    centers = rng.normal(size=(8, dim)) * 10
+    vecs, ids = [], []
+    vid = 0
+    for c in range(8):
+        for _ in range(per):
+            vecs.append(centers[c] + rng.normal(size=dim) * 0.05)
+            ids.append(vid)
+            vid += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}), d / "embeddings.parquet")
+    out = Q.q_ann_ivf_topk(str(d), n_queries=3, k=10, n_clusters=8,
+                           nprobe=1).to_pandas()
+    # queries 0,1,2 live in cluster 0 (first 50 ids) — all neighbors must
+    # come from that cluster
+    for q in (0, 1, 2):
+        nb = out[out["query_id"] == q]["neighbor_id"]
+        assert len(nb) == 10
+        assert (nb < per).all(), nb.tolist()
