@@ -1813,9 +1813,22 @@ class TableValidator:
                 minor = self._compile_child_list_prop(
                     list_col, pname, rt, prop_tp, major, minor)
                 continue
+            if isinstance(rt, dict):
+                # nested OBJECT field inside an item object (e.g.
+                # spans[i].meta.{…}): the flattened child table carries
+                # the item struct's fields as columns, so the nested
+                # compile machinery applies verbatim — compile it, then
+                # REBASE the produced rules into this item object's major
+                # with sequential minors (all rules of one item object
+                # must share a major: the per-item ordering term sits
+                # between major and minor, and the reference validates
+                # item 0 completely before item 1).
+                minor = self._compile_item_object_field(
+                    list_col, pname, rt, prop_tp, major, minor)
+                continue
             if not isinstance(rt, str):
                 raise ColumnarCompileError(
-                    "tuple/union/object types inside list items: row engine")
+                    "tuple/union types inside list items: row engine")
             if _is_char_len_type(rt):
                 # char[n,m] string-length type: "length" label + the
                 # LENGTH as the datum (reference index.js:679-690)
@@ -2018,6 +2031,33 @@ class TableValidator:
             return _list_item_first_fail(arr, itemtype, parent_ok,
                                          sjots, sjot)
         self._add(r, ev)
+
+    def _compile_item_object_field(self, list_col, pname, obj_type,
+                                   typepath, major, minor) -> int:
+        """Nested object field of an item object, via the nested-struct
+        compiler evaluated over the CHILD table (its columns are the
+        item struct's fields). Produced rules are rebased to this item
+        object's ``major`` (sequential minors, creation order — which
+        is the nested compiler's rule order) and flipped to child rules;
+        their dotted paths become the child datapath suffix. Returns the
+        next minor."""
+        mark = len(self.rules)
+        saved_major = self._major
+        self._compile_struct_props([pname], obj_type, typepath)
+        self._major = saved_major
+        for r, _ev in self.rules[mark:]:
+            r.major = major
+            r.minor = minor
+            minor += 1
+            r.child = True
+            r.list_col = list_col
+            if not r.dyn:
+                r.field_name = r.prop
+        if minor >= (1 << _MINOR_BITS):
+            raise ColumnarCompileError(
+                "item object rule count exceeds the minor-key space:"
+                " row engine")
+        return minor
 
     def _compile_struct_tuple_prop(self, fpath, rt, typepath, major):
         """Tuple [type, type, …] field inside a nested struct (e.g.

@@ -48,11 +48,17 @@ def gen_type(rng, depth=0):
         kinds += ["map", "objlist"]
     kind = rng.choice(kinds)
     if kind == "objlist":
-        # list<struct> items: scalar props, optional regex prop, @final
+        # list<struct> items: scalar props, optional nested-object prop,
+        # optional regex prop, @final
         n_props = int(rng.integers(1, 3))
         props, fields, samplers = {}, [], {}
         for i in range(n_props):
-            st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
+            if rng.random() < 0.25:
+                st, at, sam = gen_type(rng, depth=1)
+                while not isinstance(st, dict):  # re-roll until object
+                    st, at, sam = gen_type(rng, depth=1)
+            else:
+                st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]
             opt = "?" if rng.random() < 0.5 else ""
             props[f"f{i}{opt}"] = st
             fields.append((f"f{i}", at))

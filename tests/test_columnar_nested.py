@@ -895,3 +895,83 @@ def test_propsets_see_injected_defaults():
                                 "@dep": {"p0": ["p1"]}}}}
     tbl = pa.table({"box": pa.array(rows, box_t)})
     _assert_parity(tbl, schema, n_invalid_min=1)
+
+
+# -- object fields inside item objects ---------------------------------------
+
+OBJ_IN_ITEM_SCHEMA = {
+    "@root": "#Doc",
+    "Doc": {"spans": [{
+        "kind": "(a|b)",
+        "meta?": {"@final": True, "lang": "(en|de)", "score?": "0.0..1.0"},
+    }]},
+}
+
+
+def obj_in_item_table():
+    meta_t = pa.struct([("lang", pa.string()), ("score", pa.float64()),
+                        ("junk", pa.string())])
+    item_t = pa.struct([("kind", pa.string()), ("meta", meta_t)])
+    rows = [
+        [{"kind": "a", "meta": {"lang": "en", "score": 0.5,
+                                "junk": None}}],              # valid
+        [{"kind": "a", "meta": {"lang": "xx", "score": 0.5,
+                                "junk": None}}],              # enum fail
+        [{"kind": "a", "meta": {"lang": "en", "score": 1.5,
+                                "junk": None}}],              # range fail
+        [{"kind": "a", "meta": {"lang": None, "score": None,
+                                "junk": None}}],              # lang required
+        [{"kind": "a", "meta": None}],                        # meta absent ok
+        [{"kind": "c", "meta": {"lang": "xx", "score": None,
+                                "junk": None}}],              # kind first
+        [{"kind": "a", "meta": {"lang": "en", "score": None,
+                                "junk": "Z"}}],               # @final junk
+        [{"kind": "a", "meta": None},
+         {"kind": "b", "meta": {"lang": "de", "score": 2.0,
+                                "junk": None}}],              # item 1 range
+        [],                                                   # fine
+        None,                                                 # spans required
+    ]
+    return pa.table({"spans": pa.array(rows, pa.list_(item_t))})
+
+
+def test_object_in_item_parity():
+    _assert_parity(obj_in_item_table(), OBJ_IN_ITEM_SCHEMA)
+
+
+def test_object_in_item_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = obj_in_item_table()
+    tv = TableValidator(copy.deepcopy(OBJ_IN_ITEM_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(OBJ_IN_ITEM_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_object_in_item_two_levels():
+    """Two struct levels inside the item object."""
+    schema = {"@root": {"xs?": [{"a?": {"b?": {"c": "1..3"}}}]}}
+    b_t = pa.struct([("c", pa.int64())])
+    a_t = pa.struct([("b", b_t)])
+    item_t = pa.struct([("a", a_t)])
+    rows = [
+        [{"a": {"b": {"c": 2}}}],
+        [{"a": {"b": {"c": 9}}}],      # deep range fail
+        [{"a": {"b": None}}],          # absent optional, fine
+        [{"a": None}],
+        [None],                        # null item → object required
+    ]
+    tbl = pa.table({"xs": pa.array(rows, pa.list_(item_t))})
+    _assert_parity(tbl, schema, n_invalid_min=2)
