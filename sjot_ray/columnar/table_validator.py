@@ -21,13 +21,18 @@ formats/regexes, length bounds, sets (uniqueness inside a list),
 ``@one/@any/@all/@dep`` propsets, ``@final`` (via an unknown-keys capture
 column), depth-1 unions over scalar columns (the Arrow column type
 fixes the JS value kind, so dispatch reduces to the matching branches),
-tuple types over list columns (positional rules selected by item index,
-reference index.js:240-254), nested struct objects to any depth
+tuple types over list columns AND over tuple-typed fields inside nested
+structs (positional rules selected by item index, reference
+index.js:240-254), nested struct objects to any depth
 (rules over struct child arrays masked by enclosing-struct validity,
 with runtime ``@final`` against the struct's physical fields and
 recursive default injection in ``normalize_batch``), list/set fields
 inside item objects and nested structs (first-failing-item reduction
-over a second-level flatten), and regex property names over Arrow map
+over a second-level flatten), OBJECT fields inside item objects to any
+depth (the nested compiler rebased onto the flattened child table),
+propset/@dep presence that counts valid-default optionals declared
+earlier as present (the reference injects them before checking,
+index.js:429-433), and regex property names over Arrow map
 columns (per-entry rules on the flattened key/value table,
 index.js:388-405) AND over struct layouts at any nesting depth
 (matching fields discovered per batch from the struct's Arrow type,
