@@ -41,12 +41,24 @@ SCALARS = [
 
 def gen_type(rng, depth=0):
     """→ (sjot_type, arrow_type, sampler)."""
-    kinds = ["scalar", "list", "set", "tuple"]
+    kinds = ["scalar", "list", "set", "tuple", "union"]
     if depth < 2:
         kinds += ["struct", "struct"]
     if depth == 0:
         kinds += ["map", "objlist"]
     kind = rng.choice(kinds)
+    if kind == "union":
+        # depth-1 scalar union: distinct kind-classes (the reference
+        # rejects ambiguous unions); the Arrow column carries ONE
+        # branch's type — dispatch must accept/reject by value
+        pool = [("0..100", pa.int64(), SCALARS[1][2]),
+                ("(a|bb|ccc)", pa.string(), SCALARS[2][2]),
+                ("boolean", pa.bool_(), SCALARS[4][2])]
+        k = int(rng.integers(2, 4))
+        picks = [pool[i] for i in rng.permutation(3)[:k]]
+        branches = [p[0] for p in picks]
+        carrier = picks[int(rng.integers(0, k))]
+        return [list(branches)], carrier[1], carrier[2]
     if kind == "objlist":
         # list<struct> items: scalar props, optional nested-object prop,
         # optional regex prop, @final
