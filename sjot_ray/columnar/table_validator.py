@@ -772,34 +772,7 @@ class TableValidator:
                 self._compile_struct_props([name], rt, typepath)
             return
         if is_union(rt):
-            self._check_union_scalar_branches(rt)
-            rule = Rule(major, 0, name, typepath, "value", js_string(rt))
-            sjots, sjot = self.sjots, self.sjot
-
-            def ev(tbl, name=name, rt=rt):
-                if name not in tbl.column_names:
-                    return np.zeros(tbl.num_rows, dtype=bool), None
-                arr = tbl[name]
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                if _scalar_kind_of_arrow(arr.type) is None:
-                    # scalar-only union over a container column: no
-                    # branch can accept — every valid value fails
-                    return _valid_mask(arr), arr
-                fail = np.ones(tbl.num_rows, dtype=bool)
-                for branch in rt[0]:
-                    b = branch
-                    while isinstance(b, str) and "#" in b \
-                            and not b.startswith("("):
-                        b = reftype(sjots, b, sjot)
-                    if not isinstance(b, str):
-                        continue
-                    try:
-                        fail &= _scalar_fail_mask(arr, b)
-                    except ColumnarCompileError:
-                        continue
-                return fail & _valid_mask(arr), arr
-            self._add(rule, ev)
+            self._compile_union_rules(name, rt, typepath, major)
             return
         if isinstance(rt, list) or (
                 isinstance(rt, str) and _is_container_type(rt)):
@@ -2036,6 +2009,226 @@ class TableValidator:
             return _list_item_first_fail(arr, itemtype, parent_ok,
                                          sjots, sjot)
         self._add(r, ev)
+
+    def _compile_union_rules(self, name, rt, typepath, major):
+        """Union over a top-level column, both data shapes:
+
+        * scalar column (reference depth n=1): try-each-branch — the
+          n==1 runtime is a try-loop over all branches
+          (core/validator.py:_validate_union), and non-matching-kind
+          scalar masks reject everything, so the conjunction reproduces
+          the dispatch.
+        * flat LIST column (depth n=2): the reference's per-depth
+          dispatch (build_union_dispatch) picks at most ONE branch per
+          item kind; the kernel classifies rows (empty list /
+          list-of-list / null first item / scalar first item) and
+          validates each class against its dispatched CONTAINER branch
+          — set-dup, bounds, first-failing-item order, exactly the row
+          engine's array validator. Branches resolving to objects or
+          tuples, or nested deeper than one container suffix, stay on
+          the row engine (compile-time fallback).
+        """
+        sjots, sjot = self.sjots, self.sjot
+        # compile-time dispatch table (raises SJOTSchemaError on
+        # ambiguous unions exactly like the row engine)
+        from ..core.validator import build_union_dispatch
+        table: dict = {}
+        supported_list = True
+        for i, branch in enumerate(rt[0]):
+            build_union_dispatch(sjots, branch, branch, sjot,
+                                 f"{typepath}[[{i}]]", table, 1)
+            b = branch
+            while isinstance(b, str) and "#" in b \
+                    and not b.startswith("(") and not b.endswith("]") \
+                    and not b.endswith("}"):
+                b = reftype(sjots, b, sjot)
+            if isinstance(b, (dict, list)):
+                supported_list = False  # object/tuple branches: row path
+        cutoff = table.get(0)
+        slots2 = table.get(2)
+        if slots2 is not None and (slots2.o is not None
+                                   or slots2.t is not None
+                                   or slots2.p is not None):
+            supported_list = False
+        if table.get(3) is not None:
+            supported_list = False  # depth>2 branches: row engine
+
+        rule = Rule(major, 0, name, typepath, "value", js_string(rt))
+
+        def ev_scalar(tbl, name=name, rt=rt):
+            if name not in tbl.column_names:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _is_list_type(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            if _scalar_kind_of_arrow(arr.type) is None:
+                # struct/map column, no object branch admitted here:
+                # every valid value fails
+                return _valid_mask(arr), arr
+            fail = np.ones(tbl.num_rows, dtype=bool)
+            for branch in rt[0]:
+                b = branch
+                while isinstance(b, str) and "#" in b \
+                        and not b.startswith("("):
+                    b = reftype(sjots, b, sjot)
+                if not isinstance(b, str):
+                    continue
+                try:
+                    fail &= _scalar_fail_mask(arr, b)
+                except ColumnarCompileError:
+                    continue
+            return fail & _valid_mask(arr), arr
+        self._add(rule, ev_scalar)
+
+        if not supported_list:
+            # the table shape is unknown at compile, so a union whose
+            # list path we cannot express forces the conservative
+            # whole-schema fallback (never a runtime worker raise)
+            raise ColumnarCompileError(
+                "union with object/tuple/deep container branches:"
+                " row engine")
+
+        def _branch_container_eval(arr, branch, lengths, class_mask):
+            """(fail, whats, reprs, paths) for ``arr`` rows in
+            ``class_mask`` against one dispatched container branch —
+            reference order: set-dup, bounds, first failing item."""
+            n = len(arr)
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            b = branch
+            while isinstance(b, str) and "#" in b \
+                    and not b.startswith("(") and not b.endswith("]") \
+                    and not b.endswith("}"):
+                b = reftype(sjots, b, sjot)
+            if not isinstance(b, str) or not _is_container_type(b):
+                # scalar branch dispatched for list data cannot accept
+                sel = class_mask & ~fail
+                fail |= sel
+                whats[sel], reprs[sel], paths[sel] = "value", "", name
+                return fail, whats, reprs, paths
+            is_set = b.endswith("}")
+            j = b.rfind("{" if is_set else "[")
+            bounds = compile_bounds(b, j + 1)
+            itemtype, _tp = self._resolve_path(b[:j], typepath)
+            # 1. set duplicates
+            if is_set:
+                dup = _set_dup_mask(arr) & class_mask
+                newly = dup & ~fail
+                whats[newly], reprs[newly], paths[newly] = "value", "", name
+                fail |= dup
+            # 2. length bounds
+            if bounds is not None:
+                lf = _length_fail_mask(lengths, class_mask, bounds) \
+                    & class_mask & ~fail
+                whats[lf] = "length"
+                paths[lf] = name
+                for i in np.nonzero(lf)[0]:
+                    reprs[i] = str(int(lengths[i]))
+                fail |= lf
+            # 3. items, first failing (sorted order for sets)
+            sarr = _sort_sets(arr) if is_set else arr
+            ones = np.ones(n, dtype=bool)
+            ifail, ival = _list_item_first_fail(sarr, itemtype, ones,
+                                                sjots, sjot)
+            ifail = ifail & class_mask & ~fail
+            if ifail.any() and ival is not None:
+                flat, vidx, fpos = ival[0], ival[1], ival[2]
+                iwhats = ival[3] if len(ival) > 3 else None
+                for i in np.nonzero(ifail)[0]:
+                    paths[i] = f"{name}[{int(fpos[i])}]"
+                    whats[i] = str(iwhats[int(vidx[i])]) \
+                        if iwhats is not None else "value"
+                    if isinstance(flat, np.ndarray):
+                        reprs[i] = str(flat[int(vidx[i])])
+                    else:
+                        v = flat[int(vidx[i])].as_py()
+                        reprs[i] = "" if isinstance(v, (dict, list)) \
+                            else js_string(v)
+                fail |= ifail
+            return fail, whats, reprs, paths
+
+        r2 = Rule(major, 1, name, typepath, "value", js_string(rt),
+                  dyn=True)
+
+        def ev_list(tbl, name=name):
+            zeros = np.zeros(tbl.num_rows, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return zeros, None
+            n = tbl.num_rows
+            valid = _valid_mask(arr)
+            lengths = np.where(valid, np.nan_to_num(
+                _np(pc.list_value_length(arr))), 0).astype(np.int64)
+            flat = arr.flatten()
+            starts = np.cumsum(lengths) - lengths
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+
+            def _mark(mask):
+                newly = mask & ~fail
+                whats[newly], reprs[newly], paths[newly] = "value", "", name
+                return newly
+
+            empty = valid & (lengths == 0)
+            if not (cutoff is not None and cutoff <= 2) and slots2 is None:
+                fail |= _mark(empty)
+            nonempty = valid & (lengths > 0)
+            item_is_list = _is_listish(flat.type)
+            if item_is_list:
+                # list-of-list data: depth ≥3 — valid iff the any-cutoff
+                # admits it (no depth-3 branches on this compile path)
+                if not (cutoff is not None and cutoff <= 3):
+                    fail |= _mark(nonempty)
+                return fail, (paths, reprs, whats)
+            if cutoff is not None and cutoff <= 2:
+                return fail, (paths, reprs, whats)
+            if slots2 is None:
+                fail |= _mark(nonempty)
+                return fail, (paths, reprs, whats)
+            first_valid = np.zeros(n, dtype=bool)
+            fv = _valid_mask(flat)
+            first_valid[nonempty] = fv[starts[nonempty]] \
+                if len(fv) else False
+            null_first = nonempty & ~first_valid
+            if null_first.any():
+                if slots2.n is None:
+                    fail |= _mark(null_first)
+                else:
+                    bf, bw, br, bp = _branch_container_eval(
+                        arr, slots2.n, lengths, null_first)
+                    newly = bf & ~fail
+                    whats[newly] = bw[newly]
+                    reprs[newly] = br[newly]
+                    paths[newly] = bp[newly]
+                    fail |= bf
+            kind_first = nonempty & first_valid
+            if kind_first.any():
+                k = _scalar_kind_of_arrow(flat.type)
+                branch = {"boolean": slots2.b, "number": slots2.x,
+                          "string": slots2.s,
+                          "null": None}.get(k)
+                if branch is None:
+                    fail |= _mark(kind_first)
+                else:
+                    bf, bw, br, bp = _branch_container_eval(
+                        arr, branch, lengths, kind_first)
+                    newly = bf & ~fail
+                    whats[newly] = bw[newly]
+                    reprs[newly] = br[newly]
+                    paths[newly] = bp[newly]
+                    fail |= bf
+            return fail, (paths, reprs, whats)
+        self._add(r2, ev_list)
 
     def _compile_item_object_field(self, list_col, pname, obj_type,
                                    typepath, major, minor) -> int:

@@ -48,9 +48,11 @@ def gen_type(rng, depth=0):
         kinds += ["map", "objlist"]
     kind = rng.choice(kinds)
     if kind == "union":
-        # depth-1 scalar union: distinct kind-classes (the reference
-        # rejects ambiguous unions); the Arrow column carries ONE
-        # branch's type — dispatch must accept/reject by value
+        # distinct kind-classes per depth (the reference rejects
+        # ambiguous unions); the Arrow column carries ONE branch's type
+        # — dispatch must accept/reject by value. Half the configs mix
+        # in depth-2 container branches (list/set, with bounds) and may
+        # carry a LIST column.
         pool = [("0..100", pa.int64(), SCALARS[1][2]),
                 ("(a|bb|ccc)", pa.string(), SCALARS[2][2]),
                 ("boolean", pa.bool_(), SCALARS[4][2])]
@@ -58,6 +60,25 @@ def gen_type(rng, depth=0):
         picks = [pool[i] for i in rng.permutation(3)[:k]]
         branches = [p[0] for p in picks]
         carrier = picks[int(rng.integers(0, k))]
+        if rng.random() < 0.5:
+            # add 1-2 container branches of distinct item kinds
+            cpool = [("0..100", pa.int64(), SCALARS[1][2]),
+                     ("(a|bb|ccc)", pa.string(), SCALARS[2][2])]
+            ci = rng.permutation(2)[:int(rng.integers(1, 3))]
+            cont = []
+            for i in ci:
+                base, at, sam = cpool[i]
+                suffix = rng.choice(["[]", "[1,3]", "{2,4}", "{}"])
+                cont.append((f"{base}{suffix}", at, sam))
+            branches += [c[0] for c in cont]
+            if rng.random() < 0.7:
+                base, at, sam = cont[int(rng.integers(0, len(cont)))]
+
+                def lsam(r, sam=sam):
+                    if r.random() < 0.1:
+                        return None
+                    return [sam(r) for _ in range(int(r.integers(0, 5)))]
+                return [list(branches)], pa.list_(at), lsam
         return [list(branches)], carrier[1], carrier[2]
     if kind == "objlist":
         # list<struct> items: scalar props, optional nested-object prop,

@@ -510,8 +510,12 @@ def test_union_shape_and_container_branches():
     with pytest.raises(SJOTValidationError):
         validate({"v": ["a"]}, None, copy.deepcopy(schema))
 
-    with pytest.raises(ColumnarCompileError):
-        TableValidator({"@root": {"v": [["string", "int[]"]]}})
+    # container branches now compile (r3) — parity-checked against the
+    # row engine on a list column
+    tbl = pa.table({"v": pa.array([[1], []], pa.list_(pa.int64()))})
+    _assert_parity(tbl, {"@root": {"v": [["string", "int[]"]]}},
+                   n_invalid_min=0)
+    # object branches still fall back at compile time
     with pytest.raises(ColumnarCompileError):
         TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
 
@@ -975,3 +979,80 @@ def test_object_in_item_two_levels():
     ]
     tbl = pa.table({"xs": pa.array(rows, pa.list_(item_t))})
     _assert_parity(tbl, schema, n_invalid_min=2)
+
+
+# -- unions with container branches over list columns ------------------------
+
+LIST_UNION_SCHEMA = {"@root": {"v?": [["int[1,3]", "string{2,4}",
+                                       "boolean"]]}}
+
+
+def test_union_container_branches_int_list():
+    tbl = pa.table({"v": pa.array(
+        [[1, 2], [1, 2, 3, 4], [], [1, None], [7], None],
+        pa.list_(pa.int64()))})
+    _assert_parity(tbl, LIST_UNION_SCHEMA)
+
+
+def test_union_container_branches_string_set():
+    tbl = pa.table({"v": pa.array(
+        [["a", "b"], ["a", "a"], ["a"], ["b", "zz", "a"],
+         ["ok", None, "x"], []],
+        pa.list_(pa.string()))})
+    _assert_parity(tbl, LIST_UNION_SCHEMA)
+
+
+def test_union_container_branches_no_slot_kind():
+    # boolean LIST: union has no depth-2 boolean slot → every valid fails
+    tbl = pa.table({"v": pa.array(
+        [[True, False], [], None], pa.list_(pa.bool_()))})
+    _assert_parity(tbl, LIST_UNION_SCHEMA)
+
+
+def test_union_scalar_column_unchanged():
+    tbl = pa.table({"v": pa.array([True, False, None], pa.bool_())})
+    _assert_parity(tbl, LIST_UNION_SCHEMA, n_invalid_min=0)
+
+
+def test_union_any_cutoff_over_lists():
+    schema = {"@root": {"v?": [["array", "int"]]}}
+    tbl = pa.table({"v": pa.array(
+        [[1, 2], [], [99]], pa.list_(pa.int64()))})
+    _assert_parity(tbl, schema, n_invalid_min=0)
+
+
+def test_union_nested_list_data():
+    # list<list<int>> data at depth 3: only an any-cutoff admits it
+    schema = {"@root": {"v?": [["int[]", "string"]]}}
+    tbl = pa.table({"v": pa.array(
+        [[[1]], [[]], []], pa.list_(pa.list_(pa.int64())))})
+    _assert_parity(tbl, schema)
+
+
+def test_union_container_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = pa.table({"v": pa.array(
+        [[1, 2], [1, 2, 3, 4], [], [7], [1, None]],
+        pa.list_(pa.int64()))})
+    tv = TableValidator(copy.deepcopy(LIST_UNION_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(LIST_UNION_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+
+
+def test_union_object_branch_still_falls_back():
+    import copy
+
+    from sjot_ray.columnar.table_validator import ColumnarCompileError
+
+    schema = {"@root": {"v?": [["int[]", {"a": "int"}]]}}
+    with pytest.raises(ColumnarCompileError):
+        TableValidator(copy.deepcopy(schema))
