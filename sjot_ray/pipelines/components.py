@@ -49,6 +49,15 @@ def _np(col) -> np.ndarray:
     return a.astype(np.int64) if a.dtype != np.int64 else a
 
 
+@ray.remote
+def _changed_sum(t: pa.Table) -> int:
+    if t.num_rows == 0:
+        return 0
+    import pyarrow.compute as _pc
+
+    return int(_pc.sum(t["changed"]).as_py() or 0)
+
+
 def connected_components(edges: "ray.data.Dataset",
                          id_cols=("id_a", "id_b"),
                          max_rounds: int = 64) -> "ray.data.Dataset":
@@ -183,13 +192,18 @@ def connected_components(edges: "ray.data.Dataset",
                              "label": pa.array(mins),
                              "changed": pa.array(changed)})
 
-        state = hash_shuffle_apply(msgs, "key", B, fold_min,
-                                   _EMPTY_STATE).materialize()
-        n_changed = state.sum("changed", ignore_nulls=True) or 0
-        labels = state.drop_columns(["changed"]).materialize()
+        state = hash_shuffle_apply(msgs, "key", B, fold_min, _EMPTY_STATE)
+        # change count via one tiny task per partition block (a
+        # Dataset.sum + drop_columns would cost two extra Ray jobs per
+        # round, and pulling blocks to the driver would break
+        # driver-flatness) — the driver only ever receives ints
+        refs = state.to_arrow_refs()
+        n_changed = sum(ray.get([_changed_sum.remote(r) for r in refs]))
+        labels = ray.data.from_arrow_refs(refs)
         if n_changed == 0:
             break
-    return labels
+    return labels.map_batches(
+        lambda t: t.select(["node", "label"]), batch_format="pyarrow")
 
 
 def near_dup_groups_distributed(edges: "ray.data.Dataset",

@@ -1476,3 +1476,48 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(
         pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True))
+
+
+def q_components_order_part(sf_dir: str, max_order: int = 500):
+    """Connected components of the bipartite order↔part graph (lineitem
+    rows as edges, orders capped for a tractable recursive-CTE oracle):
+    the distributed min-label-propagation engine
+    (:mod:`.components`) under the HARD oracle gate — node ids encode
+    side (2·order, 2·part+1), label = component min. Duplicate edges
+    (several lines of one order touching one part) need no dedup; the
+    propagation is idempotent over them."""
+    from .components import connected_components
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+               split=False).filter(expr=f"l_orderkey < {int(max_order)}")
+
+    def edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id_a": pa.array(2 * o),
+                         "id_b": pa.array(2 * p + 1)})
+
+    labels = connected_components(
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True))
+    t = _t(labels)
+    if t.num_rows:
+        idx = pc.sort_indices(t, sort_keys=[("node", "ascending")])
+        t = t.take(idx)
+    return t
+
+
+ORACLE_SQL["components_order_part"] = """
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT 2*l_orderkey AS u, 2*l_partkey+1 AS v
+      FROM lineitem WHERE l_orderkey < 500),
+    und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    lbl AS (
+      SELECT u AS node, MIN(LEAST(u, v)) AS label FROM und GROUP BY u
+      UNION
+      SELECT und.u AS node, lbl.label
+      FROM und JOIN lbl ON lbl.node = und.v
+      WHERE lbl.label < und.u
+    )
+    SELECT node, MIN(label) AS label FROM lbl GROUP BY node ORDER BY node
+"""
