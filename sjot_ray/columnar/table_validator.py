@@ -1144,30 +1144,8 @@ class TableValidator:
                 continue
             major = self._next_major()
             if is_union(rt):
-                self._check_union_scalar_branches(rt)
-                r = Rule(major, 0, fdotted, prop_tp, "value", js_string(rt))
-                sjots, sjot = self.sjots, self.sjot
-
-                def ev(tbl, path=tuple(fpath), rt=rt):
-                    arr, parent_valid = _nested_field(tbl, list(path))
-                    if arr is None:
-                        return np.zeros(tbl.num_rows, dtype=bool), None
-                    if _scalar_kind_of_arrow(arr.type) is None:
-                        return _valid_mask(arr) & parent_valid, arr
-                    fail = np.ones(tbl.num_rows, dtype=bool)
-                    for branch in rt[0]:
-                        b = branch
-                        while isinstance(b, str) and "#" in b \
-                                and not b.startswith("("):
-                            b = reftype(sjots, b, sjot)
-                        if not isinstance(b, str):
-                            continue
-                        try:
-                            fail &= _scalar_fail_mask(arr, b)
-                        except ColumnarCompileError:
-                            continue
-                    return fail & _valid_mask(arr) & parent_valid, arr
-                self._add(r, ev)
+                self._compile_union_rules(fdotted, rt, prop_tp, major,
+                                          path=tuple(fpath))
                 continue
             if isinstance(rt, str) and _is_container_type(rt):
                 self._compile_struct_list_prop(fpath, rt, prop_tp, major)
@@ -2010,7 +1988,7 @@ class TableValidator:
                                          sjots, sjot)
         self._add(r, ev)
 
-    def _compile_union_rules(self, name, rt, typepath, major):
+    def _compile_union_rules(self, name, rt, typepath, major, path=None):
         """Union over a top-level column, both data shapes:
 
         * scalar column (reference depth n=1): try-each-branch — the
@@ -2029,6 +2007,19 @@ class TableValidator:
           the row engine (compile-time fallback).
         """
         sjots, sjot = self.sjots, self.sjot
+
+        def access(tbl):
+            """(array, parent_ok) for the union's payload — a top-level
+            column or a nested struct field (``path``)."""
+            if path is None:
+                if name not in tbl.column_names:
+                    return None, None
+                arr = tbl[name]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                return arr, np.ones(tbl.num_rows, dtype=bool)
+            return _nested_field(tbl, list(path))
+
         # compile-time dispatch table (raises SJOTSchemaError on
         # ambiguous unions exactly like the row engine)
         from ..core.validator import build_union_dispatch
@@ -2055,18 +2046,16 @@ class TableValidator:
 
         rule = Rule(major, 0, name, typepath, "value", js_string(rt))
 
-        def ev_scalar(tbl, name=name, rt=rt):
-            if name not in tbl.column_names:
+        def ev_scalar(tbl, rt=rt):
+            arr, pok = access(tbl)
+            if arr is None:
                 return np.zeros(tbl.num_rows, dtype=bool), None
-            arr = tbl[name]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
             if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             if _scalar_kind_of_arrow(arr.type) is None:
-                # struct/map column, no object branch admitted here:
+                # struct/map payload, no object branch admitted here:
                 # every valid value fails
-                return _valid_mask(arr), arr
+                return _valid_mask(arr) & pok, arr
             fail = np.ones(tbl.num_rows, dtype=bool)
             for branch in rt[0]:
                 b = branch
@@ -2079,7 +2068,7 @@ class TableValidator:
                     fail &= _scalar_fail_mask(arr, b)
                 except ColumnarCompileError:
                     continue
-            return fail & _valid_mask(arr), arr
+            return fail & _valid_mask(arr) & pok, arr
         self._add(rule, ev_scalar)
 
         if not supported_list:
@@ -2156,15 +2145,11 @@ class TableValidator:
 
         def ev_list(tbl, name=name):
             zeros = np.zeros(tbl.num_rows, dtype=bool)
-            if name not in tbl.column_names:
-                return zeros, None
-            arr = tbl[name]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if not _is_list_type(arr.type):
+            arr, pok = access(tbl)
+            if arr is None or not _is_list_type(arr.type):
                 return zeros, None
             n = tbl.num_rows
-            valid = _valid_mask(arr)
+            valid = _valid_mask(arr) & pok
             lengths = np.where(valid, np.nan_to_num(
                 _np(pc.list_value_length(arr))), 0).astype(np.int64)
             flat = arr.flatten()

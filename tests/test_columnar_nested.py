@@ -1056,3 +1056,21 @@ def test_union_object_branch_still_falls_back():
     schema = {"@root": {"v?": [["int[]", {"a": "int"}]]}}
     with pytest.raises(ColumnarCompileError):
         TableValidator(copy.deepcopy(schema))
+
+
+def test_union_container_branches_in_nested_struct():
+    """Container-branch unions over LIST fields inside nested structs
+    (the generalized union kernel resolves through the struct path)."""
+    schema = {"@root": {"meta": {"u?": [["int[1,3]", "string{2,4}",
+                                        "boolean"]]}}}
+    meta_t = pa.struct([("u", pa.list_(pa.int64()))])
+    tbl = pa.table({"meta": pa.array(
+        [{"u": [1, 2]}, {"u": [1, 2, 3, 4]}, {"u": []}, {"u": [7]},
+         {"u": None}, None],
+        meta_t)})
+    _assert_parity(tbl, schema)
+    # scalar carrier through the same path
+    meta_b = pa.struct([("u", pa.bool_())])
+    tbl2 = pa.table({"meta": pa.array(
+        [{"u": True}, {"u": None}, None], meta_b)})
+    _assert_parity(tbl2, schema, n_invalid_min=0)
