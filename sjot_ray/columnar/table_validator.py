@@ -1782,9 +1782,28 @@ class TableValidator:
                 minor = self._compile_item_object_field(
                     list_col, pname, rt, prop_tp, major, minor)
                 continue
+            if is_union(rt):
+                # union field inside an item object: the generalized
+                # union kernel runs over the child table (the field is a
+                # child-table column), rebased like object fields
+                mark = len(self.rules)
+                saved_major = self._major
+                self._compile_union_rules(pname, rt, prop_tp,
+                                          self._next_major(),
+                                          path=(pname,))
+                self._major = saved_major
+                for r, _ev in self.rules[mark:]:
+                    r.major = major
+                    r.minor = minor
+                    minor += 1
+                    r.child = True
+                    r.list_col = list_col
+                    if not r.dyn:
+                        r.field_name = r.prop
+                continue
             if not isinstance(rt, str):
                 raise ColumnarCompileError(
-                    "tuple/union types inside list items: row engine")
+                    "tuple types inside list items: row engine")
             if _is_char_len_type(rt):
                 # char[n,m] string-length type: "length" label + the
                 # LENGTH as the datum (reference index.js:679-690)

@@ -86,9 +86,15 @@ def gen_type(rng, depth=0):
         n_props = int(rng.integers(1, 3))
         props, fields, samplers = {}, [], {}
         for i in range(n_props):
-            if rng.random() < 0.25:
+            roll = rng.random()
+            if roll < 0.2:
                 st, at, sam = gen_type(rng, depth=1)
                 while not isinstance(st, dict):  # re-roll until object
+                    st, at, sam = gen_type(rng, depth=1)
+            elif roll < 0.35:
+                st, at, sam = gen_type(rng, depth=1)
+                while not (isinstance(st, list) and len(st) == 1
+                           and isinstance(st[0], list)):  # union
                     st, at, sam = gen_type(rng, depth=1)
             else:
                 st, at, sam = SCALARS[rng.integers(0, len(SCALARS))]

@@ -1074,3 +1074,26 @@ def test_union_container_branches_in_nested_struct():
     tbl2 = pa.table({"meta": pa.array(
         [{"u": True}, {"u": None}, None], meta_b)})
     _assert_parity(tbl2, schema, n_invalid_min=0)
+
+
+def test_union_field_inside_item_object():
+    """Union-typed fields of list<struct> items run through the
+    rebased union kernel (scalar and list carriers)."""
+    schema = {"@root": {"spans?": [{
+        "k?": "string", "u?": [["int[1,3]", "string{2,4}", "boolean"]]}]}}
+    item_list = pa.struct([("k", pa.string()),
+                           ("u", pa.list_(pa.int64()))])
+    tbl = pa.table({"spans": pa.array(
+        [[{"k": "a", "u": [1, 2]}],
+         [{"k": "a", "u": [1, 2, 3, 4]}],
+         [{"k": "a", "u": []}, {"k": "b", "u": [7]}],
+         [{"k": "a", "u": None}],
+         [None],
+         None],
+        pa.list_(item_list))})
+    _assert_parity(tbl, schema)
+    item_scalar = pa.struct([("k", pa.string()), ("u", pa.bool_())])
+    tbl2 = pa.table({"spans": pa.array(
+        [[{"k": "a", "u": True}], [{"k": "a", "u": None}]],
+        pa.list_(item_scalar))})
+    _assert_parity(tbl2, schema, n_invalid_min=0)
