@@ -1801,9 +1801,28 @@ class TableValidator:
                     if not r.dyn:
                         r.field_name = r.prop
                 continue
+            if isinstance(rt, list):
+                # tuple field inside an item object: the nested-struct
+                # tuple compiler binds via _nested_field, which resolves
+                # the field as a child-table column — rebase like the
+                # other item-field kinds
+                mark = len(self.rules)
+                saved_major = self._major
+                self._compile_struct_tuple_prop([pname], rt, prop_tp,
+                                                self._next_major())
+                self._major = saved_major
+                for r, _ev in self.rules[mark:]:
+                    r.major = major
+                    r.minor = minor
+                    minor += 1
+                    r.child = True
+                    r.list_col = list_col
+                    if not r.dyn:
+                        r.field_name = r.prop
+                continue
             if not isinstance(rt, str):
                 raise ColumnarCompileError(
-                    "tuple types inside list items: row engine")
+                    "unsupported item field type: row engine")
             if _is_char_len_type(rt):
                 # char[n,m] string-length type: "length" label + the
                 # LENGTH as the datum (reference index.js:679-690)

@@ -1097,3 +1097,22 @@ def test_union_field_inside_item_object():
         [[{"k": "a", "u": True}], [{"k": "a", "u": None}]],
         pa.list_(item_scalar))})
     _assert_parity(tbl2, schema, n_invalid_min=0)
+
+
+def test_tuple_field_inside_item_object():
+    schema = {"@root": {"spans?": [{
+        "k?": "string", "pair?": ["string", "(a|b)", "1..5"]}]}}
+    item_t = pa.struct([("k", pa.string()),
+                        ("pair", pa.list_(pa.string()))])
+    tbl = pa.table({"spans": pa.array(
+        [[{"k": "q", "pair": ["x", "a", "3"]}],
+         [{"k": "q", "pair": ["x", "c", "3"]}],
+         [{"k": "q", "pair": ["x", "a", "9"]}],
+         [{"k": "q", "pair": ["x", "a"]}],
+         [{"k": "q", "pair": None}],
+         [{"k": "q", "pair": ["x", "a", "3"]},
+          {"k": "r", "pair": ["x", "b", "0"]}],
+         [None],
+         None],
+        pa.list_(item_t))})
+    _assert_parity(tbl, schema)
