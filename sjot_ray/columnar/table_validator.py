@@ -19,8 +19,9 @@ list<struct<primitive…>>} with required/optional properties, defaults,
 numeric ranges/enums, sized ints (incl. the long=±2^47 quirk), string
 formats/regexes, length bounds, sets (uniqueness inside a list),
 ``@one/@any/@all/@dep`` propsets, ``@final`` (via an unknown-keys capture
-column), depth-1 unions over scalar columns (the Arrow column type
-fixes the JS value kind, so dispatch reduces to the matching branches),
+column), depth-1 unions over scalar columns (scalar columns: the n==1 try-each-branch loop; LIST columns and
+nested list fields: the reference's per-depth dispatch with full
+container-branch validation — set-dup, bounds, first failing item),
 tuple types over list columns AND over tuple-typed fields inside nested
 structs (positional rules selected by item index, reference
 index.js:240-254), nested struct objects to any depth
@@ -28,8 +29,9 @@ index.js:240-254), nested struct objects to any depth
 with runtime ``@final`` against the struct's physical fields and
 recursive default injection in ``normalize_batch``), list/set fields
 inside item objects and nested structs (first-failing-item reduction
-over a second-level flatten), OBJECT fields inside item objects to any
-depth (the nested compiler rebased onto the flattened child table),
+over a second-level flatten), OBJECT, UNION and TUPLE fields inside
+item objects (the nested compilers rebased onto the flattened child
+table, sharing the item's ordering major),
 propset/@dep presence that counts valid-default optionals declared
 earlier as present (the reference injects them before checking,
 index.js:429-433), and regex property names over Arrow map
