@@ -22,12 +22,23 @@ cells. Beyond that, intermediate combine rounds form a merge tree —
 each combine concatenates up to ``_FANIN`` partition cells into one
 object-store table and returns a ref — so a 100 TB run with ~4×10^5
 input blocks costs ⌈log_FANIN(n_blocks)⌉ (=2) extra rounds per
-partition instead of one task with 4×10^5 arguments.
+partition instead of one task with 4×10^5 arguments. The driver holds
+B × n_blocks refs transiently at split time (refs only, ~100 B each);
+combine rounds shrink that to B × fan-in.
 
-Driver ref footprint: O(n_blocks + B), not B × n_blocks — each split
-task returns ONE tuple-of-cell-refs object, and partition extraction
-happens inside the combine/reduce tasks (at B=4096 × 4×10^5 blocks,
-per-cell driver refs alone would be ~10^9 objects).
+Driver ref ceiling (measured, deliberate): B × n_blocks cell refs is
+the footprint floor of this single-stage design — ~10^7 cells (≈1 GB
+of ref bookkeeping) is a practical driver limit, i.e. B=4096 with up
+to ~2.5K blocks or B=256 with 4×10^4 blocks. An attempted
+one-tuple-per-block variant (partition extraction inside the tasks)
+was MEASURED strictly worse — every per-partition task then borrows
+every block's B inner refs, multiplying Ray's per-(task × ref)
+bookkeeping by B (driver RSS 336 MB → 1.5 GB, wall 50 s → 80 s on the
+2M-doc dedup check) — so it was reverted. Past the cell ceiling the
+right structure is a TWO-STAGE shuffle (coarse key%G co-location, then
+per-group key%B), which keeps the product at G×n_blocks + B×(n/G);
+not needed at current corpus scales and left as the documented 100 TB
+growth path.
 """
 
 from __future__ import annotations
@@ -41,16 +52,12 @@ import ray.data
 
 @ray.remote
 def _split(t: pa.Table, key_col: str, B: int):
-    # Returns ONE tuple of B ObjectRefs (or None for empty cells), NOT
-    # the tables themselves: Ray inlines small (<100 KiB) task returns
-    # into the OWNER process's memory, so returning n_blocks × B small
-    # tables directly parks the entire shuffled payload in the driver
-    # heap (measured: +1.4 GB for a 640 MB table). ray.put keeps each
-    # cell in the worker-side object store; the driver holds ONE ref per
-    # input block (the tuple), not B × n_blocks cell refs — at the 100 TB
-    # shape (B=4096, 4×10^5 blocks) per-cell refs alone would be ~10^9
-    # driver-side objects. Partition extraction happens inside the
-    # combine/reduce tasks, which receive the (tiny) tuples.
+    # Returns a tuple of B ObjectRefs (or None for empty cells), NOT the
+    # tables themselves: Ray inlines small (<100 KiB) task returns into
+    # the OWNER process's memory, so returning n_blocks × B small tables
+    # directly parks the entire shuffled payload in the driver heap
+    # (measured: +1.4 GB for a 640 MB table). ray.put keeps each cell in
+    # the worker-side object store and only refs travel to the driver.
     if t.num_rows == 0:
         # Ray Data passes zero-row blocks through map transforms
         # untouched, so an empty block may still carry an upstream schema
@@ -71,26 +78,10 @@ def _split(t: pa.Table, key_col: str, B: int):
     return tuple(out)
 
 
-def _cells_of(p: int, block_tuples) -> list:
-    return [bt[p] for bt in block_tuples
-            if bt is not None and bt[p] is not None]
-
-
 @ray.remote
-def _reduce(fn, empty: pa.Table, p: int, *blocks) -> pa.Table:
-    """Reduce partition ``p``. ``blocks`` mix two shapes: tuples of cell
-    refs (straight from ``_split``) and plain cell refs (outputs of
-    ``_combine`` rounds); ``p < 0`` means all blocks are plain refs."""
-    refs = []
-    for b in blocks:
-        if b is None:
-            continue
-        if isinstance(b, tuple):
-            if b[p] is not None:
-                refs.append(b[p])
-        else:
-            refs.append(b)
-    parts = [t for t in ray.get(refs) if t.num_rows] if refs else []
+def _reduce(fn, empty: pa.Table, *part_refs) -> pa.Table:
+    refs = [r for r in part_refs if r is not None]
+    parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
     if not parts:
         return empty
     return fn(pa.concat_tables(parts, promote_options="default"))
@@ -104,22 +95,12 @@ _FANIN = 512
 
 
 @ray.remote
-def _combine(p: int, *blocks):
-    """Merge up to _FANIN cells of partition ``p`` into one table;
-    ``blocks`` are tuples of cell refs (first round, extracts index
-    ``p``) or plain cell refs (later rounds, ``p < 0``). Returns an
+def _combine(*part_refs):
+    """Merge up to _FANIN partition cells into one table; returns an
     inner ObjectRef (like _split) so the merged table lives in the
     worker-side object store, never inlined into the driver heap."""
-    refs = []
-    for b in blocks:
-        if b is None:
-            continue
-        if isinstance(b, tuple):
-            if b[p] is not None:
-                refs.append(b[p])
-        else:
-            refs.append(b)
-    parts = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    refs = [r for r in part_refs if r is not None]
+    parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
     if not parts:
         return None
     return ray.put(pa.concat_tables(parts, promote_options="default")
@@ -153,21 +134,13 @@ def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
     block_refs = ds.to_arrow_refs()
     if not block_refs:
         return ray.data.from_arrow(empty)
-    # ONE ref per input block (the tuple of cell refs) — the driver
-    # never holds per-cell refs (O(n_blocks + B) refs total, not B ×
-    # n_blocks)
-    split_out = [_split.remote(b, key_col, B) for b in block_refs]
+    split_out = [_split.options(num_returns=B).remote(b, key_col, B)
+                 for b in block_refs]
     out_refs = []
     for p in range(B):
-        if len(split_out) <= fanin:
-            out_refs.append(_reduce.remote(fn, empty, p, *split_out))
-            continue
-        # round 1 extracts partition p from the block tuples; later
-        # rounds merge plain cell refs (p = -1 marker)
-        cells = [_combine.remote(p, *split_out[i:i + fanin])
-                 for i in range(0, len(split_out), fanin)]
+        cells = [split_out[i][p] for i in range(len(split_out))]
         while len(cells) > fanin:
-            cells = [_combine.remote(-1, *cells[i:i + fanin])
+            cells = [_combine.remote(*cells[i:i + fanin])
                      for i in range(0, len(cells), fanin)]
-        out_refs.append(_reduce.remote(fn, empty, -1, *cells))
+        out_refs.append(_reduce.remote(fn, empty, *cells))
     return ray.data.from_arrow_refs(out_refs)
