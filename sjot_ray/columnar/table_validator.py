@@ -1392,12 +1392,16 @@ class TableValidator:
                 continue
 
             rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
-            if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
+            container_prop = (not prop.startswith("(")
+                              and isinstance(rt, str)
+                              and _is_container_type(rt))
+            if not container_prop and (not _is_scalar_str_type(rt)
+                                       or _is_char_len_type(rt)):
                 raise ColumnarCompileError(
                     "non-scalar or char-length map value types: row engine")
-            null_ok = row_valid(None, rt,
-                                self.sjot if isinstance(self.sjot, dict)
-                                else None)
+            null_ok = False if container_prop else row_valid(
+                None, rt,
+                self.sjot if isinstance(self.sjot, dict) else None)
 
             if prop.startswith("("):
                 major = self._next_major()
@@ -1491,6 +1495,19 @@ class TableValidator:
                         return valid & ~has, None
                     self._add(r, ev)
 
+            if container_prop:
+                # list/set-typed map values: per-entry container
+                # validation on the flattened entry table (set-dup →
+                # bounds → first failing item, reference order), plus
+                # the struct-layout family via the nested-list rules —
+                # each family is inert on the other layout
+                major = self._next_major()
+                self._add_map_container_value_rule(
+                    name, pname, rt, prop_tp, required, major)
+                self._compile_struct_list_prop(
+                    [name, pname], rt, prop_tp, self._next_major())
+                continue
+
             major = self._next_major()
             r = Rule(major, 0, name, prop_tp, "value", rt, child=True,
                      list_col=name, map_entry=True)
@@ -1572,6 +1589,95 @@ class TableValidator:
                     fail |= fv
                 return fail & svalid, first
             self._add(r2, ev_struct_final)
+
+    def _add_map_container_value_rule(self, name, pname, rt, prop_tp,
+                                      required, major):
+        """One dyn map-entry rule validating list/set-typed values of
+        entries whose key equals ``pname``: shape (scalar value against
+        the container type), set duplicates, length bounds, first
+        failing item — row-engine order, exact per-entry datapaths
+        ($.col.key / $.col.key[pos])."""
+        is_set = rt.endswith("}")
+        j = rt.rfind("{" if is_set else "[")
+        bounds = compile_bounds(rt, j + 1)
+        itemtype, _tp = self._resolve_path(rt[:j], prop_tp)
+        if not _is_scalar_str_type(itemtype):
+            raise ColumnarCompileError(
+                "doubly-nested map value types: row engine")
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, 0, name, prop_tp, "value", rt, child=True,
+                 list_col=name, map_entry=True, dyn=True)
+
+        def ev(child_tbl, pname=pname, rt=rt, itemtype=itemtype,
+               is_set=is_set, bounds=bounds, required=required):
+            n = child_tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if "key" not in child_tbl.column_names:
+                return zeros, None
+            keys = child_tbl["key"]
+            vals = child_tbl["value"]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            km = _np(pc.fill_null(pc.equal(keys, pname),
+                                  False)).astype(bool)
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            if not _is_list_type(vals.type):
+                # scalar entry values against a container type: the
+                # scalar-shape kernel (incl. the number range-scan and
+                # char-prefixed dualities) decides per entry
+                vf = _scalar_fail_mask(vals, rt) & km
+                if required:
+                    vf |= km & ~_valid_mask(vals)
+                for i in np.nonzero(vf)[0]:
+                    v = vals[int(i)].as_py()
+                    whats[i] = "value"
+                    reprs[i] = js_string(v) \
+                        if not isinstance(v, (dict, list)) else ""
+                    paths[i] = pname
+                return vf, (paths, reprs, whats)
+            valid = _valid_mask(vals)
+            if required:
+                nf = km & ~valid
+                whats[nf], reprs[nf], paths[nf] = "value", "null", pname
+                fail |= nf
+            sel = km & valid
+            if is_set:
+                dup = _set_dup_mask(vals) & sel & ~fail
+                whats[dup], reprs[dup], paths[dup] = "value", "", pname
+                fail |= dup
+            if bounds is not None:
+                lengths = np.where(valid, np.nan_to_num(
+                    _np(pc.list_value_length(vals))), 0).astype(np.int64)
+                lf = _length_fail_mask(lengths, sel, bounds) & sel & ~fail
+                whats[lf] = "length"
+                paths[lf] = pname
+                for i in np.nonzero(lf)[0]:
+                    reprs[i] = str(int(lengths[i]))
+                fail |= lf
+            svals = _sort_sets(vals) if is_set else vals
+            ones = np.ones(n, dtype=bool)
+            ifail, ival = _list_item_first_fail(svals, itemtype, ones,
+                                                sjots, sjot)
+            ifail = ifail & sel & ~fail
+            if ifail.any() and ival is not None:
+                flat, vidx, fpos = ival[0], ival[1], ival[2]
+                iwhats = ival[3] if len(ival) > 3 else None
+                for i in np.nonzero(ifail)[0]:
+                    paths[i] = f"{pname}[{int(fpos[i])}]"
+                    whats[i] = str(iwhats[int(vidx[i])]) \
+                        if iwhats is not None else "value"
+                    if isinstance(flat, np.ndarray):
+                        reprs[i] = str(flat[int(vidx[i])])
+                    else:
+                        v = flat[int(vidx[i])].as_py()
+                        reprs[i] = "" if isinstance(v, (dict, list)) \
+                            else js_string(v)
+                fail |= ifail
+            return fail, (paths, reprs, whats)
+        self._add(r, ev)
 
     def _compile_tuple_rules(self, name, rt, typepath, major):
         """Tuple [type, type, ...] over a list column: a length rule
@@ -2478,7 +2584,10 @@ class TableValidator:
             whats = values[2] if len(values) > 2 else None
             tps = values[3] if len(values) > 3 else None
             i = child_idx if rule.child and child_idx is not None else row
-            if rule.child:
+            if rule.child and rule.map_entry:
+                # map-entry dyn rules carry the key(+item) suffix
+                datapath = f"$.{rule.list_col}.{paths[i]}"
+            elif rule.child:
                 # child dyn rules carry the item-struct FIELD name
                 datapath = f"$.{rule.list_col}[{item_idx}].{paths[i]}"
             else:

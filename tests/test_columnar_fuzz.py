@@ -203,7 +203,23 @@ def gen_type(rng, depth=0):
     # map with regex props
     st, at, sam = SCALARS[2]  # string enum values
     props = {"(k[0-9])": st}
-    if rng.random() < 0.5:
+    list_vals = rng.random() < 0.4
+    if list_vals:
+        # container-typed fixed prop over list-valued map entries
+        base, iat, isam = (("0..100", pa.int64(), SCALARS[1][2])
+                           if rng.random() < 0.5
+                           else ("(a|bb|ccc)", pa.string(), SCALARS[2][2]))
+        suffix = rng.choice(["[]", "[1,3]", "{2,4}", "{}"])
+        opt = "" if rng.random() < 0.5 else "?"
+        props[f"fixed{opt}"] = f"{base}{suffix}"
+        at = pa.list_(iat)
+
+        def vsam(r, isam=isam):
+            if r.random() < 0.12:
+                return None
+            return [isam(r) for _ in range(int(r.integers(0, 5)))]
+        sam = vsam
+    elif rng.random() < 0.5:
         props["fixed"] = st
     if rng.random() < 0.3:
         props["@final"] = True

@@ -23,6 +23,13 @@ def _doc_of(row: dict) -> dict:
             continue
         if isinstance(v, dict):
             v = _doc_of(v)
+        elif isinstance(v, list) and v and isinstance(v[0], tuple) \
+                and len(v[0]) == 2:
+            # map cell: list of (key, value) tuples → dict; null VALUES
+            # are kept (explicit null ≠ absent for map entries — the
+            # row engine's optional-null/required-null handling applies)
+            v = {mk: (_doc_of(mv) if isinstance(mv, dict) else mv)
+                 for mk, mv in v}
         elif isinstance(v, list):
             v = [_doc_of(x) if isinstance(x, dict) else x for x in v]
         out[k] = v
@@ -1116,3 +1123,77 @@ def test_tuple_field_inside_item_object():
          None],
         pa.list_(item_t))})
     _assert_parity(tbl, schema)
+
+
+# -- container-typed map values ----------------------------------------------
+
+MAP_LIST_SCHEMA = {
+    "@root": "#D",
+    "D": {"props?": {"(k[0-9])": "(a|b)",
+                     "tags?": "(t[0-9]){1,3}",
+                     "need": "(t[0-9])[2]"}},
+}
+
+
+def map_list_table():
+    mt = pa.map_(pa.string(), pa.list_(pa.string()))
+    rows = [
+        [("tags", ["t1", "t2"]), ("need", ["t1", "t2"])],   # valid
+        [("tags", ["t1", "zz"]), ("need", ["t1", "t2"])],   # item fail
+        [("tags", ["t1", "t1"]), ("need", ["t1", "t2"])],   # set dup
+        [("tags", ["t1", "t2", "t3", "t4"]),
+         ("need", ["t1", "t2"])],                           # set bounds
+        [("need", ["t1"])],                                 # list length
+        [("tags", ["t1"])],                                 # need missing
+        [("need", None)],                                   # null required
+        [("tags", None), ("need", ["t1", "t2"])],           # null optional ok
+        [("k1", ["t1"]), ("need", ["t1", "t2"])],           # regex + list val
+        None,
+    ]
+    return pa.table({"props": pa.array(rows, mt)})
+
+
+def test_map_container_values_parity():
+    _assert_parity(map_list_table(), MAP_LIST_SCHEMA)
+
+
+def test_map_container_values_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    tbl = map_list_table()
+    tv = TableValidator(copy.deepcopy(MAP_LIST_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = []
+    for r in tbl.to_pylist():
+        d = {}
+        if r["props"] is not None:
+            d["props"] = {k: v for k, v in r["props"]}
+            # null≡absent for optional; keep nulls for required (the
+            # row engine treats explicit null per index.js:425)
+            d["props"] = {k: v for k, v in d["props"].items()
+                          if v is not None or k == "need"}
+        docs.append(d)
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(MAP_LIST_SCHEMA),
+              "mode": "validate"} for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+
+
+def test_struct_layout_container_props_under_map_schema():
+    """The same schema (regex props ⇒ map-object path) over a STRUCT
+    layout exercises the nested-list rule family."""
+    st = pa.struct([("tags", pa.list_(pa.string())),
+                    ("need", pa.list_(pa.string()))])
+    rows = [
+        {"tags": ["t1"], "need": ["t1", "t2"]},
+        {"tags": ["zz"], "need": ["t1", "t2"]},    # item fail
+        {"tags": None, "need": ["t1"]},            # length fail
+        {"tags": None, "need": None},              # need required
+        None,
+    ]
+    tbl = pa.table({"props": pa.array(rows, st)})
+    _assert_parity(tbl, MAP_LIST_SCHEMA)
