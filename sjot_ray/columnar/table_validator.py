@@ -1392,9 +1392,7 @@ class TableValidator:
                 continue
 
             rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
-            container_prop = (not prop.startswith("(")
-                              and isinstance(rt, str)
-                              and _is_container_type(rt))
+            container_prop = isinstance(rt, str) and _is_container_type(rt)
             if not container_prop and (not _is_scalar_str_type(rt)
                                        or _is_char_len_type(rt)):
                 raise ColumnarCompileError(
@@ -1404,6 +1402,17 @@ class TableValidator:
                 self.sjot if isinstance(self.sjot, dict) else None)
 
             if prop.startswith("("):
+                if container_prop:
+                    # container-typed regex prop: per-entry container
+                    # validation (map layout; explicit nulls validate
+                    # like required) + the per-field struct companion
+                    major = self._next_major()
+                    self._add_map_container_value_rule(
+                        name, prop, rt, prop_tp, True, major,
+                        pattern=prop)
+                    self._add_struct_regex_container_rule(
+                        name, prop, rt, prop_tp, major)
+                    continue
                 major = self._next_major()
                 r = Rule(major, 0, name, f"{typepath}/{prop}", "value",
                          rt, child=True, list_col=name, map_entry=True)
@@ -1591,9 +1600,11 @@ class TableValidator:
             self._add(r2, ev_struct_final)
 
     def _add_map_container_value_rule(self, name, pname, rt, prop_tp,
-                                      required, major):
+                                      required, major, pattern=None):
         """One dyn map-entry rule validating list/set-typed values of
-        entries whose key equals ``pname``: shape (scalar value against
+        entries whose key equals ``pname`` (or fullmatches ``pattern``
+        for regex props — those validate explicit nulls like required
+        props, reference kind-2 semantics): shape (scalar value against
         the container type), set duplicates, length bounds, first
         failing item — row-engine order, exact per-entry datapaths
         ($.col.key / $.col.key[pos])."""
@@ -1609,7 +1620,8 @@ class TableValidator:
                  list_col=name, map_entry=True, dyn=True)
 
         def ev(child_tbl, pname=pname, rt=rt, itemtype=itemtype,
-               is_set=is_set, bounds=bounds, required=required):
+               is_set=is_set, bounds=bounds, required=required,
+               pattern=pattern):
             n = child_tbl.num_rows
             zeros = np.zeros(n, dtype=bool)
             if "key" not in child_tbl.column_names:
@@ -1618,12 +1630,19 @@ class TableValidator:
             vals = child_tbl["value"]
             if isinstance(vals, pa.ChunkedArray):
                 vals = vals.combine_chunks()
-            km = _np(pc.fill_null(pc.equal(keys, pname),
-                                  False)).astype(bool)
+            if pattern is not None:
+                km = _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
+            else:
+                km = _np(pc.fill_null(pc.equal(keys, pname),
+                                      False)).astype(bool)
             fail = np.zeros(n, dtype=bool)
             whats = np.full(n, None, dtype=object)
             reprs = np.full(n, None, dtype=object)
             paths = np.full(n, None, dtype=object)
+
+            def pkey(i):
+                return pname if pattern is None else keys[int(i)].as_py()
+
             if not _is_list_type(vals.type):
                 # scalar entry values against a container type: the
                 # scalar-shape kernel (incl. the number range-scan and
@@ -1636,25 +1655,27 @@ class TableValidator:
                     whats[i] = "value"
                     reprs[i] = js_string(v) \
                         if not isinstance(v, (dict, list)) else ""
-                    paths[i] = pname
+                    paths[i] = pkey(i)
                 return vf, (paths, reprs, whats)
             valid = _valid_mask(vals)
             if required:
                 nf = km & ~valid
-                whats[nf], reprs[nf], paths[nf] = "value", "null", pname
+                for i in np.nonzero(nf)[0]:
+                    whats[i], reprs[i], paths[i] = "value", "null", pkey(i)
                 fail |= nf
             sel = km & valid
             if is_set:
                 dup = _set_dup_mask(vals) & sel & ~fail
-                whats[dup], reprs[dup], paths[dup] = "value", "", pname
+                for i in np.nonzero(dup)[0]:
+                    whats[i], reprs[i], paths[i] = "value", "", pkey(i)
                 fail |= dup
             if bounds is not None:
                 lengths = np.where(valid, np.nan_to_num(
                     _np(pc.list_value_length(vals))), 0).astype(np.int64)
                 lf = _length_fail_mask(lengths, sel, bounds) & sel & ~fail
-                whats[lf] = "length"
-                paths[lf] = pname
                 for i in np.nonzero(lf)[0]:
+                    whats[i] = "length"
+                    paths[i] = pkey(i)
                     reprs[i] = str(int(lengths[i]))
                 fail |= lf
             svals = _sort_sets(vals) if is_set else vals
@@ -1666,7 +1687,7 @@ class TableValidator:
                 flat, vidx, fpos = ival[0], ival[1], ival[2]
                 iwhats = ival[3] if len(ival) > 3 else None
                 for i in np.nonzero(ifail)[0]:
-                    paths[i] = f"{pname}[{int(fpos[i])}]"
+                    paths[i] = f"{pkey(i)}[{int(fpos[i])}]"
                     whats[i] = str(iwhats[int(vidx[i])]) \
                         if iwhats is not None else "value"
                     if isinstance(flat, np.ndarray):
@@ -1676,6 +1697,95 @@ class TableValidator:
                         reprs[i] = "" if isinstance(v, (dict, list)) \
                             else js_string(v)
                 fail |= ifail
+            return fail, (paths, reprs, whats)
+        self._add(r, ev)
+
+    def _add_struct_regex_container_rule(self, name, pattern, rt,
+                                         prop_tp, major):
+        """Struct-layout companion for a container-typed regex prop:
+        fields matching the pattern validate as lists/sets
+        (first-failing-field wins, data order; null fields ≡ absent on
+        struct layouts)."""
+        is_set = rt.endswith("}")
+        j = rt.rfind("{" if is_set else "[")
+        bounds = compile_bounds(rt, j + 1)
+        itemtype, _tp = self._resolve_path(rt[:j], prop_tp)
+        if not _is_scalar_str_type(itemtype):
+            raise ColumnarCompileError(
+                "doubly-nested regex-prop value types: row engine")
+        from ..core.validator import compile_regex_type
+        matcher = compile_regex_type(pattern)
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, 1, name, prop_tp, "value", rt, dyn=True)
+
+        def ev(tbl, rt=rt, itemtype=itemtype, is_set=is_set,
+               bounds=bounds):
+            zeros = np.zeros(tbl.num_rows, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, None
+            a0 = tbl[name]
+            if isinstance(a0, pa.ChunkedArray):
+                a0 = a0.combine_chunks()
+            if not pa.types.is_struct(a0.type):
+                return zeros, None
+            n = tbl.num_rows
+            svalid = _valid_mask(a0)
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            for fld in a0.type:
+                if matcher.fullmatch(fld.name) is None:
+                    continue
+                farr = a0.field(fld.name)
+                fp = f"{name}.{fld.name}"
+                if not _is_list_type(farr.type):
+                    ff = _scalar_fail_mask(farr, rt) & svalid
+                    for i in np.nonzero(ff & ~fail)[0]:
+                        v = farr[int(i)].as_py()
+                        whats[i] = "value"
+                        reprs[i] = js_string(v) \
+                            if not isinstance(v, (dict, list)) else ""
+                        paths[i] = fp
+                    fail |= ff
+                    continue
+                fvalid = _valid_mask(farr) & svalid
+                ffail = np.zeros(n, dtype=bool)
+                if is_set:
+                    dup = _set_dup_mask(farr) & fvalid
+                    for i in np.nonzero(dup & ~fail & ~ffail)[0]:
+                        whats[i], reprs[i], paths[i] = "value", "", fp
+                    ffail |= dup
+                if bounds is not None:
+                    lengths = np.where(fvalid, np.nan_to_num(
+                        _np(pc.list_value_length(farr))),
+                        0).astype(np.int64)
+                    lf = _length_fail_mask(lengths, fvalid, bounds) \
+                        & fvalid & ~ffail
+                    for i in np.nonzero(lf & ~fail)[0]:
+                        whats[i] = "length"
+                        paths[i] = fp
+                        reprs[i] = str(int(lengths[i]))
+                    ffail |= lf
+                sarr = _sort_sets(farr) if is_set else farr
+                ifail, ival = _list_item_first_fail(
+                    sarr, itemtype, fvalid, sjots, sjot)
+                ifail = ifail & ~ffail
+                if ifail.any() and ival is not None:
+                    flat, vidx, fpos = ival[0], ival[1], ival[2]
+                    iwhats = ival[3] if len(ival) > 3 else None
+                    for i in np.nonzero(ifail & ~fail)[0]:
+                        paths[i] = f"{fp}[{int(fpos[i])}]"
+                        whats[i] = str(iwhats[int(vidx[i])]) \
+                            if iwhats is not None else "value"
+                        if isinstance(flat, np.ndarray):
+                            reprs[i] = str(flat[int(vidx[i])])
+                        else:
+                            v = flat[int(vidx[i])].as_py()
+                            reprs[i] = "" if isinstance(v, (dict, list)) \
+                                else js_string(v)
+                    ffail |= ifail
+                fail |= ffail
             return fail, (paths, reprs, whats)
         self._add(r, ev)
 

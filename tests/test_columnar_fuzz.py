@@ -205,13 +205,16 @@ def gen_type(rng, depth=0):
     props = {"(k[0-9])": st}
     list_vals = rng.random() < 0.4
     if list_vals:
-        # container-typed fixed prop over list-valued map entries
+        # container-typed fixed OR regex prop over list-valued entries
         base, iat, isam = (("0..100", pa.int64(), SCALARS[1][2])
                            if rng.random() < 0.5
                            else ("(a|bb|ccc)", pa.string(), SCALARS[2][2]))
         suffix = rng.choice(["[]", "[1,3]", "{2,4}", "{}"])
-        opt = "" if rng.random() < 0.5 else "?"
-        props[f"fixed{opt}"] = f"{base}{suffix}"
+        if rng.random() < 0.4:
+            props = {"(k[0-9])": f"{base}{suffix}"}
+        else:
+            opt = "" if rng.random() < 0.5 else "?"
+            props[f"fixed{opt}"] = f"{base}{suffix}"
         at = pa.list_(iat)
 
         def vsam(r, isam=isam):

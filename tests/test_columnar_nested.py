@@ -1197,3 +1197,33 @@ def test_struct_layout_container_props_under_map_schema():
     ]
     tbl = pa.table({"props": pa.array(rows, st)})
     _assert_parity(tbl, MAP_LIST_SCHEMA)
+
+
+def test_regex_prop_container_values():
+    """Container-typed regex props: map layout (explicit nulls validate
+    like required — kind-2 semantics) and struct layout (null fields ≡
+    absent), both parity-checked."""
+    schema = {"@root": {"props?": {"(k[0-9])": "(t[0-9]){1,3}",
+                                   "name?": "string"}}}
+    mt = pa.map_(pa.string(), pa.list_(pa.string()))
+    rows = [
+        [("k1", ["t1", "t2"])],                 # valid
+        [("k1", ["t1", "zz"])],                 # item fail
+        [("k2", ["t1", "t1"])],                 # dup
+        [("k3", ["t1", "t2", "t3", "t4"])],     # bounds
+        [("k4", None)],                         # explicit null → fails
+        [("zz", ["bad"])],                      # unmatched key → ignored
+        None,
+    ]
+    _assert_parity(pa.table({"props": pa.array(rows, mt)}), schema)
+
+    st = pa.struct([("k1", pa.list_(pa.string())),
+                    ("other", pa.list_(pa.string()))])
+    rows2 = [
+        {"k1": ["t1"], "other": None},
+        {"k1": ["zz"], "other": None},          # item fail
+        {"k1": ["t1", "t1"], "other": None},    # dup
+        {"k1": None, "other": ["anything"]},    # null field ≡ absent
+        None,
+    ]
+    _assert_parity(pa.table({"props": pa.array(rows2, st)}), schema)
