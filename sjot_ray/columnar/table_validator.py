@@ -385,6 +385,22 @@ def _set_dup_mask(arr) -> np.ndarray:
     n = len(arr)
     if not _is_list_type(arr.type):  # shape mismatch handled by shape rule
         return np.zeros(n, dtype=bool)
+    vt = arr.type.value_type
+    if _is_listish(vt) or pa.types.is_struct(vt):
+        # set members that are ARRAYS/OBJECTS: JS strict equality never
+        # holds between distinct references (index.js dedup uses ===),
+        # so only NULL members (null === null) can duplicate —
+        # String()-equality would falsely flag equal-content lists
+        valid = _valid_mask(arr)
+        lengths = np.where(valid, np.nan_to_num(
+            _np(pc.list_value_length(arr))), 0).astype(np.int64)
+        parent = np.repeat(np.arange(n), lengths)
+        out = np.zeros(n, dtype=bool)
+        if len(parent):
+            fvalid = _valid_mask(arr.flatten())
+            nulls_per_row = np.bincount(parent[~fvalid], minlength=n)
+            out = nulls_per_row >= 2
+        return out
     valid = _valid_mask(arr)
     lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
     parent = np.repeat(np.arange(n), lengths)
@@ -979,8 +995,206 @@ class TableValidator:
                 return fail, arr
             self._add(rule, ev_child)
             return
+        if isinstance(itemtype, str) and _is_container_type(itemtype):
+            self._compile_child_nested_list_items(name, itemtype, items_tp,
+                                                  major, minor,
+                                                  outer_set=is_set)
+            return
         raise ColumnarCompileError(
             f"nested container item type {itemtype!r}: use the row engine")
+
+    def _compile_child_nested_list_items(self, name, itemtype, items_tp,
+                                         major, minor, outer_set=False):
+        """Doubly-nested containers (``T[a,b][c,d]``): each outer item
+        (a child-table row, ``__item__`` an inner list) validates as a
+        container — shape/null, set duplicates, inner bounds, first
+        failing inner item — with the reference's $.col[i] / $.col[i][j]
+        datapaths. An OUTER SET sorts its items (String() order,
+        index.js:294-299) before validation, so that case runs a single
+        self-contained rule over the sorted array instead of the
+        (unsorted) child table. Inner item types must be scalar (triple
+        nesting stays on the row engine)."""
+        is_set2 = itemtype.endswith("}")
+        j = itemtype.rfind("{" if is_set2 else "[")
+        bounds2 = compile_bounds(itemtype, j + 1)
+        inner_item, _tp = self._resolve_path(itemtype[:j], items_tp)
+        if not _is_scalar_str_type(inner_item) \
+                or _is_char_len_type(inner_item):
+            raise ColumnarCompileError(
+                "triply-nested containers: row engine")
+        sjots, sjot = self.sjots, self.sjot
+
+        if outer_set:
+            self._add_sorted_nested_set_rule(
+                name, itemtype, items_tp, major, minor,
+                is_set2, bounds2, inner_item)
+            return
+
+        # 1. shape/null: a null or non-list outer item fails "value"
+        r = Rule(major, minor, name, items_tp, "value", itemtype,
+                 child=True, list_col=name)
+
+        def ev_shape(child_tbl, itemtype=itemtype):
+            arr = child_tbl["__item__"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if _is_list_type(arr.type):
+                return ~_valid_mask(arr), arr
+            return np.ones(child_tbl.num_rows, dtype=bool), arr
+        self._add(r, ev_shape)
+        minor += 1
+        # 2. inner set duplicates
+        if is_set2:
+            r = Rule(major, minor, name, items_tp, "value", itemtype,
+                     child=True, list_col=name)
+
+            def ev_dup(child_tbl):
+                arr = child_tbl["__item__"]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not _is_list_type(arr.type):
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                return _set_dup_mask(arr) & _valid_mask(arr), arr
+            self._add(r, ev_dup)
+            minor += 1
+        # 3. inner bounds
+        if bounds2 is not None:
+            r = Rule(major, minor, name, items_tp, "length", itemtype,
+                     child=True, list_col=name)
+
+            def ev_len(child_tbl, bounds2=bounds2):
+                arr = child_tbl["__item__"]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not _is_list_type(arr.type):
+                    return np.zeros(child_tbl.num_rows, dtype=bool), None
+                valid = _valid_mask(arr)
+                lengths = np.where(valid, np.nan_to_num(
+                    _np(pc.list_value_length(arr))), 0).astype(np.int64)
+                return _length_fail_mask(lengths, valid, bounds2), lengths
+            self._add(r, ev_len)
+            minor += 1
+        # 4. inner items (sorted first for sets), $.col[i][j] datapaths
+        r = Rule(major, minor, name, items_tp, "value", inner_item,
+                 child=True, list_col=name, inner=True)
+
+        def ev_items(child_tbl, inner_item=inner_item, is_set2=is_set2):
+            arr = child_tbl["__item__"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return np.zeros(child_tbl.num_rows, dtype=bool), None
+            if is_set2:
+                arr = _sort_sets(arr)
+            return _list_item_first_fail(arr, inner_item,
+                                         _valid_mask(arr), sjots, sjot)
+        self._add(r, ev_items)
+
+    def _add_sorted_nested_set_rule(self, name, itemtype, items_tp,
+                                    major, minor, is_set2, bounds2,
+                                    inner_item):
+        """Outer-SET doubly-nested containers: one dyn rule over the
+        String()-sorted outer array — per outer item: shape/null, inner
+        set-dup, inner bounds, first failing inner item; per row the
+        first failing SORTED outer index wins."""
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, minor, name, items_tp, "value", itemtype,
+                 dyn=True)
+
+        def ev(tbl, itemtype=itemtype, inner_item=inner_item,
+               is_set2=is_set2, bounds2=bounds2):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, None
+            arr = tbl[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return zeros, None
+            arr = _sort_sets(arr)
+            valid_o = _valid_mask(arr)
+            len_o = np.where(valid_o, np.nan_to_num(
+                _np(pc.list_value_length(arr))), 0).astype(np.int64)
+            flat = arr.flatten()   # the outer items (inner lists)
+            total = len(flat)
+            rowof = np.repeat(np.arange(n), len_o)
+            pos_o = np.arange(total) - np.repeat(
+                np.cumsum(len_o) - len_o, len_o)
+            # per-outer-item (flat) first failure: step priority
+            # shape(0) < dup(1) < bounds(2) < items(3)
+            STEP_INF = 9
+            step = np.full(total, STEP_INF, dtype=np.int64)
+            item_j = np.zeros(total, dtype=np.int64)
+            fvalid = _valid_mask(flat)
+            inner_is_list = _is_list_type(flat.type)
+            if not inner_is_list:
+                step[:] = 0   # every valid/NULL outer item fails shape
+            else:
+                step[~fvalid] = 0
+                if is_set2:
+                    dup = _set_dup_mask(flat) & fvalid
+                    step[dup & (step == STEP_INF)] = 1
+                if bounds2 is not None:
+                    len_i = np.where(fvalid, np.nan_to_num(
+                        _np(pc.list_value_length(flat))),
+                        0).astype(np.int64)
+                    lf = _length_fail_mask(len_i, fvalid, bounds2)
+                    step[lf & (step == STEP_INF)] = 2
+                sflat = _sort_sets(flat) if is_set2 else flat
+                ifail, ival = _list_item_first_fail(
+                    sflat, inner_item, fvalid, sjots, sjot)
+                sel = ifail & (step == STEP_INF)
+                step[sel] = 3
+                if ival is not None:
+                    item_j[sel] = ival[2][sel]
+            failing = step < STEP_INF
+            if not failing.any():
+                return zeros, None
+            # first failing sorted outer index per row
+            fr, fp = rowof[failing], pos_o[failing]
+            order = np.argsort(-fp)
+            first_flat = np.full(n, -1, dtype=np.int64)
+            src_idx = np.nonzero(failing)[0]
+            first_flat[fr[order]] = src_idx[order]
+            fail = first_flat >= 0
+            paths = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            for i in np.nonzero(fail)[0]:
+                fi = int(first_flat[i])
+                oi = int(pos_o[fi])
+                st = int(step[fi])
+                if st == 0:
+                    paths[i] = f"{name}[{oi}]"
+                    whats[i] = "value"
+                    v = flat[fi].as_py()
+                    reprs[i] = js_string(v) \
+                        if not isinstance(v, (dict, list)) else ""
+                elif st == 1:
+                    paths[i] = f"{name}[{oi}]"
+                    whats[i], reprs[i] = "value", ""
+                elif st == 2:
+                    paths[i] = f"{name}[{oi}]"
+                    whats[i] = "length"
+                    reprs[i] = str(int(len_i[fi]))
+                else:
+                    jj = int(item_j[fi])
+                    paths[i] = f"{name}[{oi}][{jj}]"
+                    iwhats = ival[3] if ival is not None \
+                        and len(ival) > 3 else None
+                    vidx = int(ival[1][fi])
+                    whats[i] = str(iwhats[vidx]) if iwhats is not None \
+                        else "value"
+                    fl = ival[0]
+                    if isinstance(fl, np.ndarray):
+                        reprs[i] = str(fl[vidx])
+                    else:
+                        v = fl[vidx].as_py()
+                        reprs[i] = "" if isinstance(v, (dict, list)) \
+                            else js_string(v)
+            return fail, (paths, reprs, whats)
+        self._add(r, ev)
 
     def _compile_struct_props(self, path, obj_type, typepath):
         """Nested object type over an Arrow struct column (or a struct

@@ -137,6 +137,17 @@ def gen_type(rng, depth=0):
             if r.random() < 0.1:
                 return None
             return [sam(r) for _ in range(int(r.integers(0, 5)))]
+        if depth == 0 and rng.random() < 0.18 and st != "char[2,4]":
+            # doubly-nested container: T[a,b][c,d]
+            obounds = rng.choice(["", "1,3", "2,"])
+            okind = rng.choice(["[", "{"])
+            sjot2 = f"{sjot}{okind}{obounds}{']' if okind == '[' else '}'}"
+
+            def sampler2(r, inner=sampler):
+                if r.random() < 0.1:
+                    return None
+                return [inner(r) for _ in range(int(r.integers(0, 4)))]
+            return sjot2, pa.list_(pa.list_(at)), sampler2
         return sjot, pa.list_(at), sampler
 
     if kind == "tuple":

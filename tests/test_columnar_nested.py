@@ -1227,3 +1227,32 @@ def test_regex_prop_container_values():
         None,
     ]
     _assert_parity(pa.table({"props": pa.array(rows2, st)}), schema)
+
+
+def test_doubly_nested_containers():
+    """T[a,b][c,d] columns: outer bounds, inner shape/null/dup/bounds/
+    items with $.col[i] / $.col[i][j] datapaths — row-engine parity."""
+    schema = {"@root": {"v?": "int[1,3][2,]"}}
+    tbl = pa.table({"v": pa.array(
+        [[[1], [2, 3]],
+         [[1]],                    # outer bounds
+         [[1, 2, 3, 4], [1]],      # inner bounds
+         [None, [1]],              # null outer item
+         [[1, None], [2]],         # null inner item (int: passes)
+         None],
+        pa.list_(pa.list_(pa.int64())))})
+    _assert_parity(tbl, schema)
+
+    schema2 = {"@root": {"v?": "(a|b){1,2}[]"}}
+    tbl2 = pa.table({"v": pa.array(
+        [[["a"], ["a", "a"]],      # dup in inner set
+         [["b", "a"]],
+         [["zz"]],                 # inner item fail
+         []],
+        pa.list_(pa.list_(pa.string())))})
+    _assert_parity(tbl2, schema2)
+
+    # scalar items under a doubly-nested type: every item fails "value"
+    tbl3 = pa.table({"v": pa.array([[1, 2], []],
+                                   pa.list_(pa.int64()))})
+    _assert_parity(pa.table({"v": tbl3["v"]}), schema)
