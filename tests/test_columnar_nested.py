@@ -1256,3 +1256,28 @@ def test_doubly_nested_containers():
     tbl3 = pa.table({"v": pa.array([[1, 2], []],
                                    pa.list_(pa.int64()))})
     _assert_parity(pa.table({"v": tbl3["v"]}), schema)
+
+
+def test_doubly_nested_vs_reference_oracle():
+    import copy
+
+    from .conftest import run_reference
+
+    schema = {"@root": {"v?": "(a|b){1,2}[]"}}
+    tbl = pa.table({"v": pa.array(
+        [[["a"], ["a", "a"]], [["b", "a"]], [["zz"]], [], [None, ["a"]],
+         [[], ["a"]]],
+        pa.list_(pa.list_(pa.string())))})
+    tv = TableValidator(copy.deepcopy(schema))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    docs = [_doc_of(r) for r in tbl.to_pylist()]
+    cases = [{"data": d, "type": "@root",
+              "schema": copy.deepcopy(schema), "mode": "validate"}
+             for d in docs]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
