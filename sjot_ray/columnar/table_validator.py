@@ -1607,10 +1607,11 @@ class TableValidator:
 
             rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
             container_prop = isinstance(rt, str) and _is_container_type(rt)
-            if not container_prop and (not _is_scalar_str_type(rt)
-                                       or _is_char_len_type(rt)):
+            charlen_prop = isinstance(rt, str) and _is_char_len_type(rt)
+            if not container_prop and not charlen_prop \
+                    and not _is_scalar_str_type(rt):
                 raise ColumnarCompileError(
-                    "non-scalar or char-length map value types: row engine")
+                    "non-scalar map value types: row engine")
             null_ok = False if container_prop else row_valid(
                 None, rt,
                 self.sjot if isinstance(self.sjot, dict) else None)
@@ -1626,6 +1627,12 @@ class TableValidator:
                         pattern=prop)
                     self._add_struct_regex_container_rule(
                         name, prop, rt, prop_tp, major)
+                    continue
+                if charlen_prop:
+                    major = self._next_major()
+                    self._add_map_charlen_value_rule(
+                        name, prop, rt, prop_tp, True, major,
+                        pattern=prop)
                     continue
                 major = self._next_major()
                 r = Rule(major, 0, name, f"{typepath}/{prop}", "value",
@@ -1729,6 +1736,23 @@ class TableValidator:
                     name, pname, rt, prop_tp, required, major)
                 self._compile_struct_list_prop(
                     [name, pname], rt, prop_tp, self._next_major())
+                continue
+            if charlen_prop:
+                # char[n,m] string-length map values: per-entry length
+                # rule + the nested char-len rule for struct layouts
+                major = self._next_major()
+                self._add_map_charlen_value_rule(
+                    name, pname, rt, prop_tp, required, major)
+                major2 = self._next_major()
+                r2 = Rule(major2, 0, f"{name}.{pname}", prop_tp,
+                          "length", rt)
+
+                def ev_struct_cl(tbl, pname=pname, rt=rt):
+                    f, pv = _nested_field(tbl, [name, pname])
+                    if f is None:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    return _char_len_scalar_eval(f, rt, extra_valid=pv)
+                self._add(r2, ev_struct_cl)
                 continue
 
             major = self._next_major()
@@ -1913,6 +1937,94 @@ class TableValidator:
                 fail |= ifail
             return fail, (paths, reprs, whats)
         self._add(r, ev)
+
+    def _add_map_charlen_value_rule(self, name, pname, rt, prop_tp,
+                                    required, major, pattern=None):
+        """char[n,m] string-length map values: per-entry length rule
+        (what="length", the LENGTH as datum; explicit nulls fail "value"
+        null for required/regex props), plus — for regex props — a
+        struct-layout per-field companion."""
+        r = Rule(major, 0, name, prop_tp, "length", rt, child=True,
+                 list_col=name, map_entry=True, dyn=True)
+
+        def ev(child_tbl, pname=pname, rt=rt, required=required,
+               pattern=pattern):
+            n = child_tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if "key" not in child_tbl.column_names:
+                return zeros, None
+            keys = child_tbl["key"]
+            vals = child_tbl["value"]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if pattern is not None:
+                km = _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
+            else:
+                km = _np(pc.fill_null(pc.equal(keys, pname),
+                                      False)).astype(bool)
+            lf, lens = _char_len_scalar_eval(vals, rt)
+            fail = lf & km
+            paths = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            for i in np.nonzero(fail)[0]:
+                paths[i] = pname if pattern is None \
+                    else keys[int(i)].as_py()
+                whats[i] = "length"
+                if isinstance(lens, np.ndarray):
+                    reprs[i] = str(int(lens[int(i)]))
+                else:   # shape-mismatch branch: values are the array
+                    v = lens[int(i)].as_py()
+                    reprs[i] = js_string(v) \
+                        if not isinstance(v, (dict, list)) else ""
+            if required:
+                nf = km & ~_valid_mask(vals) & ~fail
+                for i in np.nonzero(nf)[0]:
+                    paths[i] = pname if pattern is None \
+                        else keys[int(i)].as_py()
+                    whats[i], reprs[i] = "value", "null"
+                fail |= nf
+            return fail, (paths, reprs, whats)
+        self._add(r, ev)
+
+        if pattern is not None:
+            from ..core.validator import compile_regex_type
+            matcher = compile_regex_type(pattern)
+            r2 = Rule(major, 1, name, prop_tp, "length", rt, dyn=True)
+
+            def ev_struct(tbl, rt=rt):
+                zeros = np.zeros(tbl.num_rows, dtype=bool)
+                if name not in tbl.column_names:
+                    return zeros, None
+                a0 = tbl[name]
+                if isinstance(a0, pa.ChunkedArray):
+                    a0 = a0.combine_chunks()
+                if not pa.types.is_struct(a0.type):
+                    return zeros, None
+                n = tbl.num_rows
+                svalid = _valid_mask(a0)
+                fail = np.zeros(n, dtype=bool)
+                paths = np.full(n, None, dtype=object)
+                whats = np.full(n, None, dtype=object)
+                reprs = np.full(n, None, dtype=object)
+                for fld in a0.type:
+                    if matcher.fullmatch(fld.name) is None:
+                        continue
+                    farr = a0.field(fld.name)
+                    ff, lens = _char_len_scalar_eval(
+                        farr, rt, extra_valid=svalid)
+                    for i in np.nonzero(ff & ~fail)[0]:
+                        paths[i] = f"{name}.{fld.name}"
+                        whats[i] = "length"
+                        if isinstance(lens, np.ndarray):
+                            reprs[i] = str(int(lens[int(i)]))
+                        else:
+                            v = lens[int(i)].as_py()
+                            reprs[i] = js_string(v) \
+                                if not isinstance(v, (dict, list)) else ""
+                    fail |= ff
+                return fail, (paths, reprs, whats)
+            self._add(r2, ev_struct)
 
     def _add_struct_regex_container_rule(self, name, pattern, rt,
                                          prop_tp, major):

@@ -214,7 +214,35 @@ def gen_type(rng, depth=0):
     # map with regex props
     st, at, sam = SCALARS[2]  # string enum values
     props = {"(k[0-9])": st}
-    list_vals = rng.random() < 0.4
+    roll_map = rng.random()
+    if roll_map < 0.15:
+        # char-length values (fixed or regex prop) over string entries
+        st2, at2, sam2 = SCALARS[5]  # char[2,4] sampler (strings 0-5)
+        if rng.random() < 0.5:
+            props = {"(k[0-9])": "char[2,4]"}
+        else:
+            props[f"fixed{'?' if rng.random() < 0.5 else ''}"] = "char[2,4]"
+        if rng.random() < 0.3:
+            props["@final"] = True
+
+        def sampler(r, sam=sam2):
+            out = []
+            if r.random() < 0.15:
+                return None
+            if r.random() < 0.8:
+                out.append(("fixed", sam(r)))
+            for _ in range(int(r.integers(0, 3))):
+                key = f"k{int(r.integers(0, 10))}" if r.random() < 0.8 \
+                    else f"zz{int(r.integers(0, 5))}"
+                out.append((key, sam(r)))
+            seen, uniq = set(), []
+            for k, v in out:
+                if k not in seen:
+                    seen.add(k)
+                    uniq.append((k, v))
+            return uniq
+        return props, pa.map_(pa.string(), at2), sampler
+    list_vals = roll_map < 0.5
     if list_vals:
         # container-typed fixed OR regex prop over list-valued entries
         base, iat, isam = (("0..100", pa.int64(), SCALARS[1][2])

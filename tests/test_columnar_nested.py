@@ -1281,3 +1281,30 @@ def test_doubly_nested_vs_reference_oracle():
             v = viols[i]
             frag = f'{v["datapath"]} {v["what"]}'
             assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_map_charlen_values():
+    """char[n,m] string-length map values (fixed + regex props), both
+    layouts."""
+    schema = {"@root": {"props?": {"(k[0-9])": "char[2,4]",
+                                   "code": "char[3,3]"}}}
+    mt = pa.map_(pa.string(), pa.string())
+    rows = [
+        [("code", "abc"), ("k1", "xy")],
+        [("code", "abcd")],               # code length
+        [("code", "abc"), ("k2", "xxxxx")],  # regex charlen
+        [("code", None)],                 # required null
+        [("zz", "whatever"), ("code", "abc")],  # unmatched key ignored
+        None,
+    ]
+    _assert_parity(pa.table({"props": pa.array(rows, mt)}), schema)
+
+    st = pa.struct([("code", pa.string()), ("k1", pa.string())])
+    rows2 = [
+        {"code": "abc", "k1": "xy"},
+        {"code": "ab", "k1": None},       # code length
+        {"code": "abc", "k1": "xxxxx"},   # regex field length
+        {"code": None, "k1": None},       # required missing
+        None,
+    ]
+    _assert_parity(pa.table({"props": pa.array(rows2, st)}), schema)
