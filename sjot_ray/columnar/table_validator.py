@@ -1938,6 +1938,58 @@ class TableValidator:
             return fail, (paths, reprs, whats)
         self._add(r, ev)
 
+    def _add_tuple_charlen_slot_rule(self, access, dotted, pos, it,
+                                     it_tp, major, minor):
+        """char[n,m] tuple slot: length violations report "length" +
+        the length; null items are NOT defaulted (char[…] is array-ish
+        to sjot_default) and fail "value" null. ``access(tbl)`` yields
+        (list array | None, parent_ok)."""
+        r = Rule(major, minor, dotted, it_tp, "length", it, inner=True)
+
+        def ev(tbl, pos=pos, it=it):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = access(tbl)
+            if arr is None:
+                return zeros, None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return zeros, None
+            valid = _valid_mask(arr) & parent_ok
+            lengths = np.where(_valid_mask(arr), np.nan_to_num(
+                _np(pc.list_value_length(arr))), 0).astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            sel = valid & (lengths > pos)
+            if not sel.any():
+                return zeros, None
+            flat = arr.flatten()
+            vsel = starts[sel] + pos
+            elem = flat.take(pa.array(vsel, pa.int64()))
+            fail = np.zeros(n, dtype=bool)
+            reprs = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            e_null = ~_valid_mask(elem)
+            ef, evals = _char_len_scalar_eval(elem, it)
+            ef = ef | e_null
+            rows_sel = np.nonzero(sel)[0]
+            for k in np.nonzero(ef)[0]:
+                i = int(rows_sel[k])
+                fail[i] = True
+                if e_null[k]:
+                    whats[i], reprs[i] = "value", "null"
+                elif isinstance(evals, np.ndarray):
+                    whats[i] = "length"
+                    reprs[i] = str(int(evals[int(k)]))
+                else:
+                    v = evals[int(k)].as_py()
+                    whats[i] = "length"
+                    reprs[i] = js_string(v) \
+                        if not isinstance(v, (dict, list)) else ""
+            fpos = np.full(n, pos, dtype=np.int64)
+            return fail, (reprs, np.arange(n), fpos, whats)
+        self._add(r, ev)
+
     def _add_map_charlen_value_rule(self, name, pname, rt, prop_tp,
                                     required, major, pattern=None):
         """char[n,m] string-length map values: per-entry length rule
@@ -2158,7 +2210,19 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if not _is_scalar_str_type(it) or _is_char_len_type(it):
+            if isinstance(it, str) and _is_char_len_type(it):
+                def access(tbl, name=name):
+                    if name not in tbl.column_names:
+                        return None, None
+                    a = tbl[name]
+                    if isinstance(a, pa.ChunkedArray):
+                        a = a.combine_chunks()
+                    return a, np.ones(tbl.num_rows, dtype=bool)
+                self._add_tuple_charlen_slot_rule(access, name, pos, it,
+                                                  it_tp, major, minor)
+                minor += 1
+                continue
+            if not _is_scalar_str_type(it):
                 raise ColumnarCompileError(
                     f"tuple slot {pos} type {it!r}: use the row engine")
             r = Rule(major, minor, name, it_tp, "value", it,
@@ -2859,7 +2923,14 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if not _is_scalar_str_type(it) or _is_char_len_type(it):
+            if isinstance(it, str) and _is_char_len_type(it):
+                def access(tbl, path=tuple(fpath)):
+                    return _nested_field(tbl, list(path))
+                self._add_tuple_charlen_slot_rule(access, dotted, pos,
+                                                  it, it_tp, major, minor)
+                minor += 1
+                continue
+            if not _is_scalar_str_type(it):
                 raise ColumnarCompileError(
                     f"tuple slot {pos} type {it!r} in nested struct:"
                     " use the row engine")

@@ -153,9 +153,10 @@ def gen_type(rng, depth=0):
     if kind == "tuple":
         picks = [SCALARS[rng.integers(0, len(SCALARS))] for _ in range(2)]
         # tuple slots share one Arrow column type → use string slots
+        # (incl. the char[2,4] length type)
         picks = [p for p in picks if p[1] == pa.string()]
         while len(picks) < 2:
-            picks.append(SCALARS[2])
+            picks.append(SCALARS[5] if rng.random() < 0.4 else SCALARS[2])
         sjot = [p[0] for p in picks]
 
         def sampler(r, picks=picks):

@@ -1308,3 +1308,23 @@ def test_map_charlen_values():
         None,
     ]
     _assert_parity(pa.table({"props": pa.array(rows2, st)}), schema)
+
+
+def test_tuple_charlen_slots():
+    """char[n,m] tuple slots: length violations report 'length' + the
+    length; null slot items fail 'value' null (char items are not
+    defaulted). Top-level, nested-struct, and item-object tuples."""
+    schema = {"@root": {"v?": ["string", "char[2,4]"]}}
+    tbl = pa.table({"v": pa.array(
+        [["x", "ab"], ["x", "abcde"], ["x", None], [None, "ab"],
+         ["x"], None],
+        pa.list_(pa.string()))})
+    _assert_parity(tbl, schema)
+
+    schema2 = {"@root": {"meta": {"pair?": ["char[1,2]", "(a|b)"]}}}
+    meta_t = pa.struct([("pair", pa.list_(pa.string()))])
+    tbl2 = pa.table({"meta": pa.array(
+        [{"pair": ["x", "a"]}, {"pair": ["xxx", "a"]},
+         {"pair": [None, "a"]}, {"pair": None}],
+        meta_t)})
+    _assert_parity(tbl2, schema2)
