@@ -2679,8 +2679,10 @@ class TableValidator:
                     and not b.startswith("(") and not b.endswith("]") \
                     and not b.endswith("}"):
                 b = reftype(sjots, b, sjot)
-            if isinstance(b, (dict, list)):
-                supported_list = False  # object/tuple branches: row path
+            if isinstance(b, list):
+                supported_list = False  # tuple branches: row path
+            # dict branches don't participate in list-depth dispatch —
+            # they are handled by the object-branch rule below
         cutoff = table.get(0)
         slots2 = table.get(2)
         if slots2 is not None and (slots2.o is not None
@@ -2689,6 +2691,62 @@ class TableValidator:
             supported_list = False
         if table.get(3) is not None:
             supported_list = False  # depth>2 branches: row engine
+
+        # depth-1 OBJECT branch (dict): the reference dispatches by
+        # property NAME (slots.p — the first data prop naming a branch
+        # selects it; index.js union runtime), validating the full
+        # object against that branch; object data naming NO branch
+        # fails at the union. Supported for ONE plain dict branch
+        # (no regex props, no 'object'/discriminator forms) via an
+        # embedded sub-validator gated per row on the dispatch mask.
+        obj_branches = []
+        for branch in rt[0]:
+            b = branch
+            while isinstance(b, str) and "#" in b \
+                    and not b.startswith("(") and not b.endswith("]") \
+                    and not b.endswith("}"):
+                b = reftype(sjots, b, sjot)
+            if isinstance(b, dict):
+                obj_branches.append(b)
+        obj_sub = None
+        obj_names = frozenset()
+        if obj_branches and path is not None:
+            # nested-payload object branches: the embedded sub-compiler
+            # binds top-level columns only — row engine
+            raise ColumnarCompileError(
+                "union with object branches on a nested payload:"
+                " row engine")
+        if obj_branches:
+            slots1 = table.get(1)
+            b = obj_branches[0]
+            if "@extends" in b:
+                extend_type(sjots, b, sjot, typepath)
+
+            def _scalar_prop(p, v):
+                rv, _ = self._resolve_path(v, f"{typepath}/{p}")
+                return _is_scalar_str_type(rv) \
+                    and not _is_char_len_type(rv)
+
+            if (len(obj_branches) != 1 or slots1 is None
+                    or slots1.o is not None or slots1.t is not None
+                    or any(p.startswith("(") for p in b)
+                    or not all(_scalar_prop(p, v) for p, v in b.items()
+                               if not p.startswith("@"))):
+                raise ColumnarCompileError(
+                    "union with multiple/non-scalar-prop/discriminator"
+                    " object branches: row engine")
+            obj_names = frozenset(
+                p.split("?")[0] for p in b if not p.startswith("@"))
+            sub = TableValidator.__new__(TableValidator)
+            sub.sjots, sub.sjot = self.sjots, self.sjot
+            sub.extras_column = None
+            sub._major = -1
+            sub.rules = []
+            sub._compile_struct_props([name], b, typepath)
+            # drop the sub shape rule (rule 0): other layouts are
+            # dispatched by the scalar/list kernels, not this branch
+            sub.rules = sub.rules[1:]
+            obj_sub = sub
 
         rule = Rule(major, 0, name, typepath, "value", js_string(rt))
 
@@ -2699,6 +2757,9 @@ class TableValidator:
             if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             if _scalar_kind_of_arrow(arr.type) is None:
+                if obj_sub is not None:
+                    # object layouts dispatch to the object-branch rule
+                    return np.zeros(tbl.num_rows, dtype=bool), None
                 # struct/map payload, no object branch admitted here:
                 # every valid value fails
                 return _valid_mask(arr) & pok, arr
@@ -2716,6 +2777,63 @@ class TableValidator:
                     continue
             return fail & _valid_mask(arr) & pok, arr
         self._add(rule, ev_scalar)
+
+        if obj_sub is not None:
+            r_obj = Rule(major, 2, name, typepath, "value",
+                         js_string(rt), dyn=True)
+
+            def ev_obj(tbl):
+                n = tbl.num_rows
+                zeros = np.zeros(n, dtype=bool)
+                arr, pok = access(tbl)
+                if arr is None:
+                    return zeros, None
+                is_map_col = pa.types.is_map(arr.type)
+                if not (pa.types.is_struct(arr.type) or is_map_col):
+                    return zeros, None
+                valid_obj = _valid_mask(arr) & pok
+                # dispatch: any data prop naming the branch (slots.p)
+                dispatch = np.zeros(n, dtype=bool)
+                if is_map_col:
+                    e = _map_entries_of(tbl, name) if path is None                         else None
+                    if e is not None:
+                        keys, _v, parent, _valid = e
+                        m = _np(pc.is_in(
+                            keys, value_set=pa.array(sorted(obj_names))))
+                        m = np.nan_to_num(m).astype(bool)
+                        dispatch[parent[m]] = True
+                else:
+                    for f in arr.type:
+                        if f.name in obj_names:
+                            dispatch |= _valid_mask(arr.field(f.name))
+                dispatch &= valid_obj
+                fail = np.zeros(n, dtype=bool)
+                paths = np.full(n, None, dtype=object)
+                whats = np.full(n, None, dtype=object)
+                reprs = np.full(n, None, dtype=object)
+                tps = np.full(n, None, dtype=object)
+                nd = valid_obj & ~dispatch
+                for i in np.nonzero(nd)[0]:
+                    paths[i], whats[i], reprs[i] = name, "value", ""
+                fail |= nd
+                if dispatch.any():
+                    # run the embedded object-branch validator in full
+                    # (it owns child/map-entry rules, first-error
+                    # ordering and violation rendering); mask to the
+                    # dispatched rows
+                    sverdict, sviols, _ = obj_sub.validate_batch(tbl)
+                    by_row = {v["row_idx"]: v for v in sviols}
+                    sf = dispatch & ~np.asarray(sverdict, dtype=bool)
+                    for i in np.nonzero(sf & ~fail)[0]:
+                        v = by_row[int(i)]
+                        dp = v["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") else dp
+                        whats[i] = v["what"]
+                        reprs[i] = v["value_repr"]
+                        tps[i] = v["typepath"]
+                    fail |= sf
+                return fail, (paths, reprs, whats, tps)
+            self._add(r_obj, ev_obj)
 
         if not supported_list:
             # the table shape is unknown at compile, so a union whose

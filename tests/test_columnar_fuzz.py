@@ -60,6 +60,24 @@ def gen_type(rng, depth=0):
         picks = [pool[i] for i in rng.permutation(3)[:k]]
         branches = [p[0] for p in picks]
         carrier = picks[int(rng.integers(0, k))]
+        if rng.random() < 0.3:
+            # depth-1 OBJECT branch (scalar props), dispatched by prop
+            # name; carrier is a struct (sometimes) or a scalar
+            obj = {"oa": "0..100", "ob?": "(a|bb|ccc)"}
+            branches.append(dict(obj))
+            if rng.random() < 0.6:
+                fields = [("oa", pa.int64()), ("ob", pa.string()),
+                          ("oz", pa.int64())]
+
+                def osam(r):
+                    if r.random() < 0.15:
+                        return None
+                    return {"oa": SCALARS[1][2](r),
+                            "ob": SCALARS[2][2](r),
+                            "oz": int(r.integers(0, 3))
+                            if r.random() < 0.3 else None}
+                return [list(branches)], pa.struct(fields), osam
+            return [list(branches)], carrier[1], carrier[2]
         if rng.random() < 0.5:
             # add 1-2 container branches of distinct item kinds
             cpool = [("0..100", pa.int64(), SCALARS[1][2]),

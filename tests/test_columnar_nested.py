@@ -1055,14 +1055,39 @@ def test_union_container_vs_reference_oracle():
         assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
 
 
-def test_union_object_branch_still_falls_back():
+def test_union_object_branch_dispatch():
+    """Depth-1 OBJECT branches dispatch by property name (slots.p): a
+    struct payload naming the branch validates fully against it; object
+    data naming no branch fails at the union (r3)."""
+    schema = {"@root": {"v?": [["int", {"a": "1..5", "b?": "string"}]]}}
+    st = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                    ("z", pa.int64())])
+    tbl = pa.table({"v": pa.array(
+        [{"a": 2, "b": None, "z": None},
+         {"a": 9, "b": None, "z": None},     # prop value fails
+         {"a": None, "b": "x", "z": None},   # b names branch, a required
+         {"a": None, "b": None, "z": 1},     # names no branch → union err
+         {"a": None, "b": None, "z": None},  # empty object → union err
+         None],
+        st)})
+    _assert_parity(tbl, schema)
+    # scalar payload through the same union
+    tbl2 = pa.table({"v": pa.array([3, None], pa.int64())})
+    _assert_parity(tbl2, schema, n_invalid_min=0)
+
+
+def test_union_object_branch_unsupported_cases_fall_back():
     import copy
 
     from sjot_ray.columnar.table_validator import ColumnarCompileError
 
-    schema = {"@root": {"v?": [["int[]", {"a": "int"}]]}}
+    # nested payload
     with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+        TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
+    # non-scalar prop inside the object branch
+    with pytest.raises(ColumnarCompileError):
+        TableValidator(copy.deepcopy(
+            {"@root": {"v": [["int", {"a": "int[]"}]]}}))
 
 
 def test_union_container_branches_in_nested_struct():
@@ -1328,3 +1353,13 @@ def test_tuple_charlen_slots():
          {"pair": [None, "a"]}, {"pair": None}],
         meta_t)})
     _assert_parity(tbl2, schema2)
+
+
+def test_union_object_branch_map_layout():
+    schema = {"@root": {"v?": [["int", {"a": "1..5", "b?": "string"}]]}}
+    mt = pa.map_(pa.string(), pa.int64())
+    tbl = pa.table({"v": pa.array(
+        [[("a", 2)], [("a", 9)], [("z", 1)], [], [("b", 7)], None], mt)})
+    # [("b", 7)]: b names the branch → full validation → a required +
+    # b value wrong type
+    _assert_parity(tbl, schema)
