@@ -57,12 +57,25 @@ def main() -> None:
         "id_b": pa.array(np.maximum(src, dst) + 1, pa.int64())})
     rss0 = _rss_mb()
     t0 = time.time()
-    t = near_dup_groups_distributed(ray.data.from_arrow(edges))
+    # real-run contract: the decision table is WRITTEN, not collected —
+    # the driver only ever holds refs, per-round change counts, and the
+    # (tiny) per-block distinct-group summaries below
+    out_path = "/tmp/components_scale_check_labels"
+    labels = near_dup_groups_distributed(ray.data.from_arrow(edges),
+                                         out_path=out_path)
+    n_labeled = labels.count()
     wall = time.time() - t0
-    groups = len(set(t["group_id"].to_pylist()))
+
+    def _distinct_groups(t: pa.Table) -> pa.Table:
+        return pa.table({"group_id": pa.array(
+            np.unique(t["group_id"].to_numpy(zero_copy_only=False)))})
+
+    per_block = labels.map_batches(_distinct_groups, batch_format="pyarrow")
+    groups = len(set(per_block.to_pandas()["group_id"]))
     print(json.dumps({
-        "edges": args.edges, "nodes_labeled": t.num_rows,
+        "edges": args.edges, "nodes_labeled": n_labeled,
         "components": groups, "wall_sec": round(wall, 2),
+        "labels_parquet": out_path,
         "driver_rss_mb_before": round(rss0, 1),
         "driver_rss_mb_after": round(_rss_mb(), 1)}))
     ray.shutdown()

@@ -27,21 +27,36 @@ B × n_blocks refs transiently at split time (refs only, ~100 B each);
 combine rounds shrink that to B × fan-in.
 
 Driver ref ceiling (measured, deliberate): B × n_blocks cell refs is
-the footprint floor of this single-stage design — ~10^7 cells (≈1 GB
+the footprint floor of the single-stage design — ~10^7 cells (≈1 GB
 of ref bookkeeping) is a practical driver limit, i.e. B=4096 with up
 to ~2.5K blocks or B=256 with 4×10^4 blocks. An attempted
 one-tuple-per-block variant (partition extraction inside the tasks)
 was MEASURED strictly worse — every per-partition task then borrows
 every block's B inner refs, multiplying Ray's per-(task × ref)
 bookkeeping by B (driver RSS 336 MB → 1.5 GB, wall 50 s → 80 s on the
-2M-doc dedup check) — so it was reverted. Past the cell ceiling the
-right structure is a TWO-STAGE shuffle (coarse key%G co-location, then
-per-group key%B), which keeps the product at G×n_blocks + B×(n/G);
-not needed at current corpus scales and left as the documented 100 TB
-growth path.
+2M-doc dedup check) — so it was reverted.
+
+Past the cell ceiling ``hash_shuffle_apply`` switches AUTOMATICALLY to
+a TWO-STAGE shuffle (``B × n_blocks > cell_cap``): stage 1 coarsely
+co-locates by partition GROUP (``(key % B) // ppg`` with ``ppg = B/G``
+partitions per group, G groups → G × n_blocks driver cells), each
+group's cells are merged through the fan-in tree, and stage 2 re-splits
+the ≤``fanin`` merged group tables into the group's ``ppg`` final
+partitions (≤ fanin × ppg transient cells per group, released before
+the next group is expanded). G is chosen at the balance point
+``√(B/fanin)`` (stage-1 total ≈ stage-2 per-group peak), so the driver
+footprint is ~``n_blocks × √(B/fanin)`` instead of ``n_blocks × B``:
+at the 100 TB shape (4×10^5 blocks, B=4096, fanin=512) that is ~1.2×10^6
+cells vs 1.6×10^9 — inside the measured ceiling. Row routing is
+IDENTICAL to single-stage (final partition is still ``key % B``; stage 1
+only groups contiguous partition ranges), so per-partition functions see
+byte-identical partition contents in either mode. Per-call telemetry
+(mode, G, peak driver cells) lands in ``SHUFFLE_STATS``.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -49,9 +64,51 @@ import pyarrow as pa
 import ray
 import ray.data
 
+#: Telemetry from the most recent ``hash_shuffle_apply`` call on this
+#: driver: {"mode": "single"|"two_stage", "B", "n_blocks", "G",
+#: "peak_driver_cells"} — lets tests/benchmarks assert the driver-side
+#: cell-ref footprint stayed under the documented ceiling.
+SHUFFLE_STATS: dict = {}
+
+
+@ray.remote(num_cpus=0)
+class _CellOwner:
+    """Long-lived OWNER for shuffle cell objects. ``ray.put`` inside a
+    short-lived map/combine task makes the transient worker process the
+    owner of the cell — Ray reaps idle workers (worker churn is heavy
+    once combine rounds block in ``ray.get``), and a reaped owner loses
+    every cell it owned (observed at 10^5-task scale as
+    ``ObjectFetchTimedOutError: no locations found``). Every inner put
+    is therefore owned by this actor (``ray.put(..., _owner=owner)``);
+    one session-cached owner (``_cell_owner``) serves every shuffle on
+    this driver."""
+
+    def ping(self) -> bool:
+        return True
+
+
+_OWNER = None
+
+
+def _cell_owner():
+    """Session-cached _CellOwner handle (one tiny num_cpus=0 actor per
+    driver session — per-call actors would add actor-spawn latency to
+    every shuffle). Recreated transparently after ray.shutdown/init
+    cycles (tests)."""
+    global _OWNER
+    if _OWNER is not None:
+        try:
+            ray.get(_OWNER.ping.remote(), timeout=30)
+            return _OWNER
+        except Exception:
+            _OWNER = None
+    _OWNER = _CellOwner.remote()
+    ray.get(_OWNER.ping.remote())
+    return _OWNER
+
 
 @ray.remote
-def _split(t: pa.Table, key_col: str, B: int):
+def _split(t: pa.Table, key_col: str, B: int, owner=None):
     # Returns a tuple of B ObjectRefs (or None for empty cells), NOT the
     # tables themselves: Ray inlines small (<100 KiB) task returns into
     # the OWNER process's memory, so returning n_blocks × B small tables
@@ -63,19 +120,55 @@ def _split(t: pa.Table, key_col: str, B: int):
         # untouched, so an empty block may still carry an upstream schema
         # (possibly without key_col); reduce drops empties anyway
         return tuple(None for _ in range(B))
+    return _split_table_by_part(t, _part_of(t, key_col, B), B, 0, owner)
+
+
+def _split_table_by_part(t: pa.Table, part: np.ndarray, n_cells: int,
+                         base: int, owner=None):
+    """Shared kernel: stable-sort ``t`` by ``part`` and return ``n_cells``
+    inner ObjectRefs (or None) for partition indices [base, base+n_cells)."""
+    order = np.argsort(part, kind="stable")
+    t_sorted = t.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(part[order], np.arange(base, base + n_cells + 1))
+    out = []
+    for i in range(n_cells):
+        n = int(bounds[i + 1] - bounds[i])
+        out.append(ray.put(t_sorted.slice(int(bounds[i]), n).combine_chunks(),
+                           _owner=owner)
+                   if n else None)
+    return tuple(out)
+
+
+def _part_of(t: pa.Table, key_col: str, B: int) -> np.ndarray:
     k = t[key_col].to_numpy(zero_copy_only=False)
     if k.dtype != np.int64:
         k = k.astype(np.int64)
-    part = (k.view(np.uint64) % np.uint64(B)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    t_sorted = t.take(pa.array(order, pa.int64()))
-    bounds = np.searchsorted(part[order], np.arange(B + 1))
-    out = []
-    for i in range(B):
-        n = int(bounds[i + 1] - bounds[i])
-        out.append(ray.put(t_sorted.slice(int(bounds[i]), n).combine_chunks())
-                   if n else None)
-    return tuple(out)
+    return (k.view(np.uint64) % np.uint64(B)).astype(np.int64)
+
+
+@ray.remote
+def _split_coarse(t: pa.Table, key_col: str, B: int, ppg: int, G: int,
+                  owner=None):
+    """Stage-1 split for the two-stage shuffle: route rows to partition
+    GROUPS ((key % B) // ppg) rather than final partitions. Same inner-ref
+    discipline as _split."""
+    if t.num_rows == 0:
+        return tuple(None for _ in range(G))
+    part = _part_of(t, key_col, B) // np.int64(ppg)
+    return _split_table_by_part(t, part, G, 0, owner)
+
+
+@ray.remote
+def _split_fine(maybe_ref, key_col: str, B: int, base: int, n_cells: int,
+                owner=None):
+    """Stage-2 split: expand one merged group table (an inner ref produced
+    by _combine, resolved one level by Ray) into the group's final
+    partitions [base, base + n_cells)."""
+    t = ray.get(maybe_ref) if isinstance(maybe_ref, ray.ObjectRef) else maybe_ref
+    if t is None or t.num_rows == 0:
+        return tuple(None for _ in range(n_cells))
+    return _split_table_by_part(t, _part_of(t, key_col, B), n_cells, base,
+                                owner)
 
 
 @ray.remote
@@ -95,7 +188,7 @@ _FANIN = 512
 
 
 @ray.remote
-def _combine(*part_refs):
+def _combine(owner, *part_refs):
     """Merge up to _FANIN partition cells into one table; returns an
     inner ObjectRef (like _split) so the merged table lives in the
     worker-side object store, never inlined into the driver heap."""
@@ -104,7 +197,7 @@ def _combine(*part_refs):
     if not parts:
         return None
     return ray.put(pa.concat_tables(parts, promote_options="default")
-                   .combine_chunks())
+                   .combine_chunks(), _owner=owner)
 
 
 def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
@@ -115,9 +208,23 @@ def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
     return int(min(cap, max(16, n_rows // rows_per_part + 1)))
 
 
+#: Above this many driver-side cell refs (B × n_blocks) the shuffle
+#: switches to two-stage. ~10^6 is well under the measured ~10^7
+#: bookkeeping ceiling while keeping the common case single-round.
+_CELL_CAP = 1_000_000
+
+
+def _tree(cells, fanin, owner=None):
+    """Fan-in merge tree: reduce a cell list to ≤ fanin refs."""
+    while len(cells) > fanin:
+        cells = [_combine.remote(owner, *cells[i:i + fanin])
+                 for i in range(0, len(cells), fanin)]
+    return cells
+
+
 def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
-                       fn, empty: pa.Table,
-                       fanin: int = _FANIN) -> "ray.data.Dataset":
+                       fn, empty: pa.Table, fanin: int = _FANIN,
+                       cell_cap: int = _CELL_CAP) -> "ray.data.Dataset":
     """Partition ``ds`` by ``key_col % n_parts`` (integer keys), apply
     ``fn(partition_table) -> pa.Table`` once per partition in reduce
     tasks, and return the outputs as a new Dataset. ``empty`` is the
@@ -127,20 +234,73 @@ def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
     When the input has more than ``fanin`` blocks, each partition's
     cells are merged through intermediate ``_combine`` rounds (a
     ``fanin``-ary tree) so no task ever takes more than ``fanin``
-    arguments — the shuffle scales past the single-round ~10^4-block
-    fan-in ceiling with ⌈log_fanin(n_blocks)⌉ rounds."""
+    arguments. When ``B × n_blocks > cell_cap`` the shuffle runs in two
+    stages (coarse group split, merge, fine split) so the driver's peak
+    cell-ref count is ~``n_blocks × √(B/fanin)`` — see module docstring."""
     B = max(2, int(n_parts))
     fanin = max(2, int(fanin))
     block_refs = ds.to_arrow_refs()
+    n_blocks = len(block_refs)
     if not block_refs:
         return ray.data.from_arrow(empty)
-    split_out = [_split.options(num_returns=B).remote(b, key_col, B)
-                 for b in block_refs]
-    out_refs = []
-    for p in range(B):
-        cells = [split_out[i][p] for i in range(len(split_out))]
-        while len(cells) > fanin:
-            cells = [_combine.remote(*cells[i:i + fanin])
-                     for i in range(0, len(cells), fanin)]
-        out_refs.append(_reduce.remote(fn, empty, *cells))
+    # inner-cell owner: survives worker churn (see _CellOwner)
+    owner = _cell_owner()
+
+    if B * n_blocks <= cell_cap:
+        split_out = [_split.options(num_returns=B)
+                     .remote(b, key_col, B, owner) for b in block_refs]
+        out_refs = []
+        for p in range(B):
+            cells = _tree([split_out[i][p] for i in range(n_blocks)],
+                          fanin, owner)
+            out_refs.append(_reduce.remote(fn, empty, *cells))
+        SHUFFLE_STATS.clear()
+        SHUFFLE_STATS.update(mode="single", B=B, n_blocks=n_blocks, G=1,
+                             peak_driver_cells=B * n_blocks)
+        return ray.data.from_arrow_refs(out_refs)
+
+    # --- two-stage: coarse groups of contiguous partition ranges ---
+    # Balance point: stage-1 holds G×n_blocks cells at once; stage-2 holds
+    # ≤ merged_per_group × ppg per group (merged_per_group ≈ n_blocks/fanin
+    # after one combine round). G = √(B/fanin) equalizes the two; clamp so
+    # every group has ≥1 partition and ≥2 groups exist.
+    G = max(2, min(B // 2, round(math.sqrt(B / fanin)) or 2))
+    # If stage-2's per-group footprint would still exceed cell_cap, widen G
+    # (fewer partitions per group) until it fits or G hits B//2.
+    while G < B // 2 and math.ceil(B / G) * min(
+            fanin, math.ceil(n_blocks / fanin) or 1) > cell_cap:
+        G *= 2
+    ppg = math.ceil(B / G)
+    G = math.ceil(B / ppg)
+
+    coarse = [list(_split_coarse.options(num_returns=G)
+                   .remote(b, key_col, B, ppg, G, owner))
+              for b in block_refs]
+    peak = G * n_blocks
+    out_refs = [None] * B
+    for g in range(G):
+        base = g * ppg
+        n_cells = min(ppg, B - base)
+        merged = _tree([coarse[i][g] for i in range(n_blocks)], fanin, owner)
+        # release the driver's copies of this group's stage-1 refs — the
+        # submitted combine/fine tasks keep them alive through lineage
+        for i in range(n_blocks):
+            coarse[i][g] = None
+        if n_cells == 1:
+            # the group IS one partition: merged cells are its contents
+            # (num_returns=1 would also not unpack _split_fine's tuple)
+            out_refs[base] = _reduce.remote(fn, empty, *merged)
+            continue
+        fine = [list(_split_fine.options(num_returns=n_cells)
+                     .remote(m, key_col, B, base, n_cells, owner))
+                for m in merged]
+        peak = max(peak, G * n_blocks - (g + 1) * n_blocks
+                   + len(fine) * n_cells)
+        for p in range(n_cells):
+            cells = _tree([fine[j][p] for j in range(len(fine))],
+                          fanin, owner)
+            out_refs[base + p] = _reduce.remote(fn, empty, *cells)
+    SHUFFLE_STATS.clear()
+    SHUFFLE_STATS.update(mode="two_stage", B=B, n_blocks=n_blocks, G=G,
+                         peak_driver_cells=peak)
     return ray.data.from_arrow_refs(out_refs)
