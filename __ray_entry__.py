@@ -133,23 +133,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _ensure_violation_sidecars() -> None:
-    """Write the expected-violations sidecar parquet for every sf dir's
-    flagship corpus size. The sidecar is the generator's PLANTED
-    violation metadata rendered in the reference diagnostic format
-    (sjot_ray/sources/gen.py `_CLASS_TEMPLATES`, node-oracle-verified in
-    tests) — an engine-independent ground truth DuckDB can join."""
+    """Write the oracle sidecar parquets for every sf dir: planted
+    flagship violations (sjot_ray/sources/gen.py `_CLASS_TEMPLATES`,
+    node-oracle-verified in tests), planted media metadata
+    (multimodal.media_params, fixed before any encode), and the
+    brute-force SimHash pair spec (independent quadratic scan) — all
+    engine-independent ground truths DuckDB can join."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     from sjot_ray.sources.gen import expected_violations_parquet
+    from sjot_ray.sources.sidecars import (expected_media_meta_parquet,
+                                           expected_simhash_parquet)
 
     for d in sorted(glob.glob("/root/testdata/sf*")):
         ev = os.path.join(d, "events.parquet")
         if os.path.exists(ev):
             n_events = pq.read_metadata(ev).num_rows
             expected_violations_parquet(max(2_000, 2 * n_events), 42)
+            expected_media_meta_parquet(
+                min(20_000, max(2_000, 2 * n_events)), 42)
+        dp = os.path.join(d, "documents.parquet")
+        if os.path.exists(dp):
+            expected_simhash_parquet(dp, radius=3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -163,5 +171,21 @@ def oracle_sql() -> dict[str, str]:
             '/tmp/sjot_ray_corpus/expected_violations_n*_s42.parquet')
         WHERE num_docs = greatest(2000, 2 * (SELECT count(*) FROM events))
         ORDER BY doc_id
+    """
+    d["multimodal_media_meta"] = """
+        SELECT kind, max(width) AS max_width,
+               max(duration_s) AS max_duration
+        FROM read_parquet(
+            '/tmp/sjot_ray_corpus/expected_media_meta_n*_s42.parquet')
+        WHERE num_docs = least(20000,
+                               greatest(2000, 2 * (SELECT count(*) FROM events)))
+        GROUP BY kind
+    """
+    d["dedup_simhash"] = """
+        SELECT id_a, id_b, hamming
+        FROM read_parquet(
+            '/tmp/sjot_ray_corpus/expected_simhash_k*_r3.parquet')
+        WHERE corpus_key = (SELECT sum(doc_id * 1000003 + n_chars)
+                            FROM documents)
     """
     return d

@@ -150,6 +150,41 @@ def _audio_features(samples: np.ndarray) -> np.ndarray:
 
 # -- Ray stages --------------------------------------------------------------
 
+def media_params(hi: int, kind: str):
+    """Planted ground-truth parameter draws for one synthesized payload.
+
+    Returns ``(meta, rng)``: ``meta`` holds the metadata the decode stage
+    must recover (width/height/duration_s/n_frames, -1/-1.0 where not
+    applicable, plus private ``_``-prefixed synthesis params) and ``rng``
+    is positioned to draw the payload body. Shared by :class:`MediaFetcher`
+    (synthesis) and ``sources.sidecars.expected_media_meta`` (the
+    engine-independent oracle sidecar): the dims/duration are fixed here,
+    BEFORE any encode/decode, so the decode pipeline's output can be
+    checked against them as ground truth."""
+    rng = np.random.default_rng(int(hi) & 0x7FFFFFFF)
+    if kind == "image":
+        w, hh = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        meta = {"width": w, "height": hh, "duration_s": -1.0,
+                "n_frames": -1}
+    elif kind == "audio":
+        rate = 8000
+        n = int(rng.integers(800, 8001))
+        meta = {"width": -1, "height": -1,
+                "duration_s": round(n / rate, 4), "n_frames": -1,
+                "_n": n, "_rate": rate}
+    elif kind == "video":
+        nf = int(rng.integers(2, 7))
+        w, hh = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+        # duration is decoder-derived at the default MediaDecoder fps
+        meta = {"width": w, "height": hh,
+                "duration_s": round(nf / 10.0, 4), "n_frames": nf}
+    else:  # table → CSV bytes
+        rows = int(rng.integers(2, 8))
+        meta = {"width": -1, "height": -1, "duration_s": -1.0,
+                "n_frames": -1, "_rows": rows}
+    return meta, rng
+
+
 class MediaFetcher:
     """Stands in for object-store fetch: synthesizes a deterministic
     payload in a REAL codec-free format per (media_ref, kind). A
@@ -164,30 +199,28 @@ class MediaFetcher:
         h = hash64(refs)
         payloads = []
         for hi, kind in zip(h, kinds):
-            rng = np.random.default_rng(int(hi) & 0x7FFFFFFF)
+            meta, rng = media_params(int(hi), kind)
             if kind == "image":
-                w, hh = int(rng.integers(8, 33)), int(rng.integers(8, 33))
-                payloads.append(encode_bmp(
-                    rng.integers(0, 256, (hh, w, 3), dtype=np.uint8)))
+                payloads.append(encode_bmp(rng.integers(
+                    0, 256, (meta["height"], meta["width"], 3),
+                    dtype=np.uint8)))
             elif kind == "audio":
-                rate = 8000
-                n = int(rng.integers(800, 8001))
+                n, rate = meta["_n"], meta["_rate"]
                 ts = np.arange(n) / rate
                 freq = float(rng.uniform(100, 1000))
                 x = (np.sin(2 * np.pi * freq * ts) * 12000
                      + rng.normal(0, 800, n)).astype(np.int16)
                 payloads.append(encode_wav(x, rate))
             elif kind == "video":
-                nf = int(rng.integers(2, 7))
-                w, hh = int(rng.integers(8, 17)), int(rng.integers(8, 17))
                 payloads.append(encode_video(
-                    [rng.integers(0, 256, (hh, w, 3), dtype=np.uint8)
-                     for _ in range(nf)]))
+                    [rng.integers(0, 256,
+                                  (meta["height"], meta["width"], 3),
+                                  dtype=np.uint8)
+                     for _ in range(meta["n_frames"])]))
             else:  # table → CSV bytes
-                rows = int(rng.integers(2, 8))
                 csv = "a,b,c\n" + "\n".join(
                     ",".join(str(int(v)) for v in rng.integers(0, 100, 3))
-                    for _ in range(rows))
+                    for _ in range(meta["_rows"]))
                 payloads.append(csv.encode())
         arr = pa.array(payloads, pa.binary())
         return t.append_column("payload", arr).append_column(
