@@ -36,11 +36,14 @@ propset/@dep presence that counts valid-default optionals declared
 earlier as present (the reference injects them before checking,
 index.js:429-433), and regex property names over Arrow map
 columns (per-entry rules on the flattened key/value table,
-index.js:388-405) AND over struct layouts at any nesting depth
+index.js:388-405), over struct layouts at any nesting depth
 (matching fields discovered per batch from the struct's Arrow type,
 first-failing-field-wins in field order = the reference's
-data-iteration order; scalar value types — object-typed regex props
-remain a row-engine fallback).
+data-iteration order), AND at ROOT level — a typed table's document
+properties are its columns, so matching props are discovered per
+batch from the batch's column names (plain-scalar, char-length and
+container value types; object-typed regex props remain a row-engine
+fallback).
 Anything outside this surface raises :class:`ColumnarCompileError` AT
 COMPILE TIME — callers fall back to the row engine (``sjot_ray.stages``);
 no evaluation path raises inside a Ray worker. Schema–table SHAPE
@@ -568,9 +571,8 @@ class TableValidator:
                     self._compile_dep(proptype, typepath, type_)
                 continue
             if prop.startswith("("):
-                raise ColumnarCompileError(
-                    "regex property names need map-typed payloads — use the"
-                    " row engine for this schema")
+                self._compile_root_regex_prop(prop, proptype, typepath)
+                continue
             q = prop.find("?")
             name = prop[:q] if q != -1 else prop
             required = q == -1
@@ -591,6 +593,153 @@ class TableValidator:
                 lengths = np.where(valid, _np(pc.list_value_length(arr)), 0).astype(np.int64)
                 return valid & (lengths > 0), arr
             self._add(rule, ev)
+
+    def _compile_root_regex_prop(self, prop, proptype, typepath):
+        """Regex property name at ROOT level (reference index.js:388-405):
+        a typed table's document properties ARE its columns, so matching
+        props are discovered per batch by testing COLUMN NAMES against the
+        pattern. Column order = data-property order, so
+        first-failing-column-wins inside the one rule reproduces the
+        reference's data-iteration order (row engine kind-2 entries,
+        core/validator.py:967-975). Plain-scalar, char-length and
+        container (list/set of scalar) value types compile — the same
+        surface as the struct-layout companions this mirrors; object /
+        union / doubly-nested value types stay on the row engine. The
+        extras-capture column is excluded: its entries are ``@final``'s
+        unknown-key surface, checked by the @final rule."""
+        rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
+        from ..core.validator import compile_regex_type
+        matcher = compile_regex_type(prop)
+        extras = self.extras_column
+        sjots, sjot = self.sjots, self.sjot
+
+        def _columns(tbl):
+            for cname in tbl.column_names:
+                if cname == extras or matcher.fullmatch(cname) is None:
+                    continue
+                farr = tbl[cname]
+                if isinstance(farr, pa.ChunkedArray):
+                    farr = farr.combine_chunks()
+                yield cname, farr
+
+        if isinstance(rt, str) and _is_container_type(rt):
+            is_set = rt.endswith("}")
+            j = rt.rfind("{" if is_set else "[")
+            bounds = compile_bounds(rt, j + 1)
+            itemtype, _tp = self._resolve_path(rt[:j], prop_tp)
+            if not _is_scalar_str_type(itemtype):
+                raise ColumnarCompileError(
+                    "doubly-nested root regex-prop value types: row engine")
+            major = self._next_major()
+            r = Rule(major, 0, prop, prop_tp, "value", rt, dyn=True)
+
+            def ev(tbl, rt=rt, itemtype=itemtype, is_set=is_set,
+                   bounds=bounds):
+                n = tbl.num_rows
+                fail = np.zeros(n, dtype=bool)
+                whats = np.full(n, None, dtype=object)
+                reprs = np.full(n, None, dtype=object)
+                paths = np.full(n, None, dtype=object)
+                for cname, farr in _columns(tbl):
+                    if not _is_list_type(farr.type):
+                        ff = _scalar_fail_mask(farr, rt)
+                        for i in np.nonzero(ff & ~fail)[0]:
+                            v = farr[int(i)].as_py()
+                            whats[i] = "value"
+                            reprs[i] = js_string(v) \
+                                if not isinstance(v, (dict, list)) else ""
+                            paths[i] = cname
+                        fail |= ff
+                        continue
+                    fvalid = _valid_mask(farr)
+                    ffail = np.zeros(n, dtype=bool)
+                    if is_set:
+                        dup = _set_dup_mask(farr) & fvalid
+                        for i in np.nonzero(dup & ~fail)[0]:
+                            whats[i], reprs[i], paths[i] = "value", "", cname
+                        ffail |= dup
+                    if bounds is not None:
+                        lengths = np.where(fvalid, np.nan_to_num(
+                            _np(pc.list_value_length(farr))),
+                            0).astype(np.int64)
+                        lf = _length_fail_mask(lengths, fvalid, bounds) \
+                            & fvalid & ~ffail
+                        for i in np.nonzero(lf & ~fail)[0]:
+                            whats[i] = "length"
+                            paths[i] = cname
+                            reprs[i] = str(int(lengths[i]))
+                        ffail |= lf
+                    sarr = _sort_sets(farr) if is_set else farr
+                    ifail, ival = _list_item_first_fail(
+                        sarr, itemtype, fvalid, sjots, sjot)
+                    ifail = ifail & ~ffail
+                    if ifail.any() and ival is not None:
+                        flat, vidx, fpos = ival[0], ival[1], ival[2]
+                        iwhats = ival[3] if len(ival) > 3 else None
+                        for i in np.nonzero(ifail & ~fail)[0]:
+                            paths[i] = f"{cname}[{int(fpos[i])}]"
+                            whats[i] = str(iwhats[int(vidx[i])]) \
+                                if iwhats is not None else "value"
+                            if isinstance(flat, np.ndarray):
+                                reprs[i] = str(flat[int(vidx[i])])
+                            else:
+                                v = flat[int(vidx[i])].as_py()
+                                reprs[i] = "" \
+                                    if isinstance(v, (dict, list)) \
+                                    else js_string(v)
+                        ffail |= ifail
+                    fail |= ffail
+                return fail, (paths, reprs, whats)
+            self._add(r, ev)
+            return
+
+        if isinstance(rt, str) and _is_char_len_type(rt):
+            major = self._next_major()
+            r = Rule(major, 0, prop, prop_tp, "length", rt, dyn=True)
+
+            def ev(tbl, rt=rt):
+                n = tbl.num_rows
+                fail = np.zeros(n, dtype=bool)
+                paths = np.full(n, None, dtype=object)
+                reprs = np.full(n, None, dtype=object)
+                for cname, farr in _columns(tbl):
+                    ff, lens = _char_len_scalar_eval(farr, rt)
+                    for i in np.nonzero(ff & ~fail)[0]:
+                        paths[i] = cname
+                        if isinstance(lens, np.ndarray):
+                            reprs[i] = str(int(lens[int(i)]))
+                        else:
+                            v = lens[int(i)].as_py()
+                            reprs[i] = js_string(v) \
+                                if not isinstance(v, (dict, list)) else ""
+                    fail |= ff
+                return fail, (paths, reprs)
+            self._add(r, ev)
+            return
+
+        if not _is_scalar_str_type(rt):
+            raise ColumnarCompileError(
+                "root-level regex-prop object/union value types:"
+                " row engine")
+        major = self._next_major()
+        r = Rule(major, 0, prop, prop_tp, "value", rt, dyn=True)
+
+        def ev(tbl, rt=rt):
+            n = tbl.num_rows
+            fail = np.zeros(n, dtype=bool)
+            paths = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            for cname, farr in _columns(tbl):
+                ff = _scalar_fail_mask(farr, rt)
+                newly = ff & ~fail
+                for i in np.nonzero(newly)[0]:
+                    v = farr[int(i)].as_py()
+                    reprs[i] = "" if isinstance(v, (dict, list)) \
+                        else js_string(v)
+                    paths[i] = cname
+                fail |= ff
+            return fail, (paths, reprs)
+        self._add(r, ev)
 
     def _compile_embedded_sjot_rule(self, name, typepath, major):
         """Embedded ``@sjot`` under a top-level ``any``-typed column:
