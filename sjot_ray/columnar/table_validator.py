@@ -21,7 +21,11 @@ formats/regexes, length bounds, sets (uniqueness inside a list),
 ``@one/@any/@all/@dep`` propsets, ``@final`` (via an unknown-keys capture
 column), depth-1 unions over scalar columns (scalar columns: the n==1 try-each-branch loop; LIST columns and
 nested list fields: the reference's per-depth dispatch with full
-container-branch validation — set-dup, bounds, first failing item),
+container-branch validation — set-dup, bounds, first failing item;
+OBJECT payloads over struct and map layouts: the full object dispatch —
+the wildcard/empty ``object`` slot, ``@if/@then`` discriminator triples
+in declaration order, and multi-branch first-data-prop-names-a-branch
+selection, each distinct target compiled to an embedded sub-validator),
 tuple types over list columns AND over tuple-typed fields inside nested
 structs (positional rules selected by item index, reference
 index.js:240-254), nested struct objects to any depth
@@ -484,6 +488,33 @@ def _map_entry_presence(tbl, col, key_name):
     has = np.zeros(tbl.num_rows, dtype=bool)
     has[parent[m]] = True
     return has, valid
+
+
+def _map_key_gather(tbl, col, key_name):
+    """(present bool[n], per-row value array aligned to the table) for
+    one key of a map column. ``present`` is KEY presence (a null-valued
+    entry is still present — map entries keep the explicit-null
+    distinction); absent rows hold null in the value array."""
+    e = _map_entries_of(tbl, col)
+    if e is None:
+        return None, None
+    keys, vals, parent, valid = e
+    n = tbl.num_rows
+    m = _np(pc.fill_null(pc.equal(keys, key_name), False)).astype(bool)
+    present = np.zeros(n, dtype=bool)
+    present[parent[m]] = True
+    present &= valid
+    mm = np.nonzero(m)[0]
+    if len(mm) == 0:
+        return present, pa.nulls(n, vals.type)
+    idx = np.full(n, -1, dtype=np.int64)
+    p = parent[mm]
+    up, first = np.unique(p, return_index=True)
+    idx[up] = mm[first]
+    vals_al = vals.take(pa.array(np.where(idx >= 0, idx, 0), pa.int64()))
+    vals_al = pc.if_else(pa.array(idx >= 0), vals_al,
+                         pa.nulls(n, vals.type))
+    return present, vals_al
 
 
 def _nested_presence(tbl, path):
@@ -2841,61 +2872,112 @@ class TableValidator:
         if table.get(3) is not None:
             supported_list = False  # depth>2 branches: row engine
 
-        # depth-1 OBJECT branch (dict): the reference dispatches by
-        # property NAME (slots.p — the first data prop naming a branch
-        # selects it; index.js union runtime), validating the full
-        # object against that branch; object data naming NO branch
-        # fails at the union. Supported for ONE plain dict branch
-        # (no regex props, no 'object'/discriminator forms) via an
-        # embedded sub-validator gated per row on the dispatch mask.
-        obj_branches = []
-        for branch in rt[0]:
-            b = branch
-            while isinstance(b, str) and "#" in b \
-                    and not b.startswith("(") and not b.endswith("]") \
-                    and not b.endswith("}"):
-                b = reftype(sjots, b, sjot)
-            if isinstance(b, dict):
-                obj_branches.append(b)
-        obj_sub = None
-        obj_names = frozenset()
-        if obj_branches and path is not None:
+        # depth-1 OBJECT branches: the reference's dispatch slots drive
+        # everything — slots.o (wildcard/empty object), slots.t/v/d
+        # (@if/@then discriminator triples), slots.p (prop-name →
+        # branch). All three compile below; each distinct target object
+        # gets an embedded sub-validator.
+        obj_dispatch = None
+        _slots1 = table.get(1)
+        has_obj = _slots1 is not None and (
+            _slots1.o is not None or _slots1.t is not None
+            or _slots1.p is not None)
+        if has_obj and path is not None:
             # nested-payload object branches: the embedded sub-compiler
             # binds top-level columns only — row engine
             raise ColumnarCompileError(
                 "union with object branches on a nested payload:"
                 " row engine")
-        if obj_branches:
+        if has_obj:
+            # Generalized object-branch dispatch (reference runtime
+            # core/validator.py:_validate_union, index.js:878-900):
+            #   1. slots.o set → EVERY object row validates against it
+            #      ("object" accepts all; a dict branch gets a compiled
+            #      sub-validator) — @if/prop dispatch is unreachable;
+            #   2. else @if/@then triples in declaration order: disc
+            #      prop present AND its value valid against the @then
+            #      prop's type → dispatch to that @then object;
+            #   3. else first data property (field/entry order) naming
+            #      a slots.p branch selects that branch;
+            #   4. no match → the union's "value" error.
+            # Each distinct target object compiles to an embedded
+            # sub-validator run once per batch, masked to its rows.
             slots1 = table.get(1)
-            b = obj_branches[0]
-            if "@extends" in b:
-                extend_type(sjots, b, sjot, typepath)
 
             def _scalar_prop(p, v):
                 rv, _ = self._resolve_path(v, f"{typepath}/{p}")
                 return _is_scalar_str_type(rv) \
                     and not _is_char_len_type(rv)
 
-            if (len(obj_branches) != 1 or slots1 is None
-                    or slots1.o is not None or slots1.t is not None
-                    or any(p.startswith("(") for p in b)
-                    or not all(_scalar_prop(p, v) for p, v in b.items()
-                               if not p.startswith("@"))):
-                raise ColumnarCompileError(
-                    "union with multiple/non-scalar-prop/discriminator"
-                    " object branches: row engine")
-            obj_names = frozenset(
-                p.split("?")[0] for p in b if not p.startswith("@"))
-            sub = TableValidator.__new__(TableValidator)
-            sub.sjots, sub.sjot = self.sjots, self.sjot
-            sub.extras_column = None
-            sub._major = -1
-            sub.rules = []
-            sub._compile_struct_props([name], b, typepath)
-            # drop the sub shape rule (rule 0): other layouts are
-            # dispatched by the scalar/list kernels, not this branch
-            sub.rules = sub.rules[1:]
-            obj_sub = sub
+            def _resolve_branch(b):
+                while isinstance(b, str) and "#" in b \
+                        and not b.startswith("(") and not b.endswith("]") \
+                        and not b.endswith("}"):
+                    b = reftype(sjots, b, sjot)
+                return b
+
+            def _compile_sub(bdict):
+                if "@extends" in bdict:
+                    extend_type(sjots, bdict, sjot, typepath)
+                if any(p.startswith("(") for p in bdict) or not all(
+                        _scalar_prop(p, v) for p, v in bdict.items()
+                        if not p.startswith("@")):
+                    raise ColumnarCompileError(
+                        "union object branch with regex/non-scalar"
+                        " props: row engine")
+                sub = TableValidator.__new__(TableValidator)
+                sub.sjots, sub.sjot = self.sjots, self.sjot
+                sub.extras_column = None
+                sub._major = -1
+                sub.rules = []
+                sub._compile_struct_props([name], bdict, typepath)
+                # drop the sub shape rule (rule 0): other layouts are
+                # dispatched by the scalar/list kernels, not this branch
+                sub.rules = sub.rules[1:]
+                return sub
+
+            o_target = None          # None | ("any",) | ("sub", sub)
+            if_specs: list[tuple] = []   # (disc, scalar_type, sub)
+            prop_specs: dict = {}        # prop name → target index
+            targets: list = []           # sub validators (None = accept)
+            if slots1 is not None and slots1.o is not None:
+                ob = _resolve_branch(slots1.o)
+                if ob == "object":
+                    o_target = ("any",)
+                elif isinstance(ob, dict):
+                    o_target = ("sub",)
+                    targets.append(_compile_sub(ob))
+                else:
+                    raise ColumnarCompileError(
+                        "union object-slot branch shape: row engine")
+            if o_target is None and slots1 is not None \
+                    and slots1.t is not None:
+                for disc, vt, d in zip(slots1.t, slots1.v, slots1.d):
+                    rvt, _tp = self._resolve_path(vt, typepath)
+                    if not _is_scalar_str_type(rvt) \
+                            or _is_char_len_type(rvt):
+                        raise ColumnarCompileError(
+                            "@if discriminator value type beyond plain"
+                            " scalars: row engine")
+                    if_specs.append((disc, rvt, len(targets)))
+                    targets.append(_compile_sub(d))
+            if o_target is None and slots1 is not None \
+                    and slots1.p is not None:
+                by_branch: dict[int, int] = {}
+                for pname, br in slots1.p.items():
+                    key = id(br)
+                    ti = by_branch.get(key)
+                    if ti is None:
+                        bd = _resolve_branch(br)
+                        if not isinstance(bd, dict):
+                            raise ColumnarCompileError(
+                                "union prop-dispatch branch shape:"
+                                " row engine")
+                        ti = len(targets)
+                        targets.append(_compile_sub(bd))
+                        by_branch[key] = ti
+                    prop_specs[pname] = ti
+            obj_dispatch = (o_target, if_specs, prop_specs, targets)
 
         rule = Rule(major, 0, name, typepath, "value", js_string(rt))
 
@@ -2906,7 +2988,7 @@ class TableValidator:
             if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
             if _scalar_kind_of_arrow(arr.type) is None:
-                if obj_sub is not None:
+                if obj_dispatch is not None:
                     # object layouts dispatch to the object-branch rule
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 # struct/map payload, no object branch admitted here:
@@ -2927,7 +3009,8 @@ class TableValidator:
             return fail & _valid_mask(arr) & pok, arr
         self._add(rule, ev_scalar)
 
-        if obj_sub is not None:
+        if obj_dispatch is not None:
+            o_target, if_specs, prop_specs, targets = obj_dispatch
             r_obj = Rule(major, 2, name, typepath, "value",
                          js_string(rt), dyn=True)
 
@@ -2941,38 +3024,93 @@ class TableValidator:
                 if not (pa.types.is_struct(arr.type) or is_map_col):
                     return zeros, None
                 valid_obj = _valid_mask(arr) & pok
-                # dispatch: any data prop naming the branch (slots.p)
-                dispatch = np.zeros(n, dtype=bool)
-                if is_map_col:
-                    e = _map_entries_of(tbl, name) if path is None                         else None
-                    if e is not None:
-                        keys, _v, parent, _valid = e
-                        m = _np(pc.is_in(
-                            keys, value_set=pa.array(sorted(obj_names))))
-                        m = np.nan_to_num(m).astype(bool)
-                        dispatch[parent[m]] = True
+                # per-row selected target index; -2 = accept (the
+                # "object" wildcard slot), -1 = no branch → union fail
+                sel = np.full(n, -1, dtype=np.int64)
+                if o_target is not None:
+                    # slots.o claims every object row
+                    if o_target[0] == "any":
+                        sel[valid_obj] = -2
+                    else:
+                        sel[valid_obj] = 0
                 else:
-                    for f in arr.type:
-                        if f.name in obj_names:
-                            dispatch |= _valid_mask(arr.field(f.name))
-                dispatch &= valid_obj
+                    # @if/@then triples in declaration order: disc
+                    # present AND disc value valid vs the @then prop's
+                    # type → that @then object (present-but-invalid
+                    # falls through to later triples / prop dispatch)
+                    for disc, rvt, ti in if_specs:
+                        if is_map_col:
+                            present, vals_al = _map_key_gather(
+                                tbl, name, disc)
+                            if present is None:
+                                continue
+                            ok = ~_scalar_fail_mask(vals_al, rvt)
+                            ok &= _valid_mask(vals_al) | (rvt == "null")
+                        else:
+                            fi = arr.type.get_field_index(disc)
+                            if fi < 0:
+                                continue
+                            farr = arr.field(disc)
+                            present = _valid_mask(farr)
+                            ok = ~_scalar_fail_mask(farr, rvt)
+                        m = valid_obj & present & np.asarray(ok) \
+                            & (sel == -1)
+                        sel[m] = ti
+                    # first data property naming a slots.p branch
+                    # (data order = field/entry order)
+                    if prop_specs:
+                        if is_map_col:
+                            e = _map_entries_of(tbl, name)
+                            if e is not None:
+                                keys, _v, parent, _valid = e
+                                pnames = list(prop_specs)
+                                ki = pc.index_in(
+                                    keys, value_set=pa.array(pnames))
+                                kv = _np(pc.fill_null(ki, -1)).astype(
+                                    np.int64)
+                                mm = np.nonzero(kv >= 0)[0]
+                                if len(mm):
+                                    # flatten order is (row, entry pos):
+                                    # the first matching entry per row
+                                    # is each parent's first occurrence
+                                    p = parent[mm]
+                                    up, first = np.unique(
+                                        p, return_index=True)
+                                    tsel = np.asarray(
+                                        [prop_specs[pnames[k]]
+                                         for k in kv[mm[first]]],
+                                        dtype=np.int64)
+                                    open_rows = valid_obj[up] \
+                                        & (sel[up] == -1)
+                                    sel[up[open_rows]] = \
+                                        tsel[open_rows]
+                        else:
+                            for f in arr.type:
+                                ti = prop_specs.get(f.name)
+                                if ti is None:
+                                    continue
+                                m = valid_obj \
+                                    & _valid_mask(arr.field(f.name)) \
+                                    & (sel == -1)
+                                sel[m] = ti
                 fail = np.zeros(n, dtype=bool)
                 paths = np.full(n, None, dtype=object)
                 whats = np.full(n, None, dtype=object)
                 reprs = np.full(n, None, dtype=object)
                 tps = np.full(n, None, dtype=object)
-                nd = valid_obj & ~dispatch
+                nd = valid_obj & (sel == -1)
                 for i in np.nonzero(nd)[0]:
                     paths[i], whats[i], reprs[i] = name, "value", ""
                 fail |= nd
-                if dispatch.any():
-                    # run the embedded object-branch validator in full
+                for ti in np.unique(sel[sel >= 0]):
+                    # run each dispatched embedded validator in full
                     # (it owns child/map-entry rules, first-error
-                    # ordering and violation rendering); mask to the
-                    # dispatched rows
-                    sverdict, sviols, _ = obj_sub.validate_batch(tbl)
+                    # ordering and violation rendering); mask to rows
+                    # that selected it
+                    sub = targets[int(ti)]
+                    sverdict, sviols, _ = sub.validate_batch(tbl)
                     by_row = {v["row_idx"]: v for v in sviols}
-                    sf = dispatch & ~np.asarray(sverdict, dtype=bool)
+                    sf = (sel == ti) & ~np.asarray(sverdict, dtype=bool)
                     for i in np.nonzero(sf & ~fail)[0]:
                         v = by_row[int(i)]
                         dp = v["datapath"]
