@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # non-SQL-expressible pipelines (rows-only checks)
     d["ann_ivf_topk"] = Q.q_ann_ivf_topk
+    try:
+        from sjot_ray.pipelines.ivf import q_ann_ivf_partitioned
+
+        d["ann_ivf_partitioned"] = q_ann_ivf_partitioned
+    except ImportError:
+        pass
     d["flagship_interleaved"] = _flagship_summary
     d["sample_documents"] = Q.q_sample_documents
     d["flagship_violations"] = _flagship_violations
