@@ -722,8 +722,13 @@ def q_nation_revenue(sf_dir: str):
 
 def q_user_sessions(sf_dir: str):
     """Session windows: per user, sort events by ts and count sessions
-    split at >30-minute gaps (groupby().map_groups over the ordered log —
-    the streaming-shaped pattern)."""
+    split at >30-minute gaps (groupby().map_groups over the ordered log).
+
+    SMALL-SCALE BASELINE: per-user pandas groups are exactly the
+    Ray-groupby-wall pattern BASELINE.md measures (sort-based groupby
+    cost grows with key cardinality); the scale path is
+    ``q_user_sessions_salted`` — same oracle, hash-partitioned with
+    vectorized per-partition session counting."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])

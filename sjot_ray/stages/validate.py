@@ -36,11 +36,13 @@ _VKEYS = ["datapath", "typepath", "what", "value_repr", "rule"]
 
 
 def _violation_columns(n: int, violations: list[dict]) -> list[pa.Array]:
+    rows = np.fromiter((v["row_idx"] for v in violations),
+                       dtype=np.int64, count=len(violations))
     cols = []
     for k in _VKEYS:
         vals = np.full(n, None, dtype=object)
-        for v in violations:
-            vals[v["row_idx"]] = v[k]
+        if len(rows):
+            vals[rows] = [v[k] for v in violations]
         cols.append(pa.array(vals, pa.string()))
     return cols
 
