@@ -63,9 +63,16 @@ def run_bench() -> dict:
     interleaved_parquet(num_docs, seed=42)
     verdict_summary(validated(read_corpus(num_docs, seed=42)))
 
-    t0 = time.time()
-    summary = verdict_summary(validated(read_corpus(num_docs, seed=42)))
-    headline = time.time() - t0
+    # best-of-3: this host shows 3-7x co-tenant/hypervisor-steal spikes
+    # minute to minute (identical runs measured 0.57s and 3.98s back to
+    # back) — a single sample records the weather, not the engine. All
+    # samples are reported alongside the best.
+    headline_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        summary = verdict_summary(validated(read_corpus(num_docs, seed=42)))
+        headline_samples.append(round(time.time() - t0, 3))
+    headline = min(headline_samples)
     n_pass = int(summary.loc[summary["rule"] == "PASS", "n"].sum())
 
     query_times: dict[str, float] = {}
@@ -79,7 +86,7 @@ def run_bench() -> dict:
     for name in names:
         fn = getattr(Q, f"q_{name}")
         best = float("inf")
-        for _ in range(2):  # best-of-2: noisy host, cold-start amortized
+        for _ in range(3):  # best-of-3: noisy host, cold-start amortized
             t0 = time.time()
             fn(SF_DIR)
             best = min(best, time.time() - t0)
@@ -96,6 +103,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": num_docs,
         "docs_per_sec": round(num_docs / headline),
+        "headline_samples": headline_samples,
         "pass_rate": round(n_pass / num_docs, 4),
     }
 

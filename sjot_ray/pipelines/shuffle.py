@@ -71,44 +71,34 @@ import ray.data
 SHUFFLE_STATS: dict = {}
 
 
-@ray.remote(num_cpus=0)
-class _CellOwner:
-    """Long-lived OWNER for shuffle cell objects. ``ray.put`` inside a
-    short-lived map/combine task makes the transient worker process the
-    owner of the cell — Ray reaps idle workers (worker churn is heavy
-    once combine rounds block in ``ray.get``), and a reaped owner loses
-    every cell it owned (observed at 10^5-task scale as
-    ``ObjectFetchTimedOutError: no locations found``). Every inner put
-    is therefore owned by this actor (``ray.put(..., _owner=owner)``);
-    one session-cached owner (``_cell_owner``) serves every shuffle on
-    this driver."""
+def _split_table_by_part(t: pa.Table, part: np.ndarray, n_cells: int,
+                         base: int):
+    """Shared kernel: stable-sort ``t`` by ``part`` and return ``n_cells``
+    inner ObjectRefs (or None) for partition indices [base, base+n_cells).
 
-    def ping(self) -> bool:
-        return True
-
-
-_OWNER = None
-
-
-def _cell_owner():
-    """Session-cached _CellOwner handle (one tiny num_cpus=0 actor per
-    driver session — per-call actors would add actor-spawn latency to
-    every shuffle). Recreated transparently after ray.shutdown/init
-    cycles (tests)."""
-    global _OWNER
-    if _OWNER is not None:
-        try:
-            ray.get(_OWNER.ping.remote(), timeout=30)
-            return _OWNER
-        except Exception:
-            _OWNER = None
-    _OWNER = _CellOwner.remote()
-    ray.get(_OWNER.ping.remote())
-    return _OWNER
+    Plain ``ray.put`` — each cell is owned by the calling process. In the
+    fast path that is a transient task worker (cells are consumed by the
+    immediately-scheduled reduce tasks before worker reaping can matter);
+    in multi-round plans the caller is a session-pinned
+    :class:`_ShuffleWorker` actor, so ownership survives worker churn.
+    ``ray.put(..., _owner=pinned_actor)`` from inside tasks was tried
+    first and REVERTED: the ownership transfer is a synchronous RPC to
+    the owner per put (~14 ms — measured 13× a plain put), which
+    serialized every shuffle through one actor and cost 2-3× wall on the
+    keyed benchmark queries."""
+    order = np.argsort(part, kind="stable")
+    t_sorted = t.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(part[order], np.arange(base, base + n_cells + 1))
+    out = []
+    for i in range(n_cells):
+        n = int(bounds[i + 1] - bounds[i])
+        out.append(ray.put(t_sorted.slice(int(bounds[i]), n).combine_chunks())
+                   if n else None)
+    return tuple(out)
 
 
 @ray.remote
-def _split(t: pa.Table, key_col: str, B: int, owner=None):
+def _split(t: pa.Table, key_col: str, B: int):
     # Returns a tuple of B ObjectRefs (or None for empty cells), NOT the
     # tables themselves: Ray inlines small (<100 KiB) task returns into
     # the OWNER process's memory, so returning n_blocks × B small tables
@@ -120,23 +110,78 @@ def _split(t: pa.Table, key_col: str, B: int, owner=None):
         # untouched, so an empty block may still carry an upstream schema
         # (possibly without key_col); reduce drops empties anyway
         return tuple(None for _ in range(B))
-    return _split_table_by_part(t, _part_of(t, key_col, B), B, 0, owner)
+    return _split_table_by_part(t, _part_of(t, key_col, B), B, 0)
 
 
-def _split_table_by_part(t: pa.Table, part: np.ndarray, n_cells: int,
-                         base: int, owner=None):
-    """Shared kernel: stable-sort ``t`` by ``part`` and return ``n_cells``
-    inner ObjectRefs (or None) for partition indices [base, base+n_cells)."""
-    order = np.argsort(part, kind="stable")
-    t_sorted = t.take(pa.array(order, pa.int64()))
-    bounds = np.searchsorted(part[order], np.arange(base, base + n_cells + 1))
-    out = []
-    for i in range(n_cells):
-        n = int(bounds[i + 1] - bounds[i])
-        out.append(ray.put(t_sorted.slice(int(bounds[i]), n).combine_chunks(),
-                           _owner=owner)
-                   if n else None)
-    return tuple(out)
+@ray.remote(num_cpus=0)
+class _ShuffleWorker:
+    """Session-pinned worker for MULTI-ROUND shuffle plans (combine
+    trees, two-stage). ``ray.put`` inside a short-lived task makes the
+    transient worker process the owner of the cell — Ray reaps idle
+    workers (worker churn is heavy once combine rounds block in
+    ``ray.get``), and a reaped owner loses every cell it owned (observed
+    at 10^5-task scale as ``ObjectFetchTimedOutError: no locations
+    found``). Cells produced here are owned by this actor, which lives
+    for the driver session, and the puts stay plain (fast) — see
+    :func:`_split_table_by_part` for the rejected ``_owner=`` variant.
+
+    ``num_cpus=0``: the pool must not permanently reserve cores away
+    from Ray Data stages for the whole session; split/combine compute is
+    transient and bounded by the pool size (≤ _POOL_SIZE cores of
+    oversubscription during a shuffle's split phase)."""
+
+    def ping(self) -> bool:
+        return True
+
+    def split(self, t: pa.Table, key_col: str, B: int):
+        if t.num_rows == 0:
+            return tuple(None for _ in range(B))
+        return _split_table_by_part(t, _part_of(t, key_col, B), B, 0)
+
+    def split_coarse(self, t: pa.Table, key_col: str, B: int, ppg: int,
+                     G: int):
+        if t.num_rows == 0:
+            return tuple(None for _ in range(G))
+        part = _part_of(t, key_col, B) // np.int64(ppg)
+        return _split_table_by_part(t, part, G, 0)
+
+    def split_fine(self, maybe_ref, key_col: str, B: int, base: int,
+                   n_cells: int):
+        t = (ray.get(maybe_ref) if isinstance(maybe_ref, ray.ObjectRef)
+             else maybe_ref)
+        if t is None or t.num_rows == 0:
+            return tuple(None for _ in range(n_cells))
+        return _split_table_by_part(t, _part_of(t, key_col, B), n_cells,
+                                    base)
+
+    def combine(self, *part_refs):
+        refs = [r for r in part_refs if r is not None]
+        parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
+        if not parts:
+            return None
+        return ray.put(pa.concat_tables(parts, promote_options="default")
+                       .combine_chunks())
+
+
+_POOL_SIZE = 16
+_POOL: list | None = None
+
+
+def _worker_pool():
+    """Session-cached pool of :class:`_ShuffleWorker` actors (round-robin
+    dispatch; max_concurrency=1 each, so the pool gives _POOL_SIZE-way
+    parallel splits). Recreated transparently after ray.shutdown/init
+    cycles (tests)."""
+    global _POOL
+    if _POOL is not None:
+        try:
+            ray.get(_POOL[0].ping.remote(), timeout=30)
+            return _POOL
+        except Exception:
+            _POOL = None
+    _POOL = [_ShuffleWorker.remote() for _ in range(_POOL_SIZE)]
+    ray.get([w.ping.remote() for w in _POOL])
+    return _POOL
 
 
 def _part_of(t: pa.Table, key_col: str, B: int) -> np.ndarray:
@@ -144,31 +189,6 @@ def _part_of(t: pa.Table, key_col: str, B: int) -> np.ndarray:
     if k.dtype != np.int64:
         k = k.astype(np.int64)
     return (k.view(np.uint64) % np.uint64(B)).astype(np.int64)
-
-
-@ray.remote
-def _split_coarse(t: pa.Table, key_col: str, B: int, ppg: int, G: int,
-                  owner=None):
-    """Stage-1 split for the two-stage shuffle: route rows to partition
-    GROUPS ((key % B) // ppg) rather than final partitions. Same inner-ref
-    discipline as _split."""
-    if t.num_rows == 0:
-        return tuple(None for _ in range(G))
-    part = _part_of(t, key_col, B) // np.int64(ppg)
-    return _split_table_by_part(t, part, G, 0, owner)
-
-
-@ray.remote
-def _split_fine(maybe_ref, key_col: str, B: int, base: int, n_cells: int,
-                owner=None):
-    """Stage-2 split: expand one merged group table (an inner ref produced
-    by _combine, resolved one level by Ray) into the group's final
-    partitions [base, base + n_cells)."""
-    t = ray.get(maybe_ref) if isinstance(maybe_ref, ray.ObjectRef) else maybe_ref
-    if t is None or t.num_rows == 0:
-        return tuple(None for _ in range(n_cells))
-    return _split_table_by_part(t, _part_of(t, key_col, B), n_cells, base,
-                                owner)
 
 
 @ray.remote
@@ -187,17 +207,6 @@ def _reduce(fn, empty: pa.Table, *part_refs) -> pa.Table:
 _FANIN = 512
 
 
-@ray.remote
-def _combine(owner, *part_refs):
-    """Merge up to _FANIN partition cells into one table; returns an
-    inner ObjectRef (like _split) so the merged table lives in the
-    worker-side object store, never inlined into the driver heap."""
-    refs = [r for r in part_refs if r is not None]
-    parts = [p for p in ray.get(refs) if p.num_rows] if refs else []
-    if not parts:
-        return None
-    return ray.put(pa.concat_tables(parts, promote_options="default")
-                   .combine_chunks(), _owner=owner)
 
 
 def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
@@ -214,11 +223,19 @@ def coarse_buckets(n_rows: int, rows_per_part: int = 400_000,
 _CELL_CAP = 1_000_000
 
 
-def _tree(cells, fanin, owner=None):
-    """Fan-in merge tree: reduce a cell list to ≤ fanin refs."""
+def _tree(cells, fanin, pool, start=0):
+    """Fan-in merge tree: reduce a cell list to ≤ fanin refs. Combines
+    run on the session-pinned pool (their outputs must survive worker
+    churn across subsequent blocking rounds). ``start`` staggers the
+    round-robin so concurrent trees spread over the pool."""
+    r = start
     while len(cells) > fanin:
-        cells = [_combine.remote(owner, *cells[i:i + fanin])
-                 for i in range(0, len(cells), fanin)]
+        nxt = []
+        for i in range(0, len(cells), fanin):
+            nxt.append(pool[r % len(pool)].combine
+                       .remote(*cells[i:i + fanin]))
+            r += 1
+        cells = nxt
     return cells
 
 
@@ -243,16 +260,27 @@ def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
     n_blocks = len(block_refs)
     if not block_refs:
         return ray.data.from_arrow(empty)
-    # inner-cell owner: survives worker churn (see _CellOwner)
-    owner = _cell_owner()
 
     if B * n_blocks <= cell_cap:
-        split_out = [_split.options(num_returns=B)
-                     .remote(b, key_col, B, owner) for b in block_refs]
+        multi_round = n_blocks > fanin
+        if multi_round:
+            # combine rounds follow → split-cell owners must survive
+            # worker churn: splits run on the session-pinned pool
+            pool = _worker_pool()
+            split_out = [pool[i % len(pool)].split.options(num_returns=B)
+                         .remote(b, key_col, B)
+                         for i, b in enumerate(block_refs)]
+        else:
+            # fast path: cells go straight into immediately-scheduled
+            # reduce tasks; plain transient-task puts (no pool RTT)
+            split_out = [_split.options(num_returns=B)
+                         .remote(b, key_col, B) for b in block_refs]
+            pool = None
         out_refs = []
         for p in range(B):
-            cells = _tree([split_out[i][p] for i in range(n_blocks)],
-                          fanin, owner)
+            cells = [split_out[i][p] for i in range(n_blocks)]
+            if multi_round:
+                cells = _tree(cells, fanin, pool, start=p)
             out_refs.append(_reduce.remote(fn, empty, *cells))
         SHUFFLE_STATS.clear()
         SHUFFLE_STATS.update(mode="single", B=B, n_blocks=n_blocks, G=1,
@@ -273,32 +301,35 @@ def hash_shuffle_apply(ds: "ray.data.Dataset", key_col: str, n_parts: int,
     ppg = math.ceil(B / G)
     G = math.ceil(B / ppg)
 
-    coarse = [list(_split_coarse.options(num_returns=G)
-                   .remote(b, key_col, B, ppg, G, owner))
-              for b in block_refs]
+    pool = _worker_pool()
+    coarse = [list(pool[i % len(pool)].split_coarse.options(num_returns=G)
+                   .remote(b, key_col, B, ppg, G))
+              for i, b in enumerate(block_refs)]
     peak = G * n_blocks
     out_refs = [None] * B
     for g in range(G):
         base = g * ppg
         n_cells = min(ppg, B - base)
-        merged = _tree([coarse[i][g] for i in range(n_blocks)], fanin, owner)
+        merged = _tree([coarse[i][g] for i in range(n_blocks)], fanin, pool,
+                       start=g)
         # release the driver's copies of this group's stage-1 refs — the
         # submitted combine/fine tasks keep them alive through lineage
         for i in range(n_blocks):
             coarse[i][g] = None
         if n_cells == 1:
             # the group IS one partition: merged cells are its contents
-            # (num_returns=1 would also not unpack _split_fine's tuple)
+            # (num_returns=1 would also not unpack split_fine's tuple)
             out_refs[base] = _reduce.remote(fn, empty, *merged)
             continue
-        fine = [list(_split_fine.options(num_returns=n_cells)
-                     .remote(m, key_col, B, base, n_cells, owner))
-                for m in merged]
+        fine = [list(pool[(g + j) % len(pool)].split_fine
+                     .options(num_returns=n_cells)
+                     .remote(m, key_col, B, base, n_cells))
+                for j, m in enumerate(merged)]
         peak = max(peak, G * n_blocks - (g + 1) * n_blocks
                    + len(fine) * n_cells)
         for p in range(n_cells):
             cells = _tree([fine[j][p] for j in range(len(fine))],
-                          fanin, owner)
+                          fanin, pool, start=p)
             out_refs[base + p] = _reduce.remote(fn, empty, *cells)
     SHUFFLE_STATS.clear()
     SHUFFLE_STATS.update(mode="two_stage", B=B, n_blocks=n_blocks, G=G,
