@@ -748,9 +748,14 @@ class TableValidator:
             self._add(r, ev)
             return
 
+        if isinstance(rt, dict):
+            self._compile_root_regex_obj_values(prop, rt, prop_tp,
+                                                _columns)
+            return
+
         if not _is_scalar_str_type(rt):
             raise ColumnarCompileError(
-                "root-level regex-prop object/union value types:"
+                "root-level regex-prop union value types:"
                 " row engine")
         major = self._next_major()
         r = Rule(major, 0, prop, prop_tp, "value", rt, dyn=True)
@@ -770,6 +775,93 @@ class TableValidator:
                     paths[i] = cname
                 fail |= ff
             return fail, (paths, reprs)
+        self._add(r, ev)
+
+    def _make_col_obj_sub(self, cname, obj_type, typepath):
+        """Embedded sub-validator for ONE column ``cname`` against an
+        object type — the root-regex analogue of the union object-branch
+        subs: `_compile_struct_props` bound to the column path, shape
+        rule included (a non-struct, non-map layout fails every valid
+        value)."""
+        sub = TableValidator.__new__(TableValidator)
+        sub.sjots, sub.sjot = self.sjots, self.sjot
+        sub.extras_column = None
+        sub._major = -1
+        sub.rules = []
+        sub._compile_struct_props([cname], dict(obj_type), typepath)
+        return sub
+
+    def _compile_root_regex_obj_values(self, prop, rt, prop_tp, _columns):
+        """Root-level regex property names whose VALUE type is an object
+        (reference index.js:388-405 + 407-460): matching columns are
+        discovered per batch; STRUCT-layout columns validate through a
+        memoized embedded sub-validator (compile-time probe guarantees
+        the object type is columnar-compilable, so the per-column
+        runtime instantiation cannot raise); any other layout (map,
+        scalar, list — shape mismatches and entry-keyed objects) routes
+        the few valid rows through the ROW ENGINE inside the same pass,
+        exactly like the embedded-@sjot carrier rule. First-failing-
+        column-wins in column order = the reference's data-iteration
+        order."""
+        # compile-time probe: name-independent, so success here means
+        # the per-cname runtime compile below can never raise
+        self._make_col_obj_sub("__rxprobe__", rt, prop_tp)
+        sjots, sjot = self.sjots, self.sjot
+        major = self._next_major()
+        r = Rule(major, 0, prop, prop_tp, "value", "", dyn=True)
+        subs: dict = {}
+
+        def ev(tbl, rt=rt, tp=prop_tp):
+            n = tbl.num_rows
+            fail = np.zeros(n, dtype=bool)
+            paths = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            for cname, farr in _columns(tbl):
+                if pa.types.is_struct(farr.type):
+                    sub = subs.get(cname)
+                    if sub is None:
+                        sub = subs[cname] = self._make_col_obj_sub(
+                            cname, rt, tp)
+                    sverdict, sviols, _ = sub.validate_batch(tbl)
+                    by_row = {v["row_idx"]: v for v in sviols}
+                    sf = ~np.asarray(sverdict, dtype=bool)
+                    for i in np.nonzero(sf & ~fail)[0]:
+                        v = by_row[int(i)]
+                        dp = v["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") \
+                            else dp
+                        whats[i] = v["what"]
+                        reprs[i] = v["value_repr"]
+                        tps[i] = v["typepath"]
+                    fail |= sf
+                    continue
+                # map / scalar / list layouts: exact row-engine
+                # semantics at per-row cost, valid rows only (Arrow
+                # null ≡ absent property)
+                valid = _valid_mask(farr)
+                todo = valid & ~fail
+                if not todo.any():
+                    continue
+                from ..core import Context, SJOTValidationError
+                from ..core.validator import validate_value
+                ctx = Context()
+                for i in np.nonzero(todo)[0]:
+                    doc = _py_doc(farr[int(i)].as_py())
+                    try:
+                        validate_value(sjots, doc, rt, sjot,
+                                       f"$.{cname}", tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") \
+                            else cname
+                        reprs[i] = row["value_repr"]
+                        whats[i] = row["what"]
+                        tps[i] = row["typepath"]
+            return fail, (paths, reprs, whats, tps)
         self._add(r, ev)
 
     def _compile_embedded_sjot_rule(self, name, typepath, major):
@@ -3602,7 +3694,29 @@ class TableValidator:
         work, and set sorting applies only to set-typed list columns."""
         out = batch
         for prop, proptype in self.root_type.items():
-            if prop.startswith("@") or prop.startswith("("):
+            if prop.startswith("("):
+                # regex props with OBJECT value types: inject nested
+                # optional defaults into every matching struct column
+                rt, _ = self._resolve_path(proptype, "")
+                if isinstance(rt, dict):
+                    from ..core.validator import compile_regex_type
+                    if "@extends" in rt:
+                        rt = dict(rt)
+                        extend_type(self.sjots, rt, self.sjot, "")
+                    matcher = compile_regex_type(prop)
+                    for idx, cname in enumerate(out.column_names):
+                        if cname == self.extras_column \
+                                or matcher.fullmatch(cname) is None:
+                            continue
+                        col = out[cname]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        if pa.types.is_struct(col.type):
+                            out = out.set_column(
+                                idx, cname,
+                                self._normalize_struct(col, rt))
+                continue
+            if prop.startswith("@"):
                 continue
             q = prop.find("?")
             name = prop[:q] if q != -1 else prop

@@ -169,12 +169,210 @@ def test_root_regex_fuzz_matches_row_engine(seed):
     assert not mism, (vt, mism[:5])
 
 
-def test_root_regex_object_type_falls_back():
-    """Object-typed root regex props stay on the row engine — a
-    compile-time fallback, never a worker raise."""
-    schema = {"@root": "#D", "D": {"(k.)": {"v": "int"}}}
+def test_root_regex_union_value_type_falls_back():
+    """Union-typed root regex props stay on the row engine — a
+    compile-time fallback, never a worker raise. Same for object value
+    types whose OBJECT is itself outside the columnar surface (the
+    compile-time probe rejects them before any worker sees a batch)."""
+    schema = {"@root": "#D", "D": {"(k.)": [["int", "string"]]}}
     with pytest.raises(ColumnarCompileError):
         TableValidator(copy.deepcopy(schema))
+    deep = {"@root": "#D",
+            "D": {"(k.)": {"v": [["string[]", {"a": "int"}]]}}}
+    with pytest.raises(ColumnarCompileError):
+        TableValidator(copy.deepcopy(deep))
+
+
+# -- object value types ------------------------------------------------------
+
+OBJ_VALUE_SCHEMA = {
+    "@root": "#D",
+    "D": {"id": "0..",
+          "(cfg_[a-z]+)": {"a": "number", "b?": "(x|y)"}},
+}
+
+
+def obj_value_table():
+    st = pa.struct([("a", pa.float64()), ("b", pa.string())])
+    return pa.table({
+        "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "cfg_one": pa.array([
+            {"a": 1.0, "b": "x"},     # valid
+            {"a": 2.0, "b": "zzz"},   # b fails enum
+            None,                     # absent → nothing to check
+            {"b": "x"},               # required a missing
+            {"a": 4.0},               # valid (optional b absent)
+            {"a": 5.0, "b": "y"},     # valid
+        ], type=st),
+        "cfg_two": pa.array([
+            None, None, {"a": 9.0}, None, {"a": -1.0, "b": "q"}, None,
+        ], type=st),
+        "other": pa.array(["skip"] * 6, pa.string()),
+    })
+
+
+def test_root_regex_obj_struct_parity():
+    _assert_parity(obj_value_table(), OBJ_VALUE_SCHEMA)
+
+
+def test_root_regex_obj_vs_reference_oracle():
+    from .conftest import run_reference
+
+    tbl = obj_value_table()
+    tv = TableValidator(copy.deepcopy(OBJ_VALUE_SCHEMA))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    cases = [{"data": _doc_of(r), "type": "@root",
+              "schema": copy.deepcopy(OBJ_VALUE_SCHEMA),
+              "mode": "validate"} for r in tbl.to_pylist()]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (ref["error"], v)
+
+
+def test_root_regex_obj_scalar_and_list_layouts():
+    """Shape mismatches: a scalar or list column matched by an
+    object-valued pattern routes through the row engine (exact verdicts
+    and violation fields; nulls stay absent)."""
+    schema = {"@root": "#D", "D": {"(k_.*)": {"a": "number"}}}
+    tbl = pa.table({
+        "k_s": pa.array(["oops", None], pa.string()),
+        "k_l": pa.array([None, [1, 2]], pa.list_(pa.int64())),
+    })
+    _assert_parity(tbl, schema)
+
+
+def test_root_regex_obj_map_layout():
+    """Map-layout matched columns (map<string, …> cells as dynamic
+    objects) take the row-engine path — required/optional/enum checks
+    per entry."""
+    schema = {"@root": "#D",
+              "D": {"id": "0..", "(m_.*)": {"a": "number", "b?": "0..5"}}}
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "m_cfg": pa.array([
+            [("a", 1.0)],                 # valid
+            [("a", 1.0), ("b", 99.0)],    # b out of range
+            [("b", 1.0)],                 # a missing
+            None,                         # absent
+        ], pa.map_(pa.string(), pa.float64())),
+    })
+    _assert_parity(tbl, schema)
+
+
+def test_root_regex_obj_nested_and_final():
+    """Nested object inside the matched object + runtime @final against
+    the struct's physical fields."""
+    schema = {"@root": "#D",
+              "D": {"(n_.*)": {"@final": True, "p": "string",
+                               "sub?": {"q": "0..9"}}}}
+    st = pa.struct([("p", pa.string()),
+                    ("sub", pa.struct([("q", pa.int64())])),
+                    ("zz", pa.string())])
+    tbl = pa.table({"n_x": pa.array([
+        {"p": "ok", "sub": {"q": 3}},
+        {"p": "ok", "sub": {"q": 99}},      # nested range fail
+        {"p": "ok", "zz": "extra"},         # @final extra field
+        {"sub": {"q": 1}},                  # p missing
+        None,
+    ], type=st)})
+    _assert_parity(tbl, schema)
+
+
+def test_root_regex_obj_first_column_wins():
+    """Two matched struct columns failing on one row: column order
+    decides, like every other root-regex value class."""
+    schema = {"@root": "#D", "D": {"(c_.*)": {"a": "number"}}}
+    st = pa.struct([("a", pa.string())])
+    tbl = pa.table({
+        "c_one": pa.array([{"a": "bad1"}], type=st),
+        "c_two": pa.array([{"a": "bad2"}], type=st),
+    })
+    tv = _assert_parity(tbl, schema)
+    _, viols, _ = tv.validate_batch(tbl)
+    assert viols[0]["datapath"] == "$.c_one.a"
+
+
+def test_root_regex_obj_normalization():
+    """Optional-with-default props inside matched struct columns are
+    injected by normalize_batch (nested defaults, null mask kept)."""
+    schema = {"@root": "#D", "D": {"(d_.*)": {"a": "number",
+                                              "b?7": "number"}}}
+    st = pa.struct([("a", pa.float64()), ("b", pa.float64())])
+    tbl = pa.table({"d_x": pa.array(
+        [{"a": 1.0}, {"a": 2.0, "b": 3.0}, None], type=st)})
+    tv = TableValidator(copy.deepcopy(schema))
+    out = tv.normalize_batch(tbl)
+    cells = out["d_x"].to_pylist()
+    assert cells[0] == {"a": 1.0, "b": 7.0}
+    assert cells[1] == {"a": 2.0, "b": 3.0}
+    assert cells[2] is None
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_root_regex_obj_fuzz_matches_row_engine(seed):
+    """Randomized differential for OBJECT-valued root regex props:
+    random scalar prop types, required/optional mix, 1–2 matched struct
+    columns with per-row nulls, occasional scalar decoy column also
+    matching the pattern (shape-mismatch path)."""
+    import numpy as np
+
+    from sjot_ray.core import SJOTValidationError, validate
+
+    from .test_columnar_fuzz import SCALARS
+
+    rng = np.random.default_rng(8100 + seed)
+    n_props = int(rng.integers(1, 4))
+    obj, fields, samplers = {}, [], {}
+    for pi in range(n_props):
+        vt, at, sam = SCALARS[int(rng.integers(0, len(SCALARS)))]
+        pname = f"p{pi}"
+        obj[pname if rng.random() < 0.6 else f"{pname}?"] = vt
+        fields.append((pname, at))
+        samplers[pname] = sam
+    schema = {"@root": {"id?": "0..", "(x_[a-z]+)": obj}}
+    st = pa.struct(fields)
+    n_rows = 50
+    cols = {"id": pa.array(
+        [int(rng.integers(0, 9)) for _ in range(n_rows)], pa.int64())}
+    for nm in ["x_aa", "x_bb"][:int(rng.integers(1, 3))]:
+        vals = []
+        for _ in range(n_rows):
+            if rng.random() < 0.2:
+                vals.append(None)
+            else:
+                vals.append({p: samplers[p](rng) for p, _ in fields
+                             if rng.random() < 0.8})
+        cols[nm] = pa.array(vals, type=st)
+    if rng.random() < 0.3:               # shape-mismatch decoy
+        cols["x_zz"] = pa.array(
+            [str(rng.choice(["p", "q"])) for _ in range(n_rows)],
+            pa.string())
+    tbl = pa.table(cols)
+
+    tv = TableValidator(copy.deepcopy(schema))
+    col_verdict, col_v, _ = tv.validate_batch(tbl)
+    col_v = {v["row_idx"]: v for v in col_v}
+    mism = []
+    for i, row in enumerate(tbl.to_pylist()):
+        doc = _doc_of(row)
+        try:
+            validate(copy.deepcopy(doc), None, copy.deepcopy(schema))
+            ok, rv = True, None
+        except SJOTValidationError as e:
+            ok, rv = False, e.violation_row()
+        if bool(col_verdict[i]) != ok:
+            mism.append((i, doc, ok, col_v.get(i)))
+            continue
+        if not ok:
+            cv = col_v[i]
+            for k in ("datapath", "typepath", "what", "value_repr"):
+                if cv[k] != rv[k]:
+                    mism.append((i, doc, k, cv[k], rv[k]))
+    assert not mism, (obj, mism[:5])
 
 
 def test_root_regex_extras_column_excluded():
