@@ -778,17 +778,18 @@ class TableValidator:
         self._add(r, ev)
 
     def _make_col_obj_sub(self, cname, obj_type, typepath):
-        """Embedded sub-validator for ONE column ``cname`` against an
-        object type — the root-regex analogue of the union object-branch
-        subs: `_compile_struct_props` bound to the column path, shape
-        rule included (a non-struct, non-map layout fails every valid
-        value)."""
+        """Embedded sub-validator for ONE column (or nested field) path
+        against an object type — the root-regex analogue of the union
+        object-branch subs: `_compile_struct_props` bound to the path,
+        shape rule included (a non-struct, non-map layout fails every
+        valid value). ``cname`` is a column name or a path list."""
         sub = TableValidator.__new__(TableValidator)
         sub.sjots, sub.sjot = self.sjots, self.sjot
         sub.extras_column = None
         sub._major = -1
         sub.rules = []
-        sub._compile_struct_props([cname], dict(obj_type), typepath)
+        path = [cname] if isinstance(cname, str) else list(cname)
+        sub._compile_struct_props(path, dict(obj_type), typepath)
         return sub
 
     def _compile_root_regex_obj_values(self, prop, rt, prop_tp, _columns):
@@ -1880,15 +1881,27 @@ class TableValidator:
             rt, prop_tp = self._resolve_path(proptype, f"{typepath}/{prop}")
             container_prop = isinstance(rt, str) and _is_container_type(rt)
             charlen_prop = isinstance(rt, str) and _is_char_len_type(rt)
-            if not container_prop and not charlen_prop \
+            obj_prop = isinstance(rt, dict)
+            if not container_prop and not charlen_prop and not obj_prop \
                     and not _is_scalar_str_type(rt):
                 raise ColumnarCompileError(
                     "non-scalar map value types: row engine")
-            null_ok = False if container_prop else row_valid(
+            null_ok = False if (container_prop or obj_prop) else row_valid(
                 None, rt,
                 self.sjot if isinstance(self.sjot, dict) else None)
 
             if prop.startswith("("):
+                if obj_prop:
+                    # object-typed regex-prop values: map-entry rule +
+                    # struct-layout companion (regex props validate
+                    # explicit nulls like required, kind-2 semantics)
+                    major = self._next_major()
+                    self._add_map_object_value_rule(
+                        name, prop, rt, prop_tp, True, major,
+                        pattern=prop)
+                    self._add_struct_regex_obj_rule(
+                        name, prop, rt, prop_tp, major)
+                    continue
                 if container_prop:
                     # container-typed regex prop: per-entry container
                     # validation (map layout; explicit nulls validate
@@ -1997,6 +2010,17 @@ class TableValidator:
                         return valid & ~has, None
                     self._add(r, ev)
 
+            if obj_prop:
+                # object-typed map values: per-entry embedded
+                # sub-validation on the flattened entry table, plus the
+                # full nested-struct family for struct layouts — each
+                # inert on the other layout
+                major = self._next_major()
+                self._add_map_object_value_rule(
+                    name, pname, rt, prop_tp, required, major)
+                self._compile_struct_props([name, pname], dict(rt),
+                                           prop_tp)
+                continue
             if container_prop:
                 # list/set-typed map values: per-entry container
                 # validation on the flattened entry table (set-dup →
@@ -2108,6 +2132,172 @@ class TableValidator:
                     fail |= fv
                 return fail & svalid, first
             self._add(r2, ev_struct_final)
+
+    def _add_map_object_value_rule(self, name, pname, rt, prop_tp,
+                                   required, major, pattern=None):
+        """Object-typed map values: one dyn map-entry rule for entries
+        whose key equals ``pname`` (or fullmatches ``pattern`` for regex
+        props). STRUCT entry values run a memoized embedded
+        sub-validator over the flattened entries table (bound to the
+        ``value`` column; the compile-time probe below guarantees the
+        runtime compile cannot raise); any other value layout routes the
+        matched valid entries through the ROW ENGINE inside the same
+        pass. Explicit-null values fail for required/regex props and
+        pass (≡ deleted) for optionals — the reference's kind-1/kind-2
+        split (index.js:425)."""
+        self._make_col_obj_sub("__mapprobe__", rt, prop_tp)
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, 0, name, prop_tp, "value", "", child=True,
+                 list_col=name, map_entry=True, dyn=True)
+        subs: dict = {}
+
+        def ev(child_tbl, pname=pname, rt=rt, required=required,
+               pattern=pattern):
+            n = child_tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if "key" not in child_tbl.column_names:
+                return zeros, None
+            keys = child_tbl["key"]
+            vals = child_tbl["value"]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if pattern is not None:
+                km = _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
+            else:
+                km = _np(pc.fill_null(pc.equal(keys, pname),
+                                      False)).astype(bool)
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+
+            def pkey(i):
+                return pname if pattern is None else keys[int(i)].as_py()
+
+            valid = _valid_mask(vals)
+            if required:
+                nf = km & ~valid
+                for i in np.nonzero(nf)[0]:
+                    whats[i], reprs[i] = "value", "null"
+                    paths[i], tps[i] = pkey(i), prop_tp
+                fail |= nf
+            if pa.types.is_struct(vals.type):
+                sub = subs.get("value")
+                if sub is None:
+                    sub = subs["value"] = self._make_col_obj_sub(
+                        "value", rt, prop_tp)
+                sverdict, sviols, _ = sub.validate_batch(child_tbl)
+                by_row = {v["row_idx"]: v for v in sviols}
+                sf = ~np.asarray(sverdict, dtype=bool) & km & valid
+                for i in np.nonzero(sf & ~fail)[0]:
+                    v = by_row[int(i)]
+                    dp = v["datapath"]
+                    suffix = dp[len("$.value"):] \
+                        if dp.startswith("$.value") else ""
+                    paths[i] = f"{pkey(i)}{suffix}"
+                    whats[i] = v["what"]
+                    reprs[i] = v["value_repr"]
+                    tps[i] = v["typepath"]
+                fail |= sf
+                return fail, (paths, reprs, whats, tps)
+            todo = km & valid & ~fail
+            if todo.any():
+                from ..core import Context, SJOTValidationError
+                from ..core.validator import validate_value
+                ctx = Context()
+                for i in np.nonzero(todo)[0]:
+                    doc = _py_doc(vals[int(i)].as_py())
+                    k = pkey(i)
+                    try:
+                        validate_value(sjots, doc, rt, sjot, f"$.{k}",
+                                       prop_tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") else k
+                        reprs[i] = row["value_repr"]
+                        whats[i] = row["what"]
+                        tps[i] = row["typepath"]
+            return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
+
+    def _add_struct_regex_obj_rule(self, name, pattern, rt, prop_tp,
+                                   major):
+        """Struct-layout companion for an OBJECT-typed regex prop:
+        fields matching the pattern validate against the object type —
+        struct fields through a memoized embedded sub-validator bound to
+        [name, field], other field layouts through the row engine
+        (first-failing-field wins, data order; null fields ≡ absent on
+        struct layouts)."""
+        self._make_col_obj_sub(["__p__", "__f__"], rt, prop_tp)
+        from ..core.validator import compile_regex_type
+        matcher = compile_regex_type(pattern)
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, 1, name, prop_tp, "value", "", dyn=True)
+        subs: dict = {}
+
+        def ev(tbl, rt=rt):
+            zeros = np.zeros(tbl.num_rows, dtype=bool)
+            if name not in tbl.column_names:
+                return zeros, None
+            a0 = tbl[name]
+            if isinstance(a0, pa.ChunkedArray):
+                a0 = a0.combine_chunks()
+            if not pa.types.is_struct(a0.type):
+                return zeros, None
+            n = tbl.num_rows
+            svalid = _valid_mask(a0)
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            for fld in a0.type:
+                if matcher.fullmatch(fld.name) is None:
+                    continue
+                fp = f"{name}.{fld.name}"
+                if pa.types.is_struct(fld.type):
+                    sub = subs.get(fld.name)
+                    if sub is None:
+                        sub = subs[fld.name] = self._make_col_obj_sub(
+                            [name, fld.name], rt, prop_tp)
+                    sverdict, sviols, _ = sub.validate_batch(tbl)
+                    by_row = {v["row_idx"]: v for v in sviols}
+                    sf = ~np.asarray(sverdict, dtype=bool) & svalid
+                    for i in np.nonzero(sf & ~fail)[0]:
+                        v = by_row[int(i)]
+                        dp = v["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") \
+                            else fp
+                        whats[i] = v["what"]
+                        reprs[i] = v["value_repr"]
+                        tps[i] = v["typepath"]
+                    fail |= sf
+                    continue
+                farr = a0.field(fld.name)
+                todo = _valid_mask(farr) & svalid & ~fail
+                if not todo.any():
+                    continue
+                from ..core import Context, SJOTValidationError
+                from ..core.validator import validate_value
+                ctx = Context()
+                for i in np.nonzero(todo)[0]:
+                    doc = _py_doc(farr[int(i)].as_py())
+                    try:
+                        validate_value(sjots, doc, rt, sjot, f"$.{fp}",
+                                       prop_tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") else fp
+                        reprs[i] = row["value_repr"]
+                        whats[i] = row["what"]
+                        tps[i] = row["typepath"]
+            return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
 
     def _add_map_container_value_rule(self, name, pname, rt, prop_tp,
                                       required, major, pattern=None):

@@ -646,16 +646,21 @@ def test_regex_props_match_literal_prop_too():
 
 
 def test_regex_props_nonscalar_type_falls_back():
-    """Regex prop with an object value type inside a nested struct is a
-    compile-time fallback to the row engine, never a worker raise."""
+    """Regex props with object value types compile since round 4 (map +
+    struct layouts, embedded subs); value OBJECTS outside the columnar
+    surface remain a compile-time fallback to the row engine — the
+    probe rejects them before any worker sees a batch."""
     import copy
 
     from sjot_ray.columnar.table_validator import ColumnarCompileError
 
     schema = {"@root": "#D",
               "D": {"box": {"(k.)": {"v": "int"}}}}
+    TableValidator(copy.deepcopy(schema))  # compiles now
+    deep = {"@root": "#D",
+            "D": {"box": {"(k.)": {"v": [["string[]", {"a": "int"}]]}}}}
     with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+        TableValidator(copy.deepcopy(deep))
 
 
 # -- embedded @sjot under a top-level any column (r2 VERDICT #8) -------------
