@@ -517,6 +517,62 @@ def _map_key_gather(tbl, col, key_name):
     return present, vals_al
 
 
+def _nested_map_regex_rowengine(arr, parent_valid, matcher, rt, base, tp,
+                                sjots, sjot):
+    """Regex props over a MAP-typed NESTED field: route each matched
+    entry through the row engine (regex props validate explicit nulls
+    like required — kind-2, reference index.js:388-405); first matching
+    entry per row wins. Per-row cost proportional to rows carrying a
+    nested map — the narrow layout the vectorized struct-field path
+    cannot see (this used to be a silent false-PASS, caught in r4)."""
+    n = len(arr)
+    valid = _valid_mask(arr) & parent_valid
+    fail = np.zeros(n, dtype=bool)
+    paths_o = np.full(n, None, dtype=object)
+    reprs_o = np.full(n, None, dtype=object)
+    whats_o = np.full(n, None, dtype=object)
+    tps_o = np.full(n, None, dtype=object)
+    if not valid.any():
+        return fail, (paths_o, reprs_o, whats_o, tps_o)
+    from ..core import Context, SJOTValidationError
+    from ..core.validator import validate_value
+    ctx = Context()
+    for i in np.nonzero(valid)[0]:
+        cell = arr[int(i)].as_py()
+        if not cell:
+            continue
+        for k, v in cell:
+            if k is None or matcher.fullmatch(k) is None:
+                continue
+            try:
+                validate_value(sjots, _py_doc(v), rt, sjot,
+                               f"$.{base}.{k}", tp, ctx)
+            except SJOTValidationError as e:
+                row = e.violation_row()
+                fail[i] = True
+                dp = row["datapath"]
+                paths_o[i] = dp[2:] if dp.startswith("$.") \
+                    else f"{base}.{k}"
+                reprs_o[i] = row["value_repr"]
+                whats_o[i] = row["what"]
+                tps_o[i] = row["typepath"]
+                break
+        # first failing entry recorded; later entries cannot win
+    return fail, (paths_o, reprs_o, whats_o, tps_o)
+
+
+def _struct_items_ok(child_tbl):
+    """Valid STRUCT items only: map-typed items are owned by the item
+    object's row-engine catch-all rule, so field-presence-based rules
+    must stay inert on them."""
+    items = child_tbl["__item__"]
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    if not pa.types.is_struct(items.type):
+        return np.zeros(child_tbl.num_rows, dtype=bool)
+    return _valid_mask(items)
+
+
 def _nested_presence(tbl, path):
     arr, parent_valid = _nested_field(tbl, path)
     if arr is None:
@@ -791,6 +847,57 @@ class TableValidator:
         path = [cname] if isinstance(cname, str) else list(cname)
         sub._compile_struct_props(path, dict(obj_type), typepath)
         return sub
+
+    def _add_nested_map_object_rule(self, path, obj_type, typepath):
+        """Catch-all for an object type whose Arrow position (depth ≥ 2)
+        is MAP-typed: validate each valid row's map cell through the row
+        engine against the full object type (fixed + regex props,
+        propsets, @final, defaults — exact reference semantics), folding
+        the first violation into this dyn rule. All struct-field rules
+        for the same object are gated inert on map targets, so this rule
+        fully owns them."""
+        sjots, sjot = self.sjots, self.sjot
+        dotted = ".".join(path)
+        major = self._next_major()
+        r = Rule(major, 0, dotted, typepath, "value", "", dyn=True)
+
+        def ev(tbl, path=tuple(path), obj=obj_type, tp=typepath,
+               dotted=dotted):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None or not pa.types.is_map(arr.type):
+                return zeros, None
+            valid = _valid_mask(arr) & parent_ok
+            fail = np.zeros(n, dtype=bool)
+            paths_o = np.full(n, None, dtype=object)
+            reprs_o = np.full(n, None, dtype=object)
+            whats_o = np.full(n, None, dtype=object)
+            tps_o = np.full(n, None, dtype=object)
+            if not valid.any():
+                return fail, (paths_o, reprs_o, whats_o, tps_o)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            for i in np.nonzero(valid)[0]:
+                # explicit dict build: an EMPTY map cell as_py()s to []
+                # and _py_doc could not tell it from an empty list
+                cell = arr[int(i)].as_py()
+                doc = {k: _py_doc(v) for k, v in cell}
+                try:
+                    validate_value(sjots, doc, obj, sjot, f"$.{dotted}",
+                                   tp, ctx)
+                except SJOTValidationError as e:
+                    row = e.violation_row()
+                    fail[i] = True
+                    dp = row["datapath"]
+                    paths_o[i] = dp[2:] if dp.startswith("$.") \
+                        else dotted
+                    reprs_o[i] = row["value_repr"]
+                    whats_o[i] = row["what"]
+                    tps_o[i] = row["typepath"]
+            return fail, (paths_o, reprs_o, whats_o, tps_o)
+        self._add(r, ev)
 
     def _compile_root_regex_obj_values(self, prop, rt, prop_tp, _columns):
         """Root-level regex property names whose VALUE type is an object
@@ -1496,6 +1603,27 @@ class TableValidator:
             return _valid_mask(arr) & parent_ok, arr
         self._add(shape_rule, ev_shape)
 
+        deep = len(path) >= 2
+        if deep:
+            # a MAP-typed NESTED field (depth ≥ 2) carries this object's
+            # data as entries, which the struct-field rules below cannot
+            # see — route those rows through the row engine (top-level
+            # map columns and item-object fields have vectorized map
+            # machinery; this depth does not, and silently false-PASSed
+            # or false-FAILed before r4)
+            self._add_nested_map_object_rule(path, obj_type, typepath)
+
+        def _target_struct_ok(tbl, path=tuple(path)):
+            """Presence of the target as a STRUCT: map-typed targets are
+            owned entirely by the depth catch-all above."""
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
+                return np.zeros(tbl.num_rows, dtype=bool)
+            ok = parent_ok & _valid_mask(arr)
+            if deep and pa.types.is_map(arr.type):
+                return np.zeros(tbl.num_rows, dtype=bool)
+            return ok
+
         for prop, proptype in obj_type.items():
             if prop.startswith("@"):
                 if prop in ("@one", "@any", "@all"):
@@ -1509,7 +1637,7 @@ class TableValidator:
 
                         def ev(tbl, path=tuple(path), pset=pset, kind=prop,
                                inj=inj):
-                            struct_ok = _nested_presence(tbl, list(path))
+                            struct_ok = _target_struct_ok(tbl)
                             present = [
                                 np.ones(tbl.num_rows, dtype=bool)
                                 if p in inj
@@ -1530,7 +1658,7 @@ class TableValidator:
 
                         def ev(tbl, path=tuple(path), dname=dname,
                                dlist=dlist, inj=inj):
-                            struct_ok = _nested_presence(tbl, list(path))
+                            struct_ok = _target_struct_ok(tbl)
                             has = (struct_ok if dname in inj else
                                    _nested_presence(tbl,
                                                     list(path) + [dname]))
@@ -1559,18 +1687,37 @@ class TableValidator:
                         " structs: row engine")
                 from ..core.validator import compile_regex_type
                 matcher = compile_regex_type(prop)
+                sjots_, sjot_ = self.sjots, self.sjot
                 major = self._next_major()
                 r = Rule(major, 0, dotted, prop_tp, "value", rt, dyn=True)
 
-                def ev(tbl, path=tuple(path), matcher=matcher, rt=rt):
+                def ev(tbl, path=tuple(path), matcher=matcher, rt=rt,
+                       tp=prop_tp):
                     arr, parent_valid = _nested_field(tbl, list(path))
-                    if arr is None or not pa.types.is_struct(arr.type):
+                    if arr is None:
+                        return np.zeros(tbl.num_rows, dtype=bool), None
+                    base = ".".join(path)
+                    if pa.types.is_map(arr.type):
+                        if len(path) >= 2:
+                            # depth ≥ 2 map targets are owned by the
+                            # object-level catch-all rule
+                            return (np.zeros(tbl.num_rows, dtype=bool),
+                                    None)
+                        # a MAP-typed field at path length 1 (item-object
+                        # fields rebased onto the child table) carries
+                        # its regex props as entries: route matched
+                        # entries through the row engine (regex props
+                        # validate explicit nulls like required, kind-2)
+                        # — first matching entry per row wins
+                        return _nested_map_regex_rowengine(
+                            arr, parent_valid, matcher, rt, base, tp,
+                            sjots_, sjot_)
+                    if not pa.types.is_struct(arr.type):
                         return np.zeros(tbl.num_rows, dtype=bool), None
                     struct_ok = parent_valid & _valid_mask(arr)
                     fail = np.zeros(tbl.num_rows, dtype=bool)
                     paths_o = np.full(tbl.num_rows, None, dtype=object)
                     reprs_o = np.full(tbl.num_rows, None, dtype=object)
-                    base = ".".join(path)
                     for f in arr.type:
                         if matcher.fullmatch(f.name) is None:
                             continue
@@ -1599,7 +1746,7 @@ class TableValidator:
                          "", no_value=True)
 
                 def ev(tbl, path=tuple(path), pname=pname):
-                    struct_ok = _nested_presence(tbl, list(path))
+                    struct_ok = _target_struct_ok(tbl)
                     present = np.zeros(tbl.num_rows, dtype=bool)
                     arr, _ = _nested_field(tbl, list(path) + [pname])
                     if arr is not None:
@@ -1619,7 +1766,7 @@ class TableValidator:
                              const_repr=repr_)
 
                     def ev(tbl, path=tuple(path), pname=pname):
-                        struct_ok = _nested_presence(tbl, list(path))
+                        struct_ok = _target_struct_ok(tbl)
                         return (struct_ok
                                 & ~_nested_presence(tbl,
                                                     list(path) + [pname])
@@ -2713,6 +2860,66 @@ class TableValidator:
             extend_type(self.sjots, obj_type, self.sjot, typepath)
         minor = minor_start
 
+        # MAP-typed ITEMS (list<map<string, …>> against an item-object
+        # type): the struct-field rules below are blind to entry-keyed
+        # items (they false-FAILed valid ones before r4), so one parent-
+        # level dyn rule routes each valid map item through the row
+        # engine (full object semantics) — first failing item wins; it
+        # stops at the first NULL item so the null-item rule's ordering
+        # key keeps winning there. All struct-field rules gate on
+        # _struct_items_ok, so this rule fully owns map items.
+        sjots_, sjot_ = self.sjots, self.sjot
+        r_map = Rule(major, minor, list_col, typepath, "value", "",
+                     dyn=True)
+
+        def ev_map_items(tbl, obj=dict(obj_type), tp=typepath,
+                         list_col=list_col):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if list_col not in tbl.column_names:
+                return zeros, None
+            arr = tbl[list_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type) \
+                    or not pa.types.is_map(arr.type.value_type):
+                return zeros, None
+            valid = _valid_mask(arr)
+            fail = np.zeros(n, dtype=bool)
+            paths_o = np.full(n, None, dtype=object)
+            reprs_o = np.full(n, None, dtype=object)
+            whats_o = np.full(n, None, dtype=object)
+            tps_o = np.full(n, None, dtype=object)
+            if not valid.any():
+                return fail, (paths_o, reprs_o, whats_o, tps_o)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            for i in np.nonzero(valid)[0]:
+                cell = arr[int(i)].as_py()
+                for j, item in enumerate(cell or ()):
+                    if item is None:
+                        break       # the null-item rule owns this slot
+                    doc = {k: _py_doc(v) for k, v in item}
+                    try:
+                        validate_value(sjots_, doc, obj, sjot_,
+                                       f"$.{list_col}[{j}]", tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths_o[i] = dp[2:] if dp.startswith("$.") \
+                            else f"{list_col}[{j}]"
+                        reprs_o[i] = row["value_repr"]
+                        whats_o[i] = row["what"]
+                        tps_o[i] = row["typepath"]
+                        break
+                    except SJOTSchemaError:
+                        break
+            return fail, (paths_o, reprs_o, whats_o, tps_o)
+        self._add(r_map, ev_map_items)
+        minor += 1
+
         # a null struct item → replaced by the item default (null) → fails
         # the object type (reference index.js:234-236 then 154-159)
         rule = Rule(major, minor, list_col, typepath, "value",
@@ -2734,7 +2941,7 @@ class TableValidator:
                                  no_value=True, child=True, list_col=list_col)
 
                         def ev(child_tbl, pset=pset, kind=prop):
-                            ok_parent = _valid_mask(child_tbl["__item__"])
+                            ok_parent = _struct_items_ok(child_tbl)
                             present = [_presence(child_tbl, p) for p in pset]
                             return (_pset_fail(kind, present,
                                                child_tbl.num_rows)
@@ -2755,7 +2962,7 @@ class TableValidator:
                             for d in dlist:
                                 ok &= _presence(child_tbl, d)
                             return (has & ~ok
-                                    & _valid_mask(child_tbl["__item__"])), None
+                                    & _struct_items_ok(child_tbl)), None
                         self._add(r, ev)
                         minor += 1
                 continue
@@ -2816,7 +3023,7 @@ class TableValidator:
                          list_col=list_col, field_name=pname)
 
                 def ev(child_tbl, pname=pname):
-                    ok_parent = _valid_mask(child_tbl["__item__"])
+                    ok_parent = _struct_items_ok(child_tbl)
                     return ok_parent & ~_presence(child_tbl, pname), None
                 self._add(r, ev)
                 minor += 1
@@ -2829,7 +3036,7 @@ class TableValidator:
                              field_name=pname, const_repr=repr_)
 
                     def ev(child_tbl, pname=pname):
-                        ok_parent = _valid_mask(child_tbl["__item__"])
+                        ok_parent = _struct_items_ok(child_tbl)
                         return (ok_parent
                                 & ~_presence(child_tbl, pname)), None
                     self._add(r, ev)

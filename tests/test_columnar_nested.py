@@ -13,27 +13,33 @@ from sjot_ray.columnar.table_validator import TableValidator
 from sjot_ray.core import SJOTValidationError, validate
 
 
+def _is_map_cell(v) -> bool:
+    """Arrow map cells as_py() to lists of 2-TUPLES — JSON arrays never
+    contain tuples, so tuple-ness is a reliable marker. (An EMPTY map
+    cell is indistinguishable from an empty list; suites that exercise
+    maps keep their cells non-empty.)"""
+    return isinstance(v, list) and bool(v) and isinstance(v[0], tuple) \
+        and len(v[0]) == 2
+
+
+def _doc_val(v):
+    """One Arrow cell value → JSON value: dicts recurse with null
+    fields ≡ absent, map cells become dicts (null VALUES kept —
+    explicit null ≠ absent for map entries; the row engine's
+    optional-null/required-null handling applies), lists recurse into
+    their items (null items themselves stay — they're meaningful)."""
+    if isinstance(v, dict):
+        return _doc_of(v)
+    if _is_map_cell(v):
+        return {mk: _doc_val(mv) for mk, mv in v}
+    if isinstance(v, list):
+        return [x if x is None else _doc_val(x) for x in v]
+    return v
+
+
 def _doc_of(row: dict) -> dict:
-    """Arrow row → JSON doc under the null ≡ absent convention (nested
-    dicts recursively, incl. dict items inside lists; null list items
-    themselves stay — they're meaningful)."""
-    out = {}
-    for k, v in row.items():
-        if v is None:
-            continue
-        if isinstance(v, dict):
-            v = _doc_of(v)
-        elif isinstance(v, list) and v and isinstance(v[0], tuple) \
-                and len(v[0]) == 2:
-            # map cell: list of (key, value) tuples → dict; null VALUES
-            # are kept (explicit null ≠ absent for map entries — the
-            # row engine's optional-null/required-null handling applies)
-            v = {mk: (_doc_of(mv) if isinstance(mv, dict) else mv)
-                 for mk, mv in v}
-        elif isinstance(v, list):
-            v = [_doc_of(x) if isinstance(x, dict) else x for x in v]
-        out[k] = v
-    return out
+    """Arrow row → JSON doc under the null ≡ absent convention."""
+    return {k: _doc_val(v) for k, v in row.items() if v is not None}
 
 
 def _row_results(tbl: pa.Table, schema):
