@@ -517,50 +517,6 @@ def _map_key_gather(tbl, col, key_name):
     return present, vals_al
 
 
-def _nested_map_regex_rowengine(arr, parent_valid, matcher, rt, base, tp,
-                                sjots, sjot):
-    """Regex props over a MAP-typed NESTED field: route each matched
-    entry through the row engine (regex props validate explicit nulls
-    like required — kind-2, reference index.js:388-405); first matching
-    entry per row wins. Per-row cost proportional to rows carrying a
-    nested map — the narrow layout the vectorized struct-field path
-    cannot see (this used to be a silent false-PASS, caught in r4)."""
-    n = len(arr)
-    valid = _valid_mask(arr) & parent_valid
-    fail = np.zeros(n, dtype=bool)
-    paths_o = np.full(n, None, dtype=object)
-    reprs_o = np.full(n, None, dtype=object)
-    whats_o = np.full(n, None, dtype=object)
-    tps_o = np.full(n, None, dtype=object)
-    if not valid.any():
-        return fail, (paths_o, reprs_o, whats_o, tps_o)
-    from ..core import Context, SJOTValidationError
-    from ..core.validator import validate_value
-    ctx = Context()
-    for i in np.nonzero(valid)[0]:
-        cell = arr[int(i)].as_py()
-        if not cell:
-            continue
-        for k, v in cell:
-            if k is None or matcher.fullmatch(k) is None:
-                continue
-            try:
-                validate_value(sjots, _py_doc(v), rt, sjot,
-                               f"$.{base}.{k}", tp, ctx)
-            except SJOTValidationError as e:
-                row = e.violation_row()
-                fail[i] = True
-                dp = row["datapath"]
-                paths_o[i] = dp[2:] if dp.startswith("$.") \
-                    else f"{base}.{k}"
-                reprs_o[i] = row["value_repr"]
-                whats_o[i] = row["what"]
-                tps_o[i] = row["typepath"]
-                break
-        # first failing entry recorded; later entries cannot win
-    return fail, (paths_o, reprs_o, whats_o, tps_o)
-
-
 def _struct_items_ok(child_tbl):
     """Valid STRUCT items only: map-typed items are owned by the item
     object's row-engine catch-all rule, so field-presence-based rules
@@ -848,14 +804,36 @@ class TableValidator:
         sub._compile_struct_props(path, dict(obj_type), typepath)
         return sub
 
+    def _obj_needs_map_rowengine(self, obj_type, typepath) -> bool:
+        """True when a MAP-layout target of this object type is beyond
+        the depth-1 vectorized companions (plain-scalar prop values +
+        @final): propsets/@dep, regex prop names, or any char-length /
+        container / object / union / tuple prop value type. Such
+        objects route map-layout rows through the row-engine catch-all
+        (``_add_nested_map_object_rule``) with every struct-path rule
+        gated inert on map targets."""
+        for prop, proptype in obj_type.items():
+            if prop in ("@one", "@any", "@all", "@dep"):
+                return True
+            if prop.startswith("@"):
+                continue
+            if prop.startswith("("):
+                return True
+            rt, _tp = self._resolve_path(proptype, f"{typepath}/{prop}")
+            if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
+                return True
+        return False
+
     def _add_nested_map_object_rule(self, path, obj_type, typepath):
-        """Catch-all for an object type whose Arrow position (depth ≥ 2)
-        is MAP-typed: validate each valid row's map cell through the row
-        engine against the full object type (fixed + regex props,
-        propsets, @final, defaults — exact reference semantics), folding
-        the first violation into this dyn rule. All struct-field rules
-        for the same object are gated inert on map targets, so this rule
-        fully owns them."""
+        """Catch-all for an object type whose Arrow position is
+        MAP-typed (any depth ≥ 2 position, or a depth-1 position whose
+        object type is beyond the vectorized map companions): validate
+        each valid row's map cell through the row engine against the
+        full object type (fixed + regex props, propsets, @final,
+        defaults — exact reference semantics), folding the first
+        violation into this dyn rule. All struct-field rules for the
+        same object are gated inert on map targets, so this rule fully
+        owns them."""
         sjots, sjot = self.sjots, self.sjot
         dotted = ".".join(path)
         major = self._next_major()
@@ -1604,23 +1582,29 @@ class TableValidator:
         self._add(shape_rule, ev_shape)
 
         deep = len(path) >= 2
-        if deep:
-            # a MAP-typed NESTED field (depth ≥ 2) carries this object's
-            # data as entries, which the struct-field rules below cannot
-            # see — route those rows through the row engine (top-level
-            # map columns and item-object fields have vectorized map
-            # machinery; this depth does not, and silently false-PASSed
-            # or false-FAILed before r4)
+        # MAP-layout ownership: a MAP-typed target carries this object's
+        # data as entries, which the struct-field rules below cannot see.
+        # At depth ≥ 2 that is ALWAYS routed through the row-engine
+        # catch-all (no vectorized machinery exists there; silently
+        # false-PASSed or false-FAILed before r4). At depth 1 the
+        # vectorized companions at the bottom of this method cover
+        # scalar prop values + @final only — an object carrying
+        # propsets/@dep, regex prop names, or any non-plain-scalar prop
+        # value type ALSO needs the catch-all (propsets false-FAILED
+        # and non-scalar values false-PASSED map rows before this gate).
+        map_owner = deep or self._obj_needs_map_rowengine(obj_type,
+                                                          typepath)
+        if map_owner:
             self._add_nested_map_object_rule(path, obj_type, typepath)
 
         def _target_struct_ok(tbl, path=tuple(path)):
             """Presence of the target as a STRUCT: map-typed targets are
-            owned entirely by the depth catch-all above."""
+            owned entirely by the catch-all above when ``map_owner``."""
             arr, parent_ok = _nested_field(tbl, list(path))
             if arr is None:
                 return np.zeros(tbl.num_rows, dtype=bool)
             ok = parent_ok & _valid_mask(arr)
-            if deep and pa.types.is_map(arr.type):
+            if map_owner and pa.types.is_map(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool)
             return ok
 
@@ -1687,7 +1671,6 @@ class TableValidator:
                         " structs: row engine")
                 from ..core.validator import compile_regex_type
                 matcher = compile_regex_type(prop)
-                sjots_, sjot_ = self.sjots, self.sjot
                 major = self._next_major()
                 r = Rule(major, 0, dotted, prop_tp, "value", rt, dyn=True)
 
@@ -1698,20 +1681,12 @@ class TableValidator:
                         return np.zeros(tbl.num_rows, dtype=bool), None
                     base = ".".join(path)
                     if pa.types.is_map(arr.type):
-                        if len(path) >= 2:
-                            # depth ≥ 2 map targets are owned by the
-                            # object-level catch-all rule
-                            return (np.zeros(tbl.num_rows, dtype=bool),
-                                    None)
-                        # a MAP-typed field at path length 1 (item-object
-                        # fields rebased onto the child table) carries
-                        # its regex props as entries: route matched
-                        # entries through the row engine (regex props
-                        # validate explicit nulls like required, kind-2)
-                        # — first matching entry per row wins
-                        return _nested_map_regex_rowengine(
-                            arr, parent_valid, matcher, rt, base, tp,
-                            sjots_, sjot_)
+                        # regex props imply ``map_owner``: map-layout
+                        # targets at ANY depth (incl. item-object fields
+                        # rebased onto the child table) are owned by the
+                        # object-level row-engine catch-all rule
+                        return (np.zeros(tbl.num_rows, dtype=bool),
+                                None)
                     if not pa.types.is_struct(arr.type):
                         return np.zeros(tbl.num_rows, dtype=bool), None
                     struct_ok = parent_valid & _valid_mask(arr)
@@ -1809,12 +1784,13 @@ class TableValidator:
                 return _scalar_fail_mask(arr, rt) & parent_valid, arr
             self._add(r, ev)
 
-        if len(path) == 1:
+        if len(path) == 1 and not map_owner:
             # map-layout companions: a top-level map column carries the
             # object as entries — validate scalar prop values and @final
             # extras against them (verdict parity for dict data stored
-            # as map<string, T>; nested/non-scalar props cannot be
-            # represented in a scalar-valued map and need no rules)
+            # as map<string, T>). Objects beyond this surface set
+            # ``map_owner`` above and run map rows through the
+            # row-engine catch-all instead.
             col = path[0]
             for prop, proptype in obj_type.items():
                 if prop.startswith("@") or prop.startswith("("):
