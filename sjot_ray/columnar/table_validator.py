@@ -2575,6 +2575,124 @@ class TableValidator:
             return fail, (reprs, np.arange(n), fpos, whats)
         self._add(r, ev)
 
+    def _add_tuple_container_slot_rule(self, access, dotted, pos, it,
+                                       it_tp, major, minor):
+        """Container-typed tuple slot (e.g. ``["int", "string[1,3]"]``
+        over a list<list<…>> column): the slot's value is gathered per
+        row from the tuple's flattened items and validated with full
+        container semantics — a null item defaults to null for array
+        types and fails "value" null (reference index.js:246-251 then
+        1195), a scalar item fails "value" (not an array), then set-dup,
+        bounds and first-failing-item in the reference's order. One dyn
+        rule per slot: internal precedence replaces per-family minors,
+        and the dyn paths carry the doubled ``[pos][j]`` suffix the
+        single-suffix ``inner`` mechanism cannot express. ``access(tbl)``
+        yields (tuple list array | None, parent_ok)."""
+        is_set = it.endswith("}")
+        bi = it.rfind("{" if is_set else "[")
+        bounds = compile_bounds(it, bi + 1)
+        itemtype, items_tp = self._resolve_path(it[:bi], it_tp)
+        if not _is_scalar_str_type(itemtype):
+            raise ColumnarCompileError(
+                f"tuple slot {pos}: doubly-nested container {it!r}:"
+                " use the row engine")
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, minor, dotted, it_tp, "value", it, dyn=True)
+
+        def ev(tbl, dotted=dotted, pos=pos, it=it, is_set=is_set,
+               bounds=bounds, itemtype=itemtype, it_tp=it_tp,
+               items_tp=items_tp):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = access(tbl)
+            if arr is None:
+                return zeros, None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return zeros, None
+            valid = _valid_mask(arr) & parent_ok
+            lengths = np.where(_valid_mask(arr), np.nan_to_num(
+                _np(pc.list_value_length(arr))), 0).astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            sel = valid & (lengths > pos)
+            if not sel.any():
+                return zeros, None
+            flat = arr.flatten()
+            vidx = np.where(sel, starts + pos, 0).astype(np.int64)
+            flat_ok = _valid_mask(flat)[vidx] & sel if len(flat) \
+                else np.zeros(n, dtype=bool)
+
+            fail = np.zeros(n, dtype=bool)
+            paths = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            base = f"{dotted}[{pos}]"
+
+            def put(mask, what, rvals, path_suffix=None, tp=None):
+                newly = mask & ~fail
+                for i in np.nonzero(newly)[0]:
+                    paths[i] = base if path_suffix is None \
+                        else f"{base}{path_suffix[i]}"
+                    whats[i] = what if isinstance(what, str) \
+                        else what[i]
+                    reprs[i] = rvals if isinstance(rvals, str) \
+                        else rvals[i]
+                    tps[i] = tp
+                fail[newly] = True
+
+            # 1. null item → sjot_default(array type) = null → "value"
+            put(sel & ~flat_ok, "value", "null")
+            if not _is_list_type(flat.type):
+                # 2. scalar payload at the slot: "not an array"
+                srep = np.full(n, "", dtype=object)
+                for i in np.nonzero(flat_ok)[0]:
+                    v = flat[int(vidx[i])].as_py()
+                    srep[i] = "" if isinstance(v, (dict, list)) \
+                        else js_string(v)
+                put(flat_ok, "value", srep)
+                return fail, (paths, reprs, whats, tps)
+            take = pa.array(vidx, pa.int64(),
+                            mask=~(sel & flat_ok))
+            slot = flat.take(take)          # list array aligned to rows
+            if is_set:
+                # 3. set duplicates (reference order: dup before bounds)
+                put(_set_dup_mask(slot) & flat_ok, "value", "")
+                slot_items = _sort_sets(slot)
+            else:
+                slot_items = slot
+            if bounds is not None:
+                # 4. bounds → "length" with the actual length as datum
+                slens = np.where(_valid_mask(slot), np.nan_to_num(
+                    _np(pc.list_value_length(slot))), 0).astype(np.int64)
+                lf = _length_fail_mask(slens, flat_ok & ~fail, bounds)
+                put(lf, "length",
+                    np.asarray([str(int(x)) for x in slens], dtype=object))
+            # 5. first failing item → doubled [pos][j] suffix
+            row_fail, vals = _list_item_first_fail(
+                slot_items, itemtype, flat_ok & ~fail, sjots, sjot)
+            if vals is not None and row_fail.any():
+                iflat, ividx, ifpos = vals[0], vals[1], vals[2]
+                iwhats = vals[3] if len(vals) > 3 else None
+                suffix = np.full(n, None, dtype=object)
+                irep = np.full(n, "", dtype=object)
+                for i in np.nonzero(row_fail)[0]:
+                    suffix[i] = f"[{int(ifpos[i])}]"
+                    if isinstance(iflat, np.ndarray):
+                        irep[i] = str(iflat[int(ividx[i])])
+                    else:
+                        v = iflat[int(ividx[i])].as_py()
+                        irep[i] = "" if isinstance(v, (dict, list)) \
+                            else js_string(v)
+                put(row_fail,
+                    np.asarray([str(iwhats[int(ividx[i])])
+                                if iwhats is not None else "value"
+                                for i in range(n)], dtype=object),
+                    irep, path_suffix=suffix, tp=items_tp)
+            return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
+
     def _add_map_charlen_value_rule(self, name, pname, rt, prop_tp,
                                     required, major, pattern=None):
         """char[n,m] string-length map values: per-entry length rule
@@ -3369,11 +3487,6 @@ class TableValidator:
             # sub-validator run once per batch, masked to its rows.
             slots1 = table.get(1)
 
-            def _scalar_prop(p, v):
-                rv, _ = self._resolve_path(v, f"{typepath}/{p}")
-                return _is_scalar_str_type(rv) \
-                    and not _is_char_len_type(rv)
-
             def _resolve_branch(b):
                 while isinstance(b, str) and "#" in b \
                         and not b.startswith("(") and not b.endswith("]") \
@@ -3384,12 +3497,13 @@ class TableValidator:
             def _compile_sub(bdict):
                 if "@extends" in bdict:
                     extend_type(sjots, bdict, sjot, typepath)
-                if any(p.startswith("(") for p in bdict) or not all(
-                        _scalar_prop(p, v) for p, v in bdict.items()
-                        if not p.startswith("@")):
-                    raise ColumnarCompileError(
-                        "union object branch with regex/non-scalar"
-                        " props: row engine")
+                # the full _compile_struct_props surface is admitted
+                # (regex props, char-length/container/nested/union/tuple
+                # prop values, propsets/@dep) — map-layout payloads of
+                # branches beyond the scalar companions are owned by the
+                # embedded row-engine catch-all via the map_owner gate;
+                # genuinely unsupported shapes raise from the nested
+                # compilers and fall the whole schema back as before
                 sub = TableValidator.__new__(TableValidator)
                 sub.sjots, sub.sjot = self.sjots, self.sjot
                 sub.extras_column = None

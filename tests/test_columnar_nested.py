@@ -1088,17 +1088,22 @@ def test_union_object_branch_dispatch():
 
 
 def test_union_object_branch_unsupported_cases_fall_back():
-    import copy
-
     from sjot_ray.columnar.table_validator import ColumnarCompileError
 
-    # nested payload
+    # nested payload (object branches only compile at top level)
     with pytest.raises(ColumnarCompileError):
         TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
-    # non-scalar prop inside the object branch
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(
-            {"@root": {"v": [["int", {"a": "int[]"}]]}}))
+
+
+def test_union_object_branch_nonscalar_prop_compiles():
+    """Container props inside object branches compile since r4 (the
+    _compile_sub relaxation) — parity over struct layouts."""
+    schema = {"@root": {"v?": [["int", {"a": "0..9[1,2]"}]]}}
+    v_t = pa.struct([("a", pa.list_(pa.int64()))])
+    tbl = pa.table({"v": pa.array(
+        [{"a": [1, 2]}, {"a": [1, 50]}, {"a": []}, {"a": None}, None],
+        v_t)})
+    _assert_parity(tbl, schema)
 
 
 def test_union_container_branches_in_nested_struct():

@@ -218,20 +218,131 @@ def test_multi_branch_map_layout_parity():
     _assert_parity(tbl, schema)
 
 
-# -- fallbacks ---------------------------------------------------------------
+# -- rich branch shapes (compiled since r4: regex/non-scalar props) ----------
 
-def test_regex_prop_object_branch_falls_back():
+def test_regex_prop_object_branch_compiles_struct():
+    """A branch with regex props now compiles; struct-layout payloads
+    validate via the embedded sub's per-batch field discovery."""
     schema = {"@root": "#D",
-              "D": {"u": [[{"k": "0..9", "(z.)": "string"}, "string"]]}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+              "D": {"u": [[{"k": "0..9", "(z.)": "(on|off)"}, "string"]]}}
+    u_t = pa.struct([("k", pa.int64()), ("za", pa.string()),
+                     ("other", pa.string())])
+    rows = [
+        {"k": 5, "za": "on", "other": None},    # ok
+        {"k": 5, "za": "MAYBE", "other": None},  # regex prop value fails
+        {"k": 50, "za": "on", "other": None},   # k range
+        {"k": None, "za": "on", "other": None},  # k required
+        None,
+    ]
+    _assert_parity(pa.table({"u": pa.array(rows, u_t)}), schema)
 
 
-def test_nonscalar_prop_object_branch_falls_back():
+def test_nested_prop_object_branch_compiles_struct():
     schema = {"@root": "#D",
               "D": {"u": [[{"k": {"nested": "0..9"}}, "string"]]}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+    u_t = pa.struct([("k", pa.struct([("nested", pa.int64())]))])
+    rows = [
+        {"k": {"nested": 5}},
+        {"k": {"nested": 50}},
+        {"k": None},
+        None,
+    ]
+    _assert_parity(pa.table({"u": pa.array(rows, u_t)}), schema)
+
+
+def test_charlen_container_props_object_branch():
+    schema = {"@root": "#D",
+              "D": {"u": [[
+                  {"tag": "char[2,3]", "pts?": "0..9[1,2]"},
+                  {"side": "1..100"},
+              ]]}}
+    u_t = pa.struct([("tag", pa.string()),
+                     ("pts", pa.list_(pa.int64())),
+                     ("side", pa.int64())])
+    rows = [
+        {"tag": "ab", "pts": [1, 2], "side": None},     # b1 ok
+        {"tag": "toolong", "pts": None, "side": None},  # b1 length
+        {"tag": "ab", "pts": [1, 50], "side": None},    # b1 item range
+        {"tag": "ab", "pts": [], "side": None},         # b1 bounds
+        {"tag": None, "pts": None, "side": 7},          # b2 ok
+        {"tag": None, "pts": None, "side": 700},        # b2 range
+        None,
+    ]
+    _assert_parity(pa.table({"u": pa.array(rows, u_t)}), schema)
+
+
+def test_propset_object_branch():
+    schema = {"@root": "#D",
+              "D": {"u": [[
+                  {"@if": "m", "@then": {"m": "(x)", "a?": "0..9",
+                                         "b?": "0..9",
+                                         "@one": [["a", "b"]]}},
+                  "string",
+              ]]}}
+    u_t = pa.struct([("m", pa.string()), ("a", pa.int64()),
+                     ("b", pa.int64())])
+    rows = [
+        {"m": "x", "a": 5, "b": None},   # ok
+        {"m": "x", "a": 5, "b": 3},      # @one fails
+        {"m": "x", "a": None, "b": None},  # @one fails
+        None,
+    ]
+    _assert_parity(pa.table({"u": pa.array(rows, u_t)}), schema)
+
+
+def test_rich_object_branch_map_layout():
+    """Complex branch over a MAP-layout payload: the embedded sub's
+    map_owner catch-all owns these rows (row-engine exactness)."""
+    m = pa.map_(pa.string(), pa.string())
+    # a regex-prop branch claims the whole object slot (slots.o), so it
+    # must be the only dict branch in the union
+    schema = {"@root": "#D",
+              "D": {"u": [[
+                  {"tag": "char[2,3]", "(z.)": "(on|off)"},
+                  "0..9",
+              ]]}}
+    rows = [
+        [("tag", "ab"), ("za", "on")],       # ok
+        [("tag", "toolong")],                # length
+        [("tag", "ab"), ("zq", "MAYBE")],    # regex prop fails
+        [("nobody", "1")],                   # tag required
+        None,
+    ]
+    _assert_parity(pa.table({"u": pa.array(rows, m)}), schema)
+
+
+def test_rich_branch_vs_reference_oracle():
+    from .conftest import run_reference
+
+    schema = {"@root": "#D",
+              "D": {"u": [[
+                  {"k": "0..9", "side": {"w": "1..9"},
+                   "pad?": "char[1,2]"},
+                  "string",
+              ]]}}
+    u_t = pa.struct([("k", pa.int64()), ("pad", pa.string()),
+                     ("side", pa.struct([("w", pa.int64())]))])
+    rows = [
+        {"k": 5, "pad": "a", "side": {"w": 3}},
+        {"k": 5, "pad": "toolong", "side": {"w": 3}},
+        {"k": 5, "pad": None, "side": {"w": 30}},
+        {"k": 5, "pad": None, "side": None},
+        {"k": 50, "pad": None, "side": {"w": 3}},
+        None,
+    ]
+    tbl = pa.table({"u": pa.array(rows, u_t)})
+    tv = TableValidator(copy.deepcopy(schema))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    cases = [{"data": _doc_of(r), "type": "@root",
+              "schema": copy.deepcopy(schema), "mode": "validate"}
+             for r in tbl.to_pylist()]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (i, ref["error"], v)
 
 
 # -- fuzz ---------------------------------------------------------------------
@@ -346,3 +457,70 @@ def test_union_obj_fuzz_matches_row_engine(seed):
                 if cv[k] != rv[k]:
                     mism.append((i, doc, k, cv[k], rv[k]))
     assert not mism, (schema, mism[:5])
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_rich_branch_fuzz_matches_row_engine(seed):
+    """Randomized object branches with char-length / container / nested
+    / regex props (the r4 relaxation surface): verdict parity with the
+    row engine over struct layouts; regex-prop branches (slots.o) are
+    kept the only dict branch, per the union distinctness rules."""
+    from sjot_ray.core import valid as row_valid_fn
+
+    rng = np.random.default_rng(23000 + seed)
+    use_regex = rng.random() < 0.3
+    kinds = rng.choice(["charlen", "container", "nested", "scalar"],
+                       size=2, replace=True)
+    props: dict = {"k": "0..9"}
+    fields = [("k", pa.int64())]
+    for i, kd in enumerate(kinds):
+        nm = f"p{i}" + ("?" if rng.random() < 0.5 else "")
+        if kd == "charlen":
+            props[nm] = "char[2,4]"
+            fields.append((f"p{i}", pa.string()))
+        elif kd == "container":
+            props[nm] = "0..9[1,2]"
+            fields.append((f"p{i}", pa.list_(pa.int64())))
+        elif kd == "nested":
+            props[nm] = {"x": "0..9"}
+            fields.append((f"p{i}", pa.struct([("x", pa.int64())])))
+        else:
+            props[nm] = "(aa|bb)"
+            fields.append((f"p{i}", pa.string()))
+    if use_regex:
+        props["(z.)"] = "(on|off)"
+        fields.append(("za", pa.string()))
+    branches = [props, "string"]
+    schema = {"@root": {"u?": [branches]}}
+    u_t = pa.struct(fields)
+
+    def cell(r):
+        if r.random() < 0.12:
+            return None
+        out = {}
+        if r.random() < 0.8:
+            out["k"] = int(r.integers(-2, 12))
+        for i, kd in enumerate(kinds):
+            if r.random() < 0.35:
+                continue
+            if kd == "charlen":
+                out[f"p{i}"] = "a" * int(r.integers(0, 6))
+            elif kd == "container":
+                out[f"p{i}"] = [int(r.integers(-2, 12))
+                                for _ in range(int(r.integers(0, 4)))]
+            elif kd == "nested":
+                out[f"p{i}"] = {"x": int(r.integers(-2, 12))}
+            else:
+                out[f"p{i}"] = str(r.choice(["aa", "bb", "zz"]))
+        if use_regex and r.random() < 0.5:
+            out["za"] = str(r.choice(["on", "off", "zz"]))
+        return out
+
+    rows = [cell(rng) for _ in range(80)]
+    tbl = pa.table({"u": pa.array(rows, u_t)})
+    tv = TableValidator(copy.deepcopy(schema))
+    cv, _, _ = tv.validate_batch(tbl)
+    for r, got in zip(tbl.to_pylist(), cv):
+        doc = _doc_of(r)
+        want = row_valid_fn(doc, None, copy.deepcopy(schema))
+        assert bool(got) == want, (doc, bool(got), want, schema)
