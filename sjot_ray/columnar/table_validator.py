@@ -2645,13 +2645,18 @@ class TableValidator:
             # 1. null item → sjot_default(array type) = null → "value"
             put(sel & ~flat_ok, "value", "null")
             if not _is_list_type(flat.type):
-                # 2. scalar payload at the slot: "not an array"
+                # 2. scalar payload at the slot: the reference's type
+                # duality validates the scalar against the container
+                # type string's range scan ("value X is not an array
+                # T[]" only when out of range — a scalar 1 against
+                # "0..9[]" PASSES, index.js number branch)
+                sf = _scalar_fail_mask(flat, it)[vidx] & flat_ok
                 srep = np.full(n, "", dtype=object)
-                for i in np.nonzero(flat_ok)[0]:
+                for i in np.nonzero(sf)[0]:
                     v = flat[int(vidx[i])].as_py()
                     srep[i] = "" if isinstance(v, (dict, list)) \
                         else js_string(v)
-                put(flat_ok, "value", srep)
+                put(sf, "value", srep)
                 return fail, (paths, reprs, whats, tps)
             take = pa.array(vidx, pa.int64(),
                             mask=~(sel & flat_ok))
@@ -2913,7 +2918,8 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if isinstance(it, str) and _is_char_len_type(it):
+            if isinstance(it, str) and (
+                    _is_char_len_type(it) or _is_container_type(it)):
                 def access(tbl, name=name):
                     if name not in tbl.column_names:
                         return None, None
@@ -2921,8 +2927,12 @@ class TableValidator:
                     if isinstance(a, pa.ChunkedArray):
                         a = a.combine_chunks()
                     return a, np.ones(tbl.num_rows, dtype=bool)
-                self._add_tuple_charlen_slot_rule(access, name, pos, it,
-                                                  it_tp, major, minor)
+                if _is_char_len_type(it):
+                    self._add_tuple_charlen_slot_rule(
+                        access, name, pos, it, it_tp, major, minor)
+                else:
+                    self._add_tuple_container_slot_rule(
+                        access, name, pos, it, it_tp, major, minor)
                 minor += 1
                 continue
             if not _is_scalar_str_type(it):
@@ -3907,11 +3917,16 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if isinstance(it, str) and _is_char_len_type(it):
+            if isinstance(it, str) and (
+                    _is_char_len_type(it) or _is_container_type(it)):
                 def access(tbl, path=tuple(fpath)):
                     return _nested_field(tbl, list(path))
-                self._add_tuple_charlen_slot_rule(access, dotted, pos,
-                                                  it, it_tp, major, minor)
+                if _is_char_len_type(it):
+                    self._add_tuple_charlen_slot_rule(
+                        access, dotted, pos, it, it_tp, major, minor)
+                else:
+                    self._add_tuple_container_slot_rule(
+                        access, dotted, pos, it, it_tp, major, minor)
                 minor += 1
                 continue
             if not _is_scalar_str_type(it):
