@@ -2698,6 +2698,95 @@ class TableValidator:
             return fail, (paths, reprs, whats, tps)
         self._add(r, ev)
 
+    def _add_nonscalar_tuple_slot(self, access, dotted, pos, it, it_tp,
+                                  major, minor):
+        """Dispatch one non-plain-scalar tuple slot to its rule family:
+        char[n,m] → length rule; container with scalar items →
+        vectorized container rule; everything else (object / union /
+        nested tuple / doubly-nested container) → row-engine slot
+        rule."""
+        if isinstance(it, str) and _is_char_len_type(it):
+            self._add_tuple_charlen_slot_rule(access, dotted, pos, it,
+                                              it_tp, major, minor)
+            return
+        if isinstance(it, str) and _is_container_type(it):
+            try:
+                self._add_tuple_container_slot_rule(
+                    access, dotted, pos, it, it_tp, major, minor)
+                return
+            except ColumnarCompileError:
+                pass        # doubly-nested items: row engine per slot
+        self._add_tuple_rowengine_slot_rule(access, dotted, pos, it,
+                                            it_tp, major, minor)
+
+    def _add_tuple_rowengine_slot_rule(self, access, dotted, pos, it,
+                                       it_tp, major, minor):
+        """Object / union / nested-tuple typed tuple slot: gather the
+        slot's value per row and validate it through the row engine
+        (exact reference semantics for the full type grammar). Null
+        items are replaced by the slot type's default first (reference
+        index.js:246-251 — null for non-primitive types, so they fail
+        "value" null). Rare shapes; per-row cost proportional to rows
+        actually carrying the slot."""
+        sjots, sjot = self.sjots, self.sjot
+        null_default = default_value("null", sjots, None, it, sjot)
+        r = Rule(major, minor, dotted, it_tp, "value", "", dyn=True)
+
+        def ev(tbl, dotted=dotted, pos=pos, it=it, it_tp=it_tp,
+               null_default=null_default):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = access(tbl)
+            if arr is None:
+                return zeros, None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not _is_list_type(arr.type):
+                return zeros, None
+            valid = _valid_mask(arr) & parent_ok
+            lengths = np.where(_valid_mask(arr), np.nan_to_num(
+                _np(pc.list_value_length(arr))), 0).astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            sel = valid & (lengths > pos)
+            if not sel.any():
+                return zeros, None
+            flat = arr.flatten()
+            # an EMPTY map cell as_py()s to [] — force dict conversion
+            # so it reads as {} (the map-vs-empty-list ambiguity)
+            is_map_items = pa.types.is_map(flat.type)
+            fail = np.zeros(n, dtype=bool)
+            paths = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            base = f"{dotted}[{pos}]"
+            for i in np.nonzero(sel)[0]:
+                cell = flat[int(starts[i] + pos)]
+                if not cell.is_valid:
+                    data = null_default
+                elif is_map_items:
+                    data = {k: _py_doc(v) for k, v in cell.as_py()}
+                else:
+                    data = _py_doc(cell.as_py())
+                try:
+                    validate_value(sjots, data, it, sjot, f"$.{base}",
+                                   it_tp, ctx)
+                except SJOTValidationError as e:
+                    row = e.violation_row()
+                    fail[i] = True
+                    dp = row["datapath"]
+                    paths[i] = dp[2:] if dp.startswith("$.") else base
+                    reprs[i] = row["value_repr"]
+                    whats[i] = row["what"]
+                    tps[i] = row["typepath"]
+                except SJOTSchemaError:
+                    pass
+            return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
+
     def _add_map_charlen_value_rule(self, name, pname, rt, prop_tp,
                                     required, major, pattern=None):
         """char[n,m] string-length map values: per-entry length rule
@@ -2918,8 +3007,7 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if isinstance(it, str) and (
-                    _is_char_len_type(it) or _is_container_type(it)):
+            if not _is_scalar_str_type(it) or _is_char_len_type(it):
                 def access(tbl, name=name):
                     if name not in tbl.column_names:
                         return None, None
@@ -2927,17 +3015,10 @@ class TableValidator:
                     if isinstance(a, pa.ChunkedArray):
                         a = a.combine_chunks()
                     return a, np.ones(tbl.num_rows, dtype=bool)
-                if _is_char_len_type(it):
-                    self._add_tuple_charlen_slot_rule(
-                        access, name, pos, it, it_tp, major, minor)
-                else:
-                    self._add_tuple_container_slot_rule(
-                        access, name, pos, it, it_tp, major, minor)
+                self._add_nonscalar_tuple_slot(access, name, pos, it,
+                                               it_tp, major, minor)
                 minor += 1
                 continue
-            if not _is_scalar_str_type(it):
-                raise ColumnarCompileError(
-                    f"tuple slot {pos} type {it!r}: use the row engine")
             r = Rule(major, minor, name, it_tp, "value", it,
                      child=True, list_col=name)
             null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
@@ -3917,22 +3998,13 @@ class TableValidator:
 
         for pos, t in enumerate(rt):
             it, it_tp = self._resolve_path(t, typepath + "[]")
-            if isinstance(it, str) and (
-                    _is_char_len_type(it) or _is_container_type(it)):
+            if not _is_scalar_str_type(it) or _is_char_len_type(it):
                 def access(tbl, path=tuple(fpath)):
                     return _nested_field(tbl, list(path))
-                if _is_char_len_type(it):
-                    self._add_tuple_charlen_slot_rule(
-                        access, dotted, pos, it, it_tp, major, minor)
-                else:
-                    self._add_tuple_container_slot_rule(
-                        access, dotted, pos, it, it_tp, major, minor)
+                self._add_nonscalar_tuple_slot(access, dotted, pos, it,
+                                               it_tp, major, minor)
                 minor += 1
                 continue
-            if not _is_scalar_str_type(it):
-                raise ColumnarCompileError(
-                    f"tuple slot {pos} type {it!r} in nested struct:"
-                    " use the row engine")
             r = Rule(major, minor, dotted, it_tp, "value", it, inner=True)
             null_item_fails = not _null_item_ok(self.sjots, self.sjot, it)
             null_default = default_value("null", self.sjots, None, it,

@@ -115,9 +115,71 @@ def test_charlen_item_container_slot():
     _assert_parity(pa.table({"t": pa.array(rows, lls)}), schema)
 
 
-def test_doubly_nested_slot_falls_back():
-    with pytest.raises(ColumnarCompileError):
-        TableValidator({"@root": {"t": ["0..9[][]", "string"]}})
+def test_object_typed_tuple_slots():
+    """Object slot types route through the row-engine slot rule —
+    full object semantics with exact datapaths."""
+    schema = {"@root": {"t?": [{"x": "0..9"},
+                               {"x?": "0..9", "y?": "string"}]}}
+    lt = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    rows = [
+        [{"x": 5, "y": None}, {"x": 1, "y": "a"}],
+        [{"x": 50, "y": None}, {"x": 1, "y": None}],
+        [{"x": None, "y": None}, {"x": 1, "y": None}],  # x required
+        [{"x": 5, "y": None}, {"x": 50, "y": None}],    # x range slot 1
+        [None, {"x": 1, "y": None}],                    # null item
+        [{"x": 5, "y": None}],                          # wrong length
+        None,
+    ]
+    _assert_parity(pa.table({"t": pa.array(rows, lt)}), schema)
+
+
+def test_union_typed_tuple_slots():
+    schema = {"@root": {"t?": [[["0..9", "string"]],
+                               [["0..9", "string"]]]}}
+    lt = pa.list_(pa.int64())
+    rows = [[1, 2], [50, 2], [None, 1], None]
+    _assert_parity(pa.table({"t": pa.array(rows, lt)}), schema)
+
+
+def test_doubly_nested_container_tuple_slots():
+    """Doubly-nested container slot types also compile now (row-engine
+    slot rule instead of a whole-schema fallback)."""
+    schema = {"@root": {"t?": ["0..9[][]", "0..9[][]"]}}
+    lt = pa.list_(pa.list_(pa.list_(pa.int64())))
+    rows = [[[[1]], [[2]]], [[[50]], [[2]]], [None, [[2]]], None]
+    _assert_parity(pa.table({"t": pa.array(rows, lt)}), schema)
+
+
+def test_object_slots_nested_struct_position():
+    schema = {"@root": {"meta?": {"pair": [{"x": "0..9"},
+                                           {"x": "0..9"}]}}}
+    mt = pa.struct([("pair", pa.list_(pa.struct([("x", pa.int64())])))])
+    rows = [{"pair": [{"x": 1}, {"x": 2}]},
+            {"pair": [{"x": 1}, {"x": 50}]},
+            {"pair": None}, None]
+    _assert_parity(pa.table({"meta": pa.array(rows, mt)}), schema)
+
+
+def test_object_slots_vs_reference_oracle():
+    from .conftest import run_reference
+
+    schema = {"@root": {"t?": [{"x": "0..9"}, {"x": "0..9"}]}}
+    lt = pa.list_(pa.struct([("x", pa.int64())]))
+    rows = [[{"x": 1}, {"x": 2}], [{"x": 1}, {"x": 50}],
+            [{"x": None}, {"x": 2}], [None, {"x": 2}], None]
+    tbl = pa.table({"t": pa.array(rows, lt)})
+    tv = TableValidator(copy.deepcopy(schema))
+    verdict, viols, _ = tv.validate_batch(tbl)
+    viols = {v["row_idx"]: v for v in viols}
+    cases = [{"data": _doc_of(r), "type": "@root",
+              "schema": copy.deepcopy(schema), "mode": "validate"}
+             for r in tbl.to_pylist()]
+    for i, ref in enumerate(run_reference(cases)):
+        assert bool(verdict[i]) == ref["valid"], (i, ref, viols.get(i))
+        if not ref["valid"]:
+            v = viols[i]
+            frag = f'{v["datapath"]} {v["what"]}'
+            assert ref["error"].startswith(frag), (i, ref["error"], v)
 
 
 @pytest.mark.parametrize("seed", range(50))
