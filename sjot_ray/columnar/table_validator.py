@@ -1116,8 +1116,17 @@ class TableValidator:
                     return ~_presence(tbl, name), None
                 self._add(rule, ev)
 
-        major = self._next_major()
-        self._compile_value_rules(name, rt, prop_typepath, major)
+        mark = len(self.rules)
+        saved_major = self._major
+        try:
+            major = self._next_major()
+            self._compile_value_rules(name, rt, prop_typepath, major)
+        except ColumnarCompileError:
+            # exotic position: degrade to ONE row-engine value rule for
+            # this column — the rest of the schema stays columnar
+            del self.rules[mark:]
+            self._major = saved_major
+            self._add_rowengine_value_rule([name], rt, prop_typepath)
 
     def _compile_value_rules(self, name, rt, typepath, major):
         if rt == "any":
@@ -1750,20 +1759,33 @@ class TableValidator:
 
             if rt in ("any", "object", "array"):
                 continue
-            if isinstance(rt, dict):
-                self._compile_struct_props(fpath, rt, prop_tp)
+            if isinstance(rt, (dict, list)) or (
+                    isinstance(rt, str) and _is_container_type(rt)):
+                # nested object / union / container / tuple: compile the
+                # vectorized family, degrading this POSITION to one
+                # row-engine value rule when its compiler rejects the
+                # shape (the rest of the schema stays columnar)
+                mark = len(self.rules)
+                saved_major = self._major
+                try:
+                    if isinstance(rt, dict):
+                        self._compile_struct_props(fpath, rt, prop_tp)
+                    elif is_union(rt):
+                        self._compile_union_rules(
+                            fdotted, rt, prop_tp, self._next_major(),
+                            path=tuple(fpath))
+                    elif isinstance(rt, list):
+                        self._compile_struct_tuple_prop(
+                            fpath, rt, prop_tp, self._next_major())
+                    else:
+                        self._compile_struct_list_prop(
+                            fpath, rt, prop_tp, self._next_major())
+                except ColumnarCompileError:
+                    del self.rules[mark:]
+                    self._major = saved_major
+                    self._add_rowengine_value_rule(fpath, rt, prop_tp)
                 continue
             major = self._next_major()
-            if is_union(rt):
-                self._compile_union_rules(fdotted, rt, prop_tp, major,
-                                          path=tuple(fpath))
-                continue
-            if isinstance(rt, str) and _is_container_type(rt):
-                self._compile_struct_list_prop(fpath, rt, prop_tp, major)
-                continue
-            if isinstance(rt, list):
-                self._compile_struct_tuple_prop(fpath, rt, prop_tp, major)
-                continue
             if rt.startswith("char[") and rt != "char[]":
                 r = Rule(major, 0, fdotted, prop_tp, "length", rt)
 
@@ -2696,6 +2718,60 @@ class TableValidator:
                                 for i in range(n)], dtype=object),
                     irep, path_suffix=suffix, tp=items_tp)
             return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
+
+    def _add_rowengine_value_rule(self, path, rt, typepath):
+        """Generic per-POSITION row-engine value rule: validate one
+        column / nested field's non-null cells against ANY type
+        expression via the row engine (full reference grammar). Used as
+        the degradation target when a position's type is beyond the
+        vectorized compilers — the REST of the schema stays columnar,
+        replacing the old whole-schema fallbacks. Presence/default
+        rules for the position are emitted by the callers as usual;
+        null ≡ absent, so null cells are skipped here."""
+        sjots, sjot = self.sjots, self.sjot
+        dotted = ".".join(path)
+        major = self._next_major()
+        r = Rule(major, 0, dotted, typepath, "value", "", dyn=True)
+
+        def ev(tbl, path=tuple(path), rt=rt, tp=typepath, dotted=dotted):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
+                return zeros, None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = _valid_mask(arr) & parent_ok
+            if not valid.any():
+                return zeros, None
+            is_map = pa.types.is_map(arr.type)
+            fail = np.zeros(n, dtype=bool)
+            paths_o = np.full(n, None, dtype=object)
+            reprs_o = np.full(n, None, dtype=object)
+            whats_o = np.full(n, None, dtype=object)
+            tps_o = np.full(n, None, dtype=object)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            for i in np.nonzero(valid)[0]:
+                cell = arr[int(i)].as_py()
+                data = {k: _py_doc(v) for k, v in cell} if is_map \
+                    else _py_doc(cell)
+                try:
+                    validate_value(sjots, data, rt, sjot,
+                                   f"$.{dotted}", tp, ctx)
+                except SJOTValidationError as e:
+                    row = e.violation_row()
+                    fail[i] = True
+                    dp = row["datapath"]
+                    paths_o[i] = dp[2:] if dp.startswith("$.") else dotted
+                    reprs_o[i] = row["value_repr"]
+                    whats_o[i] = row["what"]
+                    tps_o[i] = row["typepath"]
+                except SJOTSchemaError:
+                    pass
+            return fail, (paths_o, reprs_o, whats_o, tps_o)
         self._add(r, ev)
 
     def _add_nonscalar_tuple_slot(self, access, dotted, pos, it, it_tp,

@@ -129,14 +129,21 @@ def test_mapobj_first_entry_wins():
     assert viols[0]["datapath"] == "$.cfg.k_one.a"
 
 
-def test_mapobj_probe_rejects_deep():
-    """Object values whose OBJECT is outside the columnar surface keep
-    the compile-time fallback."""
+def test_mapobj_deep_obj_value_compiles():
+    """Object values with positions outside the vectorized surface now
+    compile — those POSITIONS degrade to row-engine value rules inside
+    the embedded sub (was a whole-schema fallback before r4)."""
     schema = {"@root": "#D",
-              "D": {"cfg": {"(k_.*)": {"v": [["string[]",
-                                              {"a": "int"}]]}}}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+              "D": {"cfg?": {"(k_.*)": {"v": [["string[]",
+                                               {"a": "0..9"}]]}}}}
+    TableValidator(copy.deepcopy(schema))
+    # map layout: entries route through the row engine (exact)
+    m = pa.map_(pa.string(), pa.struct([("v", pa.list_(pa.string()))]))
+    rows = [[("k_a", {"v": ["x"]})], [("k_b", {"v": None})],
+            [("other", {"v": ["x"]})], None]
+    from .test_columnar_nested import _assert_parity
+    _assert_parity(pa.table({"cfg": pa.array(rows, m)}), schema,
+                   n_invalid_min=1)
 
 
 @pytest.mark.parametrize("seed", range(40))

@@ -528,9 +528,13 @@ def test_union_shape_and_container_branches():
     tbl = pa.table({"v": pa.array([[1], []], pa.list_(pa.int64()))})
     _assert_parity(tbl, {"@root": {"v": [["string", "int[]"]]}},
                    n_invalid_min=0)
-    # object branches still fall back at compile time
-    with pytest.raises(ColumnarCompileError):
-        TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
+    # NESTED union object branches degrade to a per-position row-engine
+    # rule since r4 (the rest of the schema stays columnar) — parity
+    schema_n = {"@root": {"box?": {"u": [["int", {"a": "0..9"}]]}}}
+    bt = pa.struct([("u", pa.struct([("a", pa.int64())]))])
+    _assert_parity(pa.table({"box": pa.array(
+        [{"u": {"a": 5}}, {"u": {"a": 50}}, {"u": None}, None], bt)}),
+        schema_n)
 
 
 def test_struct_schema_over_map_column():
@@ -651,22 +655,22 @@ def test_regex_props_match_literal_prop_too():
     _assert_parity(tbl, schema)
 
 
-def test_regex_props_nonscalar_type_falls_back():
+def test_regex_props_nonscalar_type_compiles_deep():
     """Regex props with object value types compile since round 4 (map +
-    struct layouts, embedded subs); value OBJECTS outside the columnar
-    surface remain a compile-time fallback to the row engine — the
-    probe rejects them before any worker sees a batch."""
+    struct layouts, embedded subs); value OBJECTS with positions
+    outside the vectorized surface now degrade those POSITIONS to
+    row-engine value rules inside the embedded sub — parity."""
     import copy
-
-    from sjot_ray.columnar.table_validator import ColumnarCompileError
 
     schema = {"@root": "#D",
               "D": {"box": {"(k.)": {"v": "int"}}}}
-    TableValidator(copy.deepcopy(schema))  # compiles now
+    TableValidator(copy.deepcopy(schema))  # compiles
     deep = {"@root": "#D",
-            "D": {"box": {"(k.)": {"v": [["string[]", {"a": "int"}]]}}}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(deep))
+            "D": {"box?": {"(k.)": {"v": [["string[]", {"a": "0..9"}]]}}}}
+    bt = pa.struct([("ka", pa.struct([("v", pa.list_(pa.string()))]))])
+    tbl = pa.table({"box": pa.array(
+        [{"ka": {"v": ["x"]}}, {"ka": {"v": None}}, None], bt)})
+    _assert_parity(tbl, deep, n_invalid_min=1)
 
 
 # -- embedded @sjot under a top-level any column (r2 VERDICT #8) -------------
@@ -1087,12 +1091,18 @@ def test_union_object_branch_dispatch():
     _assert_parity(tbl2, schema, n_invalid_min=0)
 
 
-def test_union_object_branch_unsupported_cases_fall_back():
-    from sjot_ray.columnar.table_validator import ColumnarCompileError
+def test_union_object_branch_nested_payload_degrades():
+    """Union object branches on NESTED payloads compile since r4: the
+    position degrades to one row-engine value rule (the union dispatch
+    machinery is top-level-only, but the row engine covers the full
+    grammar). Parity over both layouts of the payload."""
+    import copy
 
-    # nested payload (object branches only compile at top level)
-    with pytest.raises(ColumnarCompileError):
-        TableValidator({"@root": {"box": {"u": [["int", {"a": "int"}]]}}})
+    schema = {"@root": {"box?": {"u": [["int", {"a": "0..9"}]]}}}
+    TableValidator(copy.deepcopy(schema))
+    bt = pa.struct([("u", pa.int64())])
+    _assert_parity(pa.table({"box": pa.array(
+        [{"u": 3}, {"u": None}, None], bt)}), schema, n_invalid_min=0)
 
 
 def test_union_object_branch_nonscalar_prop_compiles():

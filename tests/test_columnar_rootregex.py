@@ -171,16 +171,20 @@ def test_root_regex_fuzz_matches_row_engine(seed):
 
 def test_root_regex_union_value_type_falls_back():
     """Union-typed root regex props stay on the row engine — a
-    compile-time fallback, never a worker raise. Same for object value
-    types whose OBJECT is itself outside the columnar surface (the
-    compile-time probe rejects them before any worker sees a batch)."""
+    compile-time fallback, never a worker raise. Object value types
+    with DEEP positions now compile (the positions degrade to
+    row-engine value rules inside the embedded sub)."""
     schema = {"@root": "#D", "D": {"(k.)": [["int", "string"]]}}
     with pytest.raises(ColumnarCompileError):
         TableValidator(copy.deepcopy(schema))
     deep = {"@root": "#D",
-            "D": {"(k.)": {"v": [["string[]", {"a": "int"}]]}}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(deep))
+            "D": {"(k.)": {"v": [["string[]", {"a": "0..9"}]]}}}
+    TableValidator(copy.deepcopy(deep))  # compiles since r4
+    ka = pa.struct([("v", pa.list_(pa.string()))])
+    tbl = pa.table({"ka": pa.array(
+        [{"v": ["x"]}, {"v": None}, None], ka)})
+    from .test_columnar_nested import _assert_parity
+    _assert_parity(tbl, deep, n_invalid_min=1)
 
 
 # -- object value types ------------------------------------------------------
