@@ -671,8 +671,11 @@ class TableValidator:
             bounds = compile_bounds(rt, j + 1)
             itemtype, _tp = self._resolve_path(rt[:j], prop_tp)
             if not _is_scalar_str_type(itemtype):
-                raise ColumnarCompileError(
-                    "doubly-nested root regex-prop value types: row engine")
+                # doubly-nested value types: row engine per matching
+                # column (position degradation, not whole-schema)
+                self._add_root_regex_rowengine_rule(prop, rt, prop_tp,
+                                                    _columns)
+                return
             major = self._next_major()
             r = Rule(major, 0, prop, prop_tp, "value", rt, dyn=True)
 
@@ -766,9 +769,11 @@ class TableValidator:
             return
 
         if not _is_scalar_str_type(rt):
-            raise ColumnarCompileError(
-                "root-level regex-prop union value types:"
-                " row engine")
+            # union / tuple value types: row engine per matching column
+            # (position degradation, not whole-schema)
+            self._add_root_regex_rowengine_rule(prop, rt, prop_tp,
+                                                _columns)
+            return
         major = self._next_major()
         r = Rule(major, 0, prop, prop_tp, "value", rt, dyn=True)
 
@@ -787,6 +792,53 @@ class TableValidator:
                     paths[i] = cname
                 fail |= ff
             return fail, (paths, reprs)
+        self._add(r, ev)
+
+    def _add_root_regex_rowengine_rule(self, prop, rt, prop_tp,
+                                       _columns):
+        """Root-level regex prop whose VALUE type is beyond the
+        vectorized kernels (union / tuple / doubly-nested container):
+        one dyn rule validating each matching column's non-null cells
+        through the row engine, first-failing-column-wins in column
+        order (= the reference's data-iteration order)."""
+        sjots, sjot = self.sjots, self.sjot
+        major = self._next_major()
+        r = Rule(major, 0, prop, prop_tp, "value", "", dyn=True)
+
+        def ev(tbl, rt=rt, tp=prop_tp):
+            n = tbl.num_rows
+            fail = np.zeros(n, dtype=bool)
+            paths = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            whats = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            for cname, farr in _columns(tbl):
+                valid = _valid_mask(farr) & ~fail
+                if not valid.any():
+                    continue
+                is_map = pa.types.is_map(farr.type)
+                for i in np.nonzero(valid)[0]:
+                    cell = farr[int(i)].as_py()
+                    data = {k: _py_doc(v) for k, v in cell} if is_map \
+                        else _py_doc(cell)
+                    try:
+                        validate_value(sjots, data, rt, sjot,
+                                       f"$.{cname}", tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths[i] = dp[2:] if dp.startswith("$.") \
+                            else cname
+                        reprs[i] = row["value_repr"]
+                        whats[i] = row["what"]
+                        tps[i] = row["typepath"]
+                    except SJOTSchemaError:
+                        pass
+            return fail, (paths, reprs, whats, tps)
         self._add(r, ev)
 
     def _make_col_obj_sub(self, cname, obj_type, typepath):

@@ -175,3 +175,38 @@ def test_degrade_fuzz_matches_row_engine(seed):
             assert (g["datapath"], g["what"], g["value_repr"]) == (
                 werr["datapath"], werr["what"], werr["value_repr"]), (
                 i, doc, g, werr, schema)
+
+
+def test_root_regex_and_union_mix_degradations():
+    """The last whole-schema fallbacks are non-object roots: unions
+    mixing container/object/tuple branches and deep map value types
+    all compile, degrading only their own position."""
+    # union with object + container branches
+    schema = {"@root": {"u?": [["0..9[]", {"a": "0..9"}]]}}
+    st = pa.struct([("a", pa.int64())])
+    _assert_parity(pa.table(
+        {"u": pa.array([{"a": 5}, {"a": 50}, None], st)}), schema)
+    _assert_parity(pa.table(
+        {"u": pa.array([[1], [50], None], pa.list_(pa.int64()))}),
+        schema)
+    # union with a tuple branch (NB the reference's union array
+    # dispatch accepts these arrays — node-oracle verified; parity is
+    # the assertion, not invalidity)
+    schema2 = {"@root": {"u?": [["string", ["0..9", "10..99"]]]}}
+    _assert_parity(pa.table(
+        {"u": pa.array([[1, 20], [1, 5], [1]], pa.list_(pa.int64()))}),
+        schema2, n_invalid_min=0)
+    # deep object map values
+    schema3 = {"@root": {"m?": {"(k.)": {"x": "0..9[][]"}}}}
+    mt = pa.map_(pa.string(),
+                 pa.struct([("x", pa.list_(pa.list_(pa.int64())))]))
+    rows = [[("ka", {"x": [[1]]})], [("kb", {"x": [[50]]})], None]
+    _assert_parity(pa.table({"m": pa.array(rows, mt)}), schema3)
+
+
+def test_only_nonobject_roots_fall_back():
+    from sjot_ray.columnar.table_validator import ColumnarCompileError
+
+    for root in ("any", "string", "0..9[]"):
+        with pytest.raises(ColumnarCompileError):
+            TableValidator({"@root": root})

@@ -169,22 +169,41 @@ def test_root_regex_fuzz_matches_row_engine(seed):
     assert not mism, (vt, mism[:5])
 
 
-def test_root_regex_union_value_type_falls_back():
-    """Union-typed root regex props stay on the row engine — a
-    compile-time fallback, never a worker raise. Object value types
-    with DEEP positions now compile (the positions degrade to
-    row-engine value rules inside the embedded sub)."""
-    schema = {"@root": "#D", "D": {"(k.)": [["int", "string"]]}}
-    with pytest.raises(ColumnarCompileError):
-        TableValidator(copy.deepcopy(schema))
+def test_root_regex_exotic_value_types_degrade():
+    """Union / tuple / doubly-nested root regex value types compile
+    since r4: matching columns validate per row through the row engine
+    (first-failing-column-wins) — no whole-schema fallback. Deep
+    object value types likewise degrade inside the embedded sub."""
+    from .test_columnar_nested import _assert_parity
+
+    schema = {"@root": "#D",
+              "D": {"(k.)": [["0..9", "(aa|bb)"]], "id": "0.."}}
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ka": pa.array([5, 50, None, 5], pa.int64()),
+        "kb": pa.array(["aa", "aa", "zz", None], pa.string()),
+    })
+    _assert_parity(tbl, schema, n_invalid_min=1)
+
+    deep2 = {"@root": "#D", "D": {"(g.)": "0..9[][]", "id": "0.."}}
+    t2 = pa.list_(pa.list_(pa.int64()))
+    tbl2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                     "ga": pa.array([[[1]], [[50]], None], t2)})
+    _assert_parity(tbl2, deep2, n_invalid_min=1)
+
+    tup = {"@root": "#D", "D": {"(t.)": ["0..9", "10..99"], "id": "0.."}}
+    tbl3 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                     "ta": pa.array([[1, 20], [1, 5], [1]],
+                                    pa.list_(pa.int64()))})
+    _assert_parity(tbl3, tup, n_invalid_min=1)
+
     deep = {"@root": "#D",
             "D": {"(k.)": {"v": [["string[]", {"a": "0..9"}]]}}}
     TableValidator(copy.deepcopy(deep))  # compiles since r4
     ka = pa.struct([("v", pa.list_(pa.string()))])
-    tbl = pa.table({"ka": pa.array(
+    tbl4 = pa.table({"ka": pa.array(
         [{"v": ["x"]}, {"v": None}, None], ka)})
-    from .test_columnar_nested import _assert_parity
-    _assert_parity(tbl, deep, n_invalid_min=1)
+    _assert_parity(tbl4, deep, n_invalid_min=1)
 
 
 # -- object value types ------------------------------------------------------

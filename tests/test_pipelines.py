@@ -318,7 +318,10 @@ def test_json_stage_embedded_sjot_and_normalized(ray_session):
         'not json',
         None,
     ]
-    ds = ray.data.from_items([{"doc": d} for d in docs])
+    # carry an id: the streaming executor does not guarantee block
+    # order (preserve_order is off), so sort the collected result
+    ds = ray.data.from_items(
+        [{"i": i, "doc": d} for i, d in enumerate(docs)])
     from sjot_ray.stages.validate import ValidateJsonColumn
 
     out = ds.map_batches(
@@ -327,17 +330,21 @@ def test_json_stage_embedded_sjot_and_normalized(ray_session):
             "schema": {"@root": "any"}, "column": "doc",
             "keep_normalized": True},
         batch_format="pyarrow", concurrency=1).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
     assert list(out["verdict"]) == [True, False, True, False, False]
     assert out.loc[1, "v_typepath"].endswith("{$.@sjot}/x")
     assert out.loc[3, "v_what"] == "malformed JSON"
 
-    out2 = ds.limit(3).map_batches(
+    ds2 = ray.data.from_items(
+        [{"i": i, "doc": d} for i, d in enumerate(docs[:3])])
+    out2 = ds2.map_batches(
         ValidateJsonColumn,
         fn_constructor_kwargs={
             "schema": {"@root": {"a?": "int", "b?5": "int",
                                  "(x)?": "any", "(@sjot)?": "any"}},
             "column": "doc", "keep_normalized": True},
         batch_format="pyarrow", concurrency=1).to_pandas()
+    out2 = out2.sort_values("i").reset_index(drop=True)
     norm = json.loads(out2.loc[2, "normalized"])
     assert norm == {"a": 2, "b": 5}
 
