@@ -45,12 +45,24 @@ index.js:388-405), over struct layouts at any nesting depth
 first-failing-field-wins in field order = the reference's
 data-iteration order), AND at ROOT level — a typed table's document
 properties are its columns, so matching props are discovered per
-batch from the batch's column names (plain-scalar, char-length and
-container value types; object-typed regex props remain a row-engine
-fallback).
-Anything outside this surface raises :class:`ColumnarCompileError` AT
-COMPILE TIME — callers fall back to the row engine (``sjot_ray.stages``);
-no evaluation path raises inside a Ray worker. Schema–table SHAPE
+batch from the batch's column names (plain-scalar, char-length,
+container, object and — via per-column row-engine rules — union /
+tuple / deep value types).
+
+Positions whose types are beyond the vectorized kernels (triply-nested
+containers, union branches mixing container/object/tuple payloads,
+non-scalar map values, exotic item-field types, …) DEGRADE to one
+generic dyn rule that validates just that column/field per row through
+the row engine — the rest of the schema stays columnar, and the
+violation rows/ordering are exactly the reference's because the row
+engine produces them. Only a non-object root type still raises
+:class:`ColumnarCompileError` AT COMPILE TIME (callers fall back to
+the row engine, ``sjot_ray.stages``); no evaluation path raises inside
+a Ray worker. MAP-layout targets are owned by row-engine catch-all
+rules whenever the object type exceeds the vectorized map companions
+(scalar prop values + @final) — propsets/@dep, regex props and
+non-scalar prop values all route map rows through the row engine with
+every struct-path rule gated inert on map targets. Schema–table SHAPE
 mismatches (a container type over a scalar column, a scalar type over a
 list column, object types over map vs struct layouts) produce the row
 engine's verdicts via per-family shape rules, including the reference's
