@@ -3791,18 +3791,35 @@ class TableValidator:
 
         rule = Rule(major, 0, name, typepath, "value", js_string(rt))
 
+        _cutoff = table.get(0)
+        _s1 = table.get(1)
+
         def ev_scalar(tbl, rt=rt):
             arr, pok = access(tbl)
             if arr is None:
                 return np.zeros(tbl.num_rows, dtype=bool), None
             if _is_list_type(arr.type):
                 return np.zeros(tbl.num_rows, dtype=bool), None
-            if _scalar_kind_of_arrow(arr.type) is None:
+            kind = _scalar_kind_of_arrow(arr.type)
+            if kind is None:
                 if obj_dispatch is not None:
                     # object layouts dispatch to the object-branch rule
                     return np.zeros(tbl.num_rows, dtype=bool), None
                 # struct/map payload, no object branch admitted here:
                 # every valid value fails
+                return _valid_mask(arr) & pok, arr
+            if _cutoff is not None and _cutoff <= 1:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            # the reference dispatches BEFORE trying branches: the datum's
+            # kind must have a DEPTH-1 slot (core/validator.py:1032-1039);
+            # container branches register at depth ≥ 2, so a scalar never
+            # reaches them via the array duality inside a union — without
+            # this gate a float wrongly passed ["boolean", "0..100[]"]
+            slot = None if _s1 is None else (
+                _s1.b if kind == "boolean"
+                else _s1.x if kind == "number"
+                else _s1.s if kind == "string" else _s1.n)
+            if slot is None:
                 return _valid_mask(arr) & pok, arr
             fail = np.ones(tbl.num_rows, dtype=bool)
             for branch in rt[0]:

@@ -524,3 +524,25 @@ def test_rich_branch_fuzz_matches_row_engine(seed):
         doc = _doc_of(r)
         want = row_valid_fn(doc, None, copy.deepcopy(schema))
         assert bool(got) == want, (doc, bool(got), want, schema)
+
+
+def test_scalar_never_reaches_container_branch_duality():
+    """The reference dispatches a scalar datum to its DEPTH-1 kind slot
+    before trying branches (core/validator.py:1032-1039); container
+    branches register at depth >= 2, so a float must NOT pass
+    ["boolean", "0..100[]"] via the scalar-vs-array range duality
+    (marathon-caught r4 regression-in-waiting; node-oracle verified
+    invalid)."""
+    schema = {"@root": {"v": [["boolean", "(a|bb|ccc)", "0..100[]",
+                               "(a|bb|ccc){2,4}"]]}}
+    tv = TableValidator(copy.deepcopy(schema))
+    cv, _, _ = tv.validate_batch(
+        pa.table({"v": pa.array([1.0, 2.5], pa.float64())}))
+    assert [bool(x) for x in cv] == [False, False]
+    # kinds WITH a depth-1 slot still try-each
+    cv2, _, _ = tv.validate_batch(
+        pa.table({"v": pa.array(["a", "x"], pa.string())}))
+    assert [bool(x) for x in cv2] == [True, False]
+    cv3, _, _ = tv.validate_batch(
+        pa.table({"v": pa.array([True], pa.bool_())}))
+    assert [bool(x) for x in cv3] == [True]
