@@ -1015,36 +1015,46 @@ class TableValidator:
         self._add(r, ev)
 
     def _compile_embedded_sjot_rule(self, name, typepath, major):
-        """Embedded ``@sjot`` under a top-level ``any``-typed column:
-        detect carrier rows per batch (struct field / map key "@sjot")
-        and validate ONLY those with the row engine — exact reference
-        semantics (type-name refs, inline schema dicts, schema lists)
-        at per-row cost proportional to the carrier count."""
-        rule = Rule(major, 0, name, typepath, "value", "", dyn=True)
+        """Embedded ``@sjot`` under an ``any``-typed column OR nested
+        field (``name`` is a column name or a path list): detect carrier
+        rows per batch (struct field / map key "@sjot") and validate
+        ONLY those with the row engine — exact reference semantics
+        (type-name refs, inline schema dicts, schema lists) at per-row
+        cost proportional to the carrier count."""
+        path = [name] if isinstance(name, str) else list(name)
+        dotted = ".".join(path)
+        rule = Rule(major, 0, dotted, typepath, "value", "", dyn=True)
         sjots, sjot = self.sjots, self.sjot
 
-        def ev(tbl, name=name, tp=typepath):
+        def ev(tbl, path=tuple(path), name=dotted, tp=typepath):
             zeros = np.zeros(tbl.num_rows, dtype=bool)
-            if name not in tbl.column_names:
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
                 return zeros, None
-            arr = tbl[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             if pa.types.is_struct(arr.type):
                 i = arr.type.get_field_index("@sjot")
                 if i < 0:
                     return zeros, None
-                carriers = _valid_mask(arr) & _valid_mask(arr.field(i))
+                carriers = _valid_mask(arr) & _valid_mask(arr.field(i)) \
+                    & parent_ok
             elif pa.types.is_map(arr.type):
-                e = _map_entries_of(tbl, name)
-                if e is None:
-                    return zeros, None
-                keys, _vals, parent, valid = e
+                lst = arr.cast(pa.list_(pa.struct(
+                    [("key", arr.type.key_type),
+                     ("value", arr.type.item_type)])))
+                # alignment lengths use Arrow validity ONLY (flatten()
+                # drops null rows' ranges, not parent-invalid ones)
+                valid = _valid_mask(lst)
+                lengths = np.where(valid, np.nan_to_num(
+                    _np(pc.list_value_length(lst))), 0).astype(np.int64)
+                keys = lst.flatten().field("key")
+                parent = np.repeat(np.arange(len(lst)), lengths)
                 m = _np(pc.fill_null(pc.equal(keys, "@sjot"),
                                      False)).astype(bool)
                 carriers = np.zeros(tbl.num_rows, dtype=bool)
                 carriers[parent[m]] = True
-                carriers &= valid
+                carriers &= valid & parent_ok
             else:
                 return zeros, None
             if not carriers.any():
@@ -1821,7 +1831,13 @@ class TableValidator:
                                 ), None
                     self._add(r, ev)
 
-            if rt in ("any", "object", "array"):
+            if rt == "any":
+                # nested any-typed field: interpret embedded @sjot
+                # carriers (detected per batch; non-carriers free)
+                self._compile_embedded_sjot_rule(fpath, prop_tp,
+                                                 self._next_major())
+                continue
+            if rt in ("object", "array"):
                 continue
             if isinstance(rt, (dict, list)) or (
                     isinstance(rt, str) and _is_container_type(rt)):

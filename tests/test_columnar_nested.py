@@ -1389,3 +1389,34 @@ def test_union_object_branch_map_layout():
     # [("b", 7)]: b names the branch → full validation → a required +
     # b value wrong type
     _assert_parity(tbl, schema)
+
+
+def test_embedded_sjot_nested_any_field():
+    """Embedded @sjot carriers under NESTED any-typed fields are
+    interpreted since r4 (the top-level carrier mechanism generalized
+    to struct paths) — struct and map layouts."""
+    schema = {"@root": {"box?": {"payload?": "any", "n": "0..9"}},
+              "Inner": {"x": "1..5"}}
+    pt = pa.struct([("@sjot", pa.string()), ("x", pa.int64())])
+    bt = pa.struct([("payload", pt), ("n", pa.int64())])
+    rows = [
+        {"payload": {"@sjot": "#Inner", "x": 3}, "n": 1},
+        {"payload": {"@sjot": "#Inner", "x": 9}, "n": 1},   # x range
+        {"payload": {"@sjot": None, "x": 9}, "n": 1},       # no carrier
+        {"payload": None, "n": 1},
+        {"payload": {"@sjot": "#Inner", "x": 3}, "n": 50},  # n fails
+        None,
+    ]
+    _assert_parity(pa.table({"box": pa.array(rows, bt)}), schema)
+
+    mp = pa.map_(pa.string(), pa.string())
+    bt2 = pa.struct([("payload", mp), ("n", pa.int64())])
+    schema2 = {"@root": {"box?": {"payload?": "any", "n": "0..9"}},
+               "S": {"k": "(on|off)"}}
+    rows2 = [
+        {"payload": [("@sjot", "#S"), ("k", "on")], "n": 1},
+        {"payload": [("@sjot", "#S"), ("k", "zz")], "n": 1},  # k enum
+        {"payload": [("other", "1")], "n": 1},                # no carrier
+        None,
+    ]
+    _assert_parity(pa.table({"box": pa.array(rows2, bt2)}), schema2)
