@@ -4476,6 +4476,15 @@ class TableValidator:
                 out = out.set_column(
                     i, name, self._normalize_struct(out[name], rt))
                 continue
+            it = self._container_item_obj(rt)
+            if it is not None:
+                # containers of ITEM OBJECTS: inject item defaults
+                i = out.column_names.index(name)
+                out = out.set_column(
+                    i, name, self._normalize_list_items(out[name], it))
+                continue
+            if not isinstance(rt, str):
+                continue
             if q == -1 or q >= len(prop) - 1:
                 continue
             d = default_value(prop[q + 1:], self.sjots, None, rt, self.sjot)
@@ -4496,6 +4505,43 @@ class TableValidator:
                 i = out.column_names.index(name)
                 out = out.set_column(i, name, _sort_sets(out[name]))
         return out
+
+    def _container_item_obj(self, rt):
+        """The item OBJECT type of a list-of-objects position, else
+        None: the one-element array form ``[{…}]`` (directly or via a
+        ref) and container strings ``#T[]`` / ``#T[n,m]`` whose item
+        resolves to a dict. Set forms are excluded — set normalization
+        (String()-order sort) interacts with item mutation and stays on
+        the row engine."""
+        if isinstance(rt, list) and len(rt) == 1:
+            it = rt[0]
+            while isinstance(it, str) and "#" in it \
+                    and not it.startswith("("):
+                it = reftype(self.sjots, it, self.sjot)
+            return it if isinstance(it, dict) else None
+        if isinstance(rt, str) and _is_container_type(rt) \
+                and not rt.endswith("}"):
+            it, _tp = self._resolve_path(rt[:rt.rfind("[")], "")
+            return it if isinstance(it, dict) else None
+        return None
+
+    def _normalize_list_items(self, arr, item_obj_type):
+        """Inject optional-with-default values into a list<struct>
+        column's ITEM objects (the reference mutates each item during
+        validation, index.js:246-251 → 407-460). Offsets and the list
+        null mask are preserved; non-list / non-struct-item layouts are
+        returned untouched."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not _is_list_type(arr.type) \
+                or not pa.types.is_struct(arr.type.value_type):
+            return arr
+        values = arr.values
+        new_values = self._normalize_struct(values, item_obj_type)
+        if new_values is values:
+            return arr
+        return pa.ListArray.from_arrays(
+            arr.offsets, new_values, mask=pc.is_null(arr))
 
     def _normalize_struct(self, arr, obj_type):
         """Inject optional-with-default values into a struct column's
@@ -4519,6 +4565,11 @@ class TableValidator:
                 rt, _ = self._resolve_path(proptype, "")
                 if isinstance(rt, dict):
                     new = self._normalize_struct(child, rt)
+                    changed = changed or new is not child
+                    child = new
+                elif self._container_item_obj(rt) is not None:
+                    new = self._normalize_list_items(
+                        child, self._container_item_obj(rt))
                     changed = changed or new is not child
                     child = new
                 elif isinstance(rt, str) and rt.endswith("}"):

@@ -1420,3 +1420,97 @@ def test_embedded_sjot_nested_any_field():
         None,
     ]
     _assert_parity(pa.table({"box": pa.array(rows2, bt2)}), schema2)
+
+
+def test_item_object_default_injection():
+    """The reference mutates ARRAY ITEM objects during validation
+    (defaults injected, index.js:246-251 → 429-433); normalize_batch
+    mirrors that for list<struct> items at root, nested and ref-form
+    positions (r4; offsets + null masks preserved)."""
+    import copy
+
+    it = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.int64())]))
+    schema = {"@root": {"items?": [{"a?7": "0..9", "b": "0..9"}]}}
+    tv = TableValidator(copy.deepcopy(schema))
+    out = tv.normalize_batch(pa.table(
+        {"items": pa.array([[{"a": None, "b": 1}], None, [],
+                            [{"a": 2, "b": 3}]], it)}))
+    assert out["items"].to_pylist() == [
+        [{"a": 7, "b": 1}], None, [], [{"a": 2, "b": 3}]]
+    # row-engine parity on the same doc
+    doc = {"items": [{"b": 1}]}
+    validate(doc, None, copy.deepcopy(schema))
+    assert doc == {"items": [{"b": 1, "a": 7}]}
+
+    schema2 = {"@root": {"box?": {"items?": [{"a?7": "0..9",
+                                              "b": "0..9"}]}}}
+    bt = pa.struct([("items", it)])
+    tv2 = TableValidator(copy.deepcopy(schema2))
+    out2 = tv2.normalize_batch(pa.table(
+        {"box": pa.array([{"items": [{"a": None, "b": 2}]}, None], bt)}))
+    assert out2["box"].to_pylist() == [
+        {"items": [{"a": 7, "b": 2}]}, None]
+
+    schema3 = {"@root": {"items?": "#T[]"},
+               "T": {"a?7": "0..9", "b": "0..9"}}
+    tv3 = TableValidator(copy.deepcopy(schema3))
+    out3 = tv3.normalize_batch(pa.table(
+        {"items": pa.array([[{"a": None, "b": 3}]], it)}))
+    assert out3["items"].to_pylist() == [[{"a": 7, "b": 3}]]
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_normalize_parity_fuzz(seed):
+    """Normalized-output parity with the row engine on VALID rows:
+    random schemas over scalars-with-defaults, nested structs and
+    list<struct> items. (The reference normalizes by mutating the doc
+    during validation; invalid rows stop at the first error and are
+    excluded.)"""
+    import copy
+
+    rng = np.random.default_rng(41000 + seed)
+    nested = rng.random() < 0.4
+    inner = {"a?7": "0..9", "b?": "0..9", "c?": "0..9{1,3}"}
+    if nested:
+        schema = {"@root": {"box?": {"items?": [dict(inner)],
+                                     "s?5": "1..9"}}}
+    else:
+        schema = {"@root": {"items?": [dict(inner)], "s?5": "1..9"}}
+    it = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.int64()),
+                             ("c", pa.list_(pa.int64()))]))
+
+    def item(r):
+        return {"a": int(r.integers(0, 10)) if r.random() < 0.5 else None,
+                "b": int(r.integers(0, 10)) if r.random() < 0.5 else None,
+                "c": sorted({int(r.integers(0, 10))
+                             for _ in range(int(r.integers(1, 4)))},
+                            key=str)
+                if r.random() < 0.6 else None}
+
+    def items_cell(r):
+        if r.random() < 0.2:
+            return None
+        return [item(r) for _ in range(int(r.integers(0, 3)))]
+
+    n = 40
+    icells = [items_cell(rng) for _ in range(n)]
+    scells = [int(rng.integers(1, 10)) if rng.random() < 0.5 else None
+              for _ in range(n)]
+    if nested:
+        bt = pa.struct([("items", it), ("s", pa.int64())])
+        tbl = pa.table({"box": pa.array(
+            [{"items": i, "s": s} if rng.random() < 0.9 else None
+             for i, s in zip(icells, scells)], bt)})
+    else:
+        tbl = pa.table({"items": pa.array(icells, it),
+                        "s": pa.array(scells, pa.int64())})
+    tv = TableValidator(copy.deepcopy(schema))
+    verdicts, _, _ = tv.validate_batch(tbl)
+    out = tv.normalize_batch(tbl)
+    for i in range(n):
+        if not verdicts[i]:
+            continue
+        doc = _doc_of(tbl.slice(i, 1).to_pylist()[0])
+        validate(doc, None, copy.deepcopy(schema))
+        got = _doc_of(out.slice(i, 1).to_pylist()[0])
+        assert got == doc, (i, got, doc, schema)
