@@ -886,6 +886,11 @@ class TableValidator:
             rt, _tp = self._resolve_path(proptype, f"{typepath}/{prop}")
             if not _is_scalar_str_type(rt) or _is_char_len_type(rt):
                 return True
+            if rt == "any":
+                # "any" map values may carry embedded @sjot schemas the
+                # scalar companions cannot interpret (reference
+                # index.js:111-131) — the row-engine catch-all does
+                return True
         return False
 
     def _add_nested_map_object_rule(self, path, obj_type, typepath):
@@ -3441,6 +3446,21 @@ class TableValidator:
             if not isinstance(rt, str):
                 raise ColumnarCompileError(
                     "unsupported item field type: row engine")
+            if rt == "any":
+                # any-typed item field: interpret embedded @sjot
+                # carriers (rebased like the other item-field kinds)
+                mark = len(self.rules)
+                saved_major = self._major
+                self._compile_embedded_sjot_rule([pname], prop_tp,
+                                                 self._next_major())
+                self._major = saved_major
+                for r, _ev in self.rules[mark:]:
+                    r.major = major
+                    r.minor = minor
+                    minor += 1
+                    r.child = True
+                    r.list_col = list_col
+                continue
             if _is_char_len_type(rt):
                 # char[n,m] string-length type: "length" label + the
                 # LENGTH as the datum (reference index.js:679-690)

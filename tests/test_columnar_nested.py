@@ -1514,3 +1514,45 @@ def test_normalize_parity_fuzz(seed):
         validate(doc, None, copy.deepcopy(schema))
         got = _doc_of(out.slice(i, 1).to_pylist()[0])
         assert got == doc, (i, got, doc, schema)
+
+
+def test_embedded_sjot_map_value_and_item_field():
+    """@sjot carriers in MAP-layout prop values (any-typed ⇒ map_owner
+    catch-all) and in any-typed ITEM-OBJECT fields (rebased carrier
+    rule) are interpreted — both were silent false-passes before r4
+    (node-oracle verified invalid)."""
+    import copy
+
+    schema = {"@root": {"m?": {"k": "any"}}, "I": {"x": "1..5"}}
+    mv = pa.map_(pa.string(),
+                 pa.struct([("@sjot", pa.string()), ("x", pa.int64())]))
+    rows = [[("k", {"@sjot": "#I", "x": 9})],
+            [("k", {"@sjot": "#I", "x": 3})],
+            [("k", {"@sjot": None, "x": 9})]]
+    tv = TableValidator(copy.deepcopy(schema))
+    cv, _, _ = tv.validate_batch(pa.table({"m": pa.array(rows, mv)}))
+    assert [bool(x) for x in cv] == [False, True, True]
+
+    schema2 = {"@root": {"items?": [{"p?": "any", "n": "0..9"}]},
+               "I": {"x": "1..5"}}
+    it = pa.list_(pa.struct([
+        ("p", pa.struct([("@sjot", pa.string()), ("x", pa.int64())])),
+        ("n", pa.int64())]))
+    rows2 = [[{"p": {"@sjot": "#I", "x": 9}, "n": 1}],
+             [{"p": {"@sjot": "#I", "x": 3}, "n": 1}],
+             [{"p": None, "n": 1}],
+             [{"p": {"@sjot": "#I", "x": 3}, "n": 50}]]
+    tv2 = TableValidator(copy.deepcopy(schema2))
+    cv2, _, _ = tv2.validate_batch(
+        pa.table({"items": pa.array(rows2, it)}))
+    assert [bool(x) for x in cv2] == [False, True, True, False]
+
+    # any[] ITEMS stay uninterpreted — the reference only re-enters
+    # @sjot when the VALUE POSITION's type is "any", not per item of
+    # "any[]" (node-oracle verified valid)
+    schema3 = {"@root": {"lst?": "any[]"}, "I": {"x": "1..5"}}
+    it3 = pa.list_(pa.struct([("@sjot", pa.string()), ("x", pa.int64())]))
+    tv3 = TableValidator(copy.deepcopy(schema3))
+    cv3, _, _ = tv3.validate_batch(
+        pa.table({"lst": pa.array([[{"@sjot": "#I", "x": 9}]], it3)}))
+    assert [bool(x) for x in cv3] == [True]
