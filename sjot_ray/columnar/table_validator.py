@@ -1222,9 +1222,10 @@ class TableValidator:
             self._compile_embedded_sjot_rule(name, typepath, major)
             return
         if rt == "object" or rt == "array":
-            # wildcards: no value constraint on a typed column (the Arrow
-            # schema already fixes the shape; "object"/"array" mismatches
-            # on scalar columns are a decode-stage concern)
+            # wildcards constrain the SHAPE: "object" needs struct/map
+            # data, "array" list data — anything else fails "value"
+            # (the reference's is-not-an-object/array errors)
+            self._add_wildcard_shape_rule([name], rt, typepath, major)
             return
         if isinstance(rt, dict):
             if any(p.startswith("(") for p in rt):
@@ -1843,6 +1844,8 @@ class TableValidator:
                                                  self._next_major())
                 continue
             if rt in ("object", "array"):
+                self._add_wildcard_shape_rule(fpath, rt, prop_tp,
+                                              self._next_major())
                 continue
             if isinstance(rt, (dict, list)) or (
                     isinstance(rt, str) and _is_container_type(rt)):
@@ -4525,6 +4528,30 @@ class TableValidator:
                 i = out.column_names.index(name)
                 out = out.set_column(i, name, _sort_sets(out[name]))
         return out
+
+    def _add_wildcard_shape_rule(self, path, rt, typepath, major):
+        """``object`` / ``array`` wildcard types constrain only the
+        data's SHAPE (reference: "is not an object" / "is not an
+        array"): struct and map layouts carry objects, list layouts
+        arrays; every valid value of any other layout fails "value"."""
+        dotted = ".".join(path)
+        r = Rule(major, 0, dotted, typepath, "value", rt)
+
+        def ev(tbl, path=tuple(path), rt=rt):
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if rt == "object":
+                ok_shape = pa.types.is_struct(arr.type) \
+                    or pa.types.is_map(arr.type)
+            else:
+                ok_shape = _is_list_type(arr.type)
+            if ok_shape:
+                return np.zeros(tbl.num_rows, dtype=bool), None
+            return _valid_mask(arr) & parent_ok, arr
+        self._add(r, ev)
 
     def _container_item_obj(self, rt):
         """The item OBJECT type of a list-of-objects position, else

@@ -113,3 +113,30 @@ def test_set_column_semantics():
     assert list(verdict) == [True, False, True]
     out = tv.normalize_batch(tbl)
     assert out["s"].to_pylist()[0] == ["a", "b"]
+
+
+def test_wildcard_shape_rules():
+    """object/array WILDCARD types constrain the data's shape — a
+    scalar against "object" or a struct against "array" fails "value"
+    exactly like the reference (was a silent pass before r4: the
+    dispatcher skipped wildcards entirely)."""
+    import copy
+
+    from .test_columnar_nested import _assert_parity
+
+    _assert_parity(pa.table({"v": pa.array([5, None], pa.int64())}),
+                   {"@root": {"v": "object"}})
+    _assert_parity(pa.table({"v": pa.array([[1]], pa.list_(pa.int64()))}),
+                   {"@root": {"v": "object"}})
+    _assert_parity(pa.table({"v": pa.array([5], pa.int64())}),
+                   {"@root": {"v": "array"}})
+    st = pa.struct([("x", pa.int64())])
+    _assert_parity(pa.table({"v": pa.array([{"x": 1}], st)}),
+                   {"@root": {"v": "array"}})
+    # valid shapes stay rule-free passes
+    _assert_parity(pa.table({"v": pa.array([{"x": 1}, None], st)}),
+                   {"@root": {"v?": "object"}}, n_invalid_min=0)
+    # nested position
+    bt = pa.struct([("w", pa.int64())])
+    _assert_parity(pa.table({"b": pa.array([{"w": 5}, None], bt)}),
+                   {"@root": {"b?": {"w": "object"}}})
