@@ -780,6 +780,13 @@ class TableValidator:
                                                 _columns)
             return
 
+        if rt == "any":
+            # carriers in matching columns (struct/map layouts) — the
+            # row-engine rule below short-circuits non-carriers
+            self._add_root_regex_rowengine_rule(prop, rt, prop_tp,
+                                                _columns)
+            return
+
         if not _is_scalar_str_type(rt):
             # union / tuple value types: row engine per matching column
             # (position degradation, not whole-schema)
@@ -829,9 +836,20 @@ class TableValidator:
             ctx = Context()
             for cname, farr in _columns(tbl):
                 valid = _valid_mask(farr) & ~fail
+                is_map = pa.types.is_map(farr.type)
+                if rt == "any":
+                    # only @sjot carriers can fail "any": skip layouts
+                    # that cannot carry; narrow struct columns to rows
+                    # whose "@sjot" field is set
+                    if pa.types.is_struct(farr.type):
+                        fi = farr.type.get_field_index("@sjot")
+                        if fi < 0:
+                            continue
+                        valid &= _valid_mask(farr.field(fi))
+                    elif not is_map:
+                        continue
                 if not valid.any():
                     continue
-                is_map = pa.types.is_map(farr.type)
                 for i in np.nonzero(valid)[0]:
                     cell = farr[int(i)].as_py()
                     data = {k: _py_doc(v) for k, v in cell} if is_map \
@@ -2124,6 +2142,14 @@ class TableValidator:
                 self.sjot if isinstance(self.sjot, dict) else None)
 
             if prop.startswith("("):
+                if rt == "any":
+                    # any-typed regex-prop values: carriers in matching
+                    # map entries (struct-layout regex-matched fields
+                    # with carriers are a documented remaining corner)
+                    self._add_map_any_carrier_rule(
+                        name, prop, prop_tp, self._next_major(),
+                        pattern=prop)
+                    continue
                 if obj_prop:
                     # object-typed regex-prop values: map-entry rule +
                     # struct-layout companion (regex props validate
@@ -2243,6 +2269,14 @@ class TableValidator:
                         return valid & ~has, None
                     self._add(r, ev)
 
+            if rt == "any":
+                # any-typed values: interpret embedded @sjot carriers in
+                # BOTH layouts (map entry values + struct-layout fields)
+                self._add_map_any_carrier_rule(
+                    name, pname, prop_tp, self._next_major())
+                self._compile_embedded_sjot_rule(
+                    [name, pname], prop_tp, self._next_major())
+                continue
             if obj_prop:
                 # object-typed map values: per-entry embedded
                 # sub-validation on the flattened entry table, plus the
@@ -2365,6 +2399,79 @@ class TableValidator:
                     fail |= fv
                 return fail & svalid, first
             self._add(r2, ev_struct_final)
+
+    def _add_map_any_carrier_rule(self, name, pname, prop_tp, major,
+                                  pattern=None):
+        """``any``-typed map values: interpret embedded ``@sjot``
+        carriers in matching entries (reference index.js:111-131).
+        Struct entry values detect carriers vectorized (the "@sjot"
+        field's validity); nested-map entry values route every matching
+        entry through ``validate_value(…, "any")`` (non-carriers are
+        accepted immediately). Scalar/list value layouts cannot carry
+        and add no cost."""
+        sjots, sjot = self.sjots, self.sjot
+        r = Rule(major, 0, name, prop_tp, "value", "", child=True,
+                 list_col=name, map_entry=True, dyn=True)
+
+        def ev(child_tbl, pname=pname, pattern=pattern):
+            n = child_tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if "key" not in child_tbl.column_names:
+                return zeros, None
+            vals = child_tbl["value"]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            is_struct = pa.types.is_struct(vals.type)
+            is_map = pa.types.is_map(vals.type)
+            if not is_struct and not is_map:
+                return zeros, None
+            keys = child_tbl["key"]
+            if pattern is not None:
+                km = _valid_mask(keys) & ~_fullmatch_mask(keys, pattern)
+            else:
+                km = _np(pc.fill_null(pc.equal(keys, pname),
+                                      False)).astype(bool)
+            todo = km & _valid_mask(vals)
+            if is_struct:
+                fi = vals.type.get_field_index("@sjot")
+                if fi < 0:
+                    return zeros, None
+                todo &= _valid_mask(vals.field(fi))
+            if not todo.any():
+                return zeros, None
+            fail = np.zeros(n, dtype=bool)
+            whats = np.full(n, None, dtype=object)
+            reprs = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            tps = np.full(n, None, dtype=object)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            pref = f"$.{name}."
+            for i in np.nonzero(todo)[0]:
+                raw = vals[int(i)].as_py()
+                doc = {k: _py_doc(v) for k, v in raw} if is_map \
+                    else _py_doc(raw)
+                k = pname if pattern is None else keys[int(i)].as_py()
+                try:
+                    # full datapath base: the reference embeds it in the
+                    # carrier typepath ({$.col.key.@sjot}); the rendered
+                    # entry path strips the $.col. prefix again
+                    validate_value(sjots, doc, "any", sjot,
+                                   f"$.{name}.{k}", prop_tp, ctx)
+                except SJOTValidationError as e:
+                    row = e.violation_row()
+                    fail[i] = True
+                    dp = row["datapath"]
+                    paths[i] = dp[len(pref):] if dp.startswith(pref) \
+                        else k
+                    whats[i] = row["what"]
+                    reprs[i] = row["value_repr"]
+                    tps[i] = row["typepath"]
+                except SJOTSchemaError:
+                    pass
+            return fail, (paths, reprs, whats, tps)
+        self._add(r, ev)
 
     def _add_map_object_value_rule(self, name, pname, rt, prop_tp,
                                    required, major, pattern=None):

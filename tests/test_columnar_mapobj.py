@@ -215,3 +215,40 @@ def test_mapobj_fuzz_matches_row_engine(seed):
                 if cv[k] != rv[k]:
                     mism.append((i, doc, k, cv[k], rv[k]))
     assert not mism, (obj, mism[:5])
+
+
+def test_any_typed_values_interpret_sjot_carriers():
+    """any-typed values interpret embedded @sjot carriers in every
+    layout this compiler serves: map entries (fixed + regex keys),
+    struct-layout fixed fields, and root-level regex-matched columns
+    (all were silent false-passes before r4; node-oracle verified)."""
+    from .test_columnar_nested import _assert_parity
+
+    st = pa.struct([("@sjot", pa.string()), ("x", pa.int64())])
+    m = pa.map_(pa.string(), st)
+
+    schema = {"@root": {"cfg?": {"(k.)": "any"}}, "I": {"x": "1..5"}}
+    rows = [[("ka", {"@sjot": "#I", "x": 9})],
+            [("ka", {"@sjot": "#I", "x": 3})],
+            [("other", {"@sjot": "#I", "x": 9})]]
+    _assert_parity(pa.table({"cfg": pa.array(rows, m)}), schema)
+
+    schema2 = {"@root": {"cfg?": {"k": "any", "(z.)": "0..9"}},
+               "I": {"x": "1..5"}}
+    rows2 = [[("k", {"@sjot": "#I", "x": 9})],
+             [("k", {"@sjot": "#I", "x": 3})]]
+    _assert_parity(pa.table({"cfg": pa.array(rows2, m)}), schema2)
+
+    bt = pa.struct([("k", st), ("za", pa.int64())])
+    rows3 = [{"k": {"@sjot": "#I", "x": 9}, "za": 1},
+             {"k": {"@sjot": "#I", "x": 3}, "za": 1}]
+    _assert_parity(pa.table({"cfg": pa.array(rows3, bt)}), schema2)
+
+    schema4 = {"@root": "#D", "D": {"(k.)": "any", "id": "0.."},
+               "I": {"x": "1..5"}}
+    tbl4 = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "ka": pa.array([{"@sjot": "#I", "x": 9},
+                        {"@sjot": "#I", "x": 3},
+                        {"@sjot": None, "x": 9}], st)})
+    _assert_parity(tbl4, schema4)
