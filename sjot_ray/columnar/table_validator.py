@@ -1776,6 +1776,14 @@ class TableValidator:
                     raise ColumnarCompileError(
                         "non-scalar regex-prop value types in nested"
                         " structs: row engine")
+                if rt == "any":
+                    # any-typed regex values: only @sjot carriers can
+                    # fail — struct-layout matched fields get the
+                    # carrier rule; map layouts are owned by the
+                    # map_owner catch-all (regex ⇒ map_owner)
+                    self._add_struct_regex_any_carrier_rule(
+                        list(path), prop, prop_tp)
+                    continue
                 from ..core.validator import compile_regex_type
                 matcher = compile_regex_type(prop)
                 major = self._next_major()
@@ -2144,11 +2152,12 @@ class TableValidator:
             if prop.startswith("("):
                 if rt == "any":
                     # any-typed regex-prop values: carriers in matching
-                    # map entries (struct-layout regex-matched fields
-                    # with carriers are a documented remaining corner)
+                    # map entries AND struct-layout matched fields
                     self._add_map_any_carrier_rule(
                         name, prop, prop_tp, self._next_major(),
                         pattern=prop)
+                    self._add_struct_regex_any_carrier_rule(
+                        name, prop, prop_tp)
                     continue
                 if obj_prop:
                     # object-typed regex-prop values: map-entry rule +
@@ -2399,6 +2408,77 @@ class TableValidator:
                     fail |= fv
                 return fail & svalid, first
             self._add(r2, ev_struct_final)
+
+    def _add_struct_regex_any_carrier_rule(self, path, pattern, prop_tp):
+        """``any``-typed REGEX props over STRUCT layouts: physical
+        fields matched by the pattern that carry an embedded ``@sjot``
+        (struct field / nested-map key) validate through the row engine;
+        non-carriers are free. First-failing-field-wins in field order
+        (= the reference's data-iteration order)."""
+        from ..core.validator import compile_regex_type
+        matcher = compile_regex_type(pattern)
+        sjots, sjot = self.sjots, self.sjot
+        path = [path] if isinstance(path, str) else list(path)
+        dotted = ".".join(path)
+        major = self._next_major()
+        r = Rule(major, 0, dotted, prop_tp, "value", "", dyn=True)
+
+        def ev(tbl, path=tuple(path), tp=prop_tp, dotted=dotted):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            arr, parent_ok = _nested_field(tbl, list(path))
+            if arr is None:
+                return zeros, None
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_struct(arr.type):
+                return zeros, None
+            base_ok = parent_ok & _valid_mask(arr)
+            fail = np.zeros(n, dtype=bool)
+            paths_o = np.full(n, None, dtype=object)
+            reprs_o = np.full(n, None, dtype=object)
+            whats_o = np.full(n, None, dtype=object)
+            tps_o = np.full(n, None, dtype=object)
+            from ..core import Context, SJOTValidationError
+            from ..core.validator import validate_value
+            ctx = Context()
+            for f in arr.type:
+                if matcher.fullmatch(f.name) is None:
+                    continue
+                farr = arr.field(f.name)
+                is_map = pa.types.is_map(farr.type)
+                if pa.types.is_struct(farr.type):
+                    fi = farr.type.get_field_index("@sjot")
+                    if fi < 0:
+                        continue
+                    carriers = base_ok & _valid_mask(farr) \
+                        & _valid_mask(farr.field(fi)) & ~fail
+                elif is_map:
+                    carriers = base_ok & _valid_mask(farr) & ~fail
+                else:
+                    continue
+                for i in np.nonzero(carriers)[0]:
+                    raw = farr[int(i)].as_py()
+                    doc = {k: _py_doc(v) for k, v in raw} if is_map \
+                        else _py_doc(raw)
+                    if is_map and "@sjot" not in doc:
+                        continue
+                    try:
+                        validate_value(sjots, doc, "any", sjot,
+                                       f"$.{dotted}.{f.name}", tp, ctx)
+                    except SJOTValidationError as e:
+                        row = e.violation_row()
+                        fail[i] = True
+                        dp = row["datapath"]
+                        paths_o[i] = dp[2:] if dp.startswith("$.") \
+                            else f"{dotted}.{f.name}"
+                        whats_o[i] = row["what"]
+                        reprs_o[i] = row["value_repr"]
+                        tps_o[i] = row["typepath"]
+                    except SJOTSchemaError:
+                        pass
+            return fail, (paths_o, reprs_o, whats_o, tps_o)
+        self._add(r, ev)
 
     def _add_map_any_carrier_rule(self, name, pname, prop_tp, major,
                                   pattern=None):

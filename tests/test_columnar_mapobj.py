@@ -252,3 +252,26 @@ def test_any_typed_values_interpret_sjot_carriers():
                         {"@sjot": "#I", "x": 3},
                         {"@sjot": None, "x": 9}], st)})
     _assert_parity(tbl4, schema4)
+
+
+def test_any_regex_struct_layout_carriers():
+    """any-typed REGEX prop values over STRUCT layouts: matched
+    physical fields carrying @sjot validate through the row engine —
+    top-level and nested positions (the last carrier corner)."""
+    from .test_columnar_nested import _assert_parity
+
+    st = pa.struct([("@sjot", pa.string()), ("x", pa.int64())])
+    bt = pa.struct([("ka", st), ("plain", pa.string())])
+    schema = {"@root": {"cfg?": {"(k.)": "any", "plain?": "string"}},
+              "I": {"x": "1..5"}}
+    rows = [{"ka": {"@sjot": "#I", "x": 9}, "plain": "s"},
+            {"ka": {"@sjot": "#I", "x": 3}, "plain": "s"},
+            {"ka": None, "plain": "s"}]
+    _assert_parity(pa.table({"cfg": pa.array(rows, bt)}), schema)
+
+    schema2 = {"@root": {"outer?": {"box?": {"(k.)": "any"}}},
+               "I": {"x": "1..5"}}
+    rows2 = [{"box": {"ka": {"@sjot": "#I", "x": 9}, "plain": None}},
+             {"box": {"ka": {"@sjot": "#I", "x": 3}, "plain": None}}]
+    _assert_parity(pa.table(
+        {"outer": pa.array(rows2, pa.struct([("box", bt)]))}), schema2)
