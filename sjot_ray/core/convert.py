@@ -184,6 +184,13 @@ def _string_type_to_js(t: str) -> dict:
         name = t[h + 1:]
         return {"$ref": f"#/definitions/{name}"} if name else {"$ref": "#"}
     if t.endswith("]"):
+        if t.startswith("char") and t.find("]") == len(t) - 1:
+            # char[n,m] is the reference's STRING-length type, not an
+            # array (sjot2js.js:402-403) — found via a jsonschema-pkg
+            # differential: the container branch below caught it first
+            out = {"type": "string"}
+            out.update(_bounds_to_js(t, 5, "minLength", "maxLength"))
+            return out
         i = t.rfind("[")
         out = {"type": "array"}
         if t[:i]:
