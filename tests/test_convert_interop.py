@@ -144,3 +144,114 @@ def test_draft_version_markers():
     assert isinstance(js3["properties"]["u"], list)
     assert js4["required"] == ["a"]
     assert "anyOf" in js4["properties"]["u"]
+
+
+# -- third-party differential: the jsonschema package ------------------------
+
+def _js_validator(schema):
+    import copy
+
+    import jsonschema
+
+    from sjot_ray.core.convert import sjot_to_jsonschema
+
+    return jsonschema.Draft4Validator(
+        sjot_to_jsonschema(copy.deepcopy(schema)))
+
+
+def test_jsonschema_pkg_differential_directed():
+    """Converted schemas validated by the independent `jsonschema`
+    package (Draft4) agree with OUR validator's verdicts on the
+    structural surface (no format types — JSON Schema formats are
+    non-asserting). This differential caught the char[n,m]
+    array-vs-string conversion bug."""
+    import copy
+
+    cases = [
+        ({"@root": {"a": "1..9", "b?": "(x|y)", "t?": ["string", "0..9"],
+                    "s?": "int{1,3}", "n?": {"q": "0..5"}}},
+         [{"a": 5}, {"a": 0}, {"a": 5, "b": "x"}, {"a": 5, "b": "z"},
+          {"a": 5, "t": ["q", 3]}, {"a": 5, "t": ["q", 30]},
+          {"a": 5, "s": [1, 2]}, {"a": 5, "s": [1, 1]}, {"a": 5, "s": []},
+          {"a": 5, "n": {"q": 2}}, {"a": 5, "n": {"q": 9}}, {}]),
+        ({"@root": {"v?": "char[2,4]"}},
+         [{"v": "ab"}, {"v": "a"}, {"v": "abcde"}, {}]),
+        ({"@root": {"v?": "char[2,4][]"}},
+         [{"v": ["ab"]}, {"v": ["a"]}, {"v": []}, {}]),
+        ({"@root": "#T", "T": {"@final": True, "k": "int"}},
+         [{"k": 1}, {"k": 1, "zz": 2}, {}]),
+        ({"@root": {"v?": "-2..2[1,2]"}},
+         [{"v": [0]}, {"v": [5]}, {"v": []}, {"v": [0, 1, 2]}]),
+    ]
+    for schema, docs in cases:
+        validator = _js_validator(schema)
+        for d in docs:
+            ours = valid(copy.deepcopy(d), None, copy.deepcopy(schema))
+            theirs = validator.is_valid(copy.deepcopy(d))
+            assert ours == theirs, (schema, d, ours, theirs)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_jsonschema_pkg_differential_fuzz(seed):
+    """Randomized structural schemas (ranges, enums, char-lengths,
+    containers, sets, tuples, nested objects, @final) × random docs:
+    our verdict == the jsonschema package's on the converted schema."""
+    import copy
+
+    import numpy as np
+
+    rng = np.random.default_rng(47000 + seed)
+
+    def prop(r):
+        k = r.choice(["range", "enum", "charlen", "cont", "set",
+                      "tuple", "nested"])
+        if k == "range":
+            lo = int(r.integers(-5, 3)); hi = lo + int(r.integers(1, 9))
+            t = f"{lo}..{hi}"
+            sam = lambda rr: int(rr.integers(lo - 3, hi + 4))
+        elif k == "enum":
+            t = "(aa|bb)"
+            sam = lambda rr: str(rr.choice(["aa", "bb", "zz"]))
+        elif k == "charlen":
+            t = "char[2,4]"
+            sam = lambda rr: "x" * int(rr.integers(0, 6))
+        elif k == "cont":
+            t = "0..9[1,2]"
+            sam = lambda rr: [int(rr.integers(-2, 12))
+                              for _ in range(int(rr.integers(0, 4)))]
+        elif k == "set":
+            t = "0..9{1,3}"
+            sam = lambda rr: [int(x) for x in rr.integers(
+                0, 12, size=int(rr.integers(0, 4)))]
+        elif k == "tuple":
+            t = ["0..9", "(aa|bb)"]
+            sam = lambda rr: ([int(rr.integers(0, 12)),
+                               str(rr.choice(["aa", "zz"]))]
+                              [:int(rr.integers(1, 3))])
+        else:
+            t = {"q": "0..5"}
+            sam = lambda rr: {"q": int(rr.integers(-2, 8))} \
+                if rr.random() < 0.8 else {}
+        return t, sam
+
+    props, samplers = {}, {}
+    for i in range(int(rng.integers(1, 4))):
+        t, sam = prop(rng)
+        key = f"p{i}" + ("?" if rng.random() < 0.5 else "")
+        props[key] = t
+        samplers[f"p{i}"] = sam
+    if rng.random() < 0.3:
+        props["@final"] = True
+    schema = {"@root": props}
+    validator = _js_validator(schema)
+
+    for _ in range(40):
+        doc = {}
+        for name, sam in samplers.items():
+            if rng.random() < 0.75:
+                doc[name] = sam(rng)
+        if rng.random() < 0.15:
+            doc["extra"] = 1
+        ours = valid(copy.deepcopy(doc), None, copy.deepcopy(schema))
+        theirs = validator.is_valid(copy.deepcopy(doc))
+        assert ours == theirs, (schema, doc, ours, theirs)
