@@ -255,3 +255,103 @@ def test_jsonschema_pkg_differential_fuzz(seed):
         ours = valid(copy.deepcopy(doc), None, copy.deepcopy(schema))
         theirs = validator.is_valid(copy.deepcopy(doc))
         assert ours == theirs, (schema, doc, ours, theirs)
+
+
+def test_jsonschema_pkg_reverse_differential():
+    """E2 direction: a Draft4 schema validated by the jsonschema
+    package must agree with OUR validator on the jsonschema_to_sjot
+    conversion (structural surface)."""
+    import copy
+
+    import jsonschema
+
+    from sjot_ray.core.convert import jsonschema_to_sjot
+
+    cases = [
+        ({"type": "object",
+          "properties": {"a": {"type": "integer", "minimum": 1,
+                               "maximum": 9}},
+          "required": ["a"]},
+         [{"a": 5}, {"a": 0}, {}]),
+        ({"type": "object",
+          "properties": {"v": {"type": "string", "minLength": 2,
+                               "maxLength": 4}}},
+         [{"v": "ab"}, {"v": "a"}, {}]),
+        ({"type": "object",
+          "properties": {"v": {"type": "array",
+                               "items": {"type": "integer",
+                                         "minimum": 0, "maximum": 9},
+                               "minItems": 1, "uniqueItems": True}}},
+         [{"v": [1, 2]}, {"v": [1, 1]}, {"v": []}, {"v": [50]}]),
+        ({"type": "object", "properties": {"v": {"enum": ["x", "y"]}}},
+         [{"v": "x"}, {"v": "z"}]),
+        ({"type": "object",
+          "properties": {"n": {"type": "object",
+                               "properties": {"q": {"type": "number",
+                                                    "minimum": 0,
+                                                    "maximum": 5}},
+                               "required": ["q"]}}},
+         [{"n": {"q": 1}}, {"n": {"q": 9}}, {"n": {}}, {}]),
+        ({"type": "object", "properties": {"a": {"type": "integer"}},
+          "additionalProperties": False},
+         [{"a": 1}, {"a": 1, "b": 2}]),
+    ]
+    for js, docs in cases:
+        s = jsonschema_to_sjot(copy.deepcopy(js))
+        v = jsonschema.Draft4Validator(js)
+        for d in docs:
+            theirs = v.is_valid(copy.deepcopy(d))
+            ours = valid(copy.deepcopy(d), None, copy.deepcopy(s))
+            assert ours == theirs, (js, d, s, ours, theirs)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_jsonschema_pkg_roundtrip_fuzz(seed):
+    """SJOT → JSON Schema → SJOT round trip preserves verdicts on the
+    randomized structural space (the converters are inverse up to
+    verdict equivalence)."""
+    import copy
+
+    import numpy as np
+
+    from sjot_ray.core.convert import (jsonschema_to_sjot,
+                                       sjot_to_jsonschema)
+
+    rng = np.random.default_rng(53000 + seed)
+
+    def prop(r):
+        k = r.choice(["range", "enum", "charlen", "cont", "nested"])
+        if k == "range":
+            lo = int(r.integers(-5, 3)); hi = lo + int(r.integers(1, 9))
+            return f"{lo}..{hi}", \
+                lambda rr: int(rr.integers(lo - 3, hi + 4))
+        if k == "enum":
+            return "(aa|bb)", \
+                lambda rr: str(rr.choice(["aa", "bb", "zz"]))
+        if k == "charlen":
+            return "char[2,4]", \
+                lambda rr: "x" * int(rr.integers(0, 6))
+        if k == "cont":
+            return "0..9[1,2]", \
+                lambda rr: [int(rr.integers(-2, 12))
+                            for _ in range(int(rr.integers(0, 4)))]
+        return {"q": "0..5"}, \
+            lambda rr: {"q": int(rr.integers(-2, 8))} \
+            if rr.random() < 0.8 else {}
+
+    props, samplers = {}, {}
+    for i in range(int(rng.integers(1, 4))):
+        t, sam = prop(rng)
+        key = f"p{i}" + ("?" if rng.random() < 0.5 else "")
+        props[key] = t
+        samplers[f"p{i}"] = sam
+    schema = {"@root": props}
+    back = jsonschema_to_sjot(sjot_to_jsonschema(copy.deepcopy(schema)))
+    for _ in range(30):
+        doc = {}
+        for name, sam in samplers.items():
+            if rng.random() < 0.75:
+                doc[name] = sam(rng)
+        v1 = valid(copy.deepcopy(doc), None, copy.deepcopy(schema))
+        v2 = valid(copy.deepcopy(doc), None, copy.deepcopy(back))
+        assert v1 == v2, (schema, back, doc, v1, v2)
