@@ -857,9 +857,11 @@ def sessionize_salted(ds: "ray.data.Dataset", gap_minutes: int = 30,
 
 
 def q_user_sessions_salted(sf_dir: str):
-    """Same result as q_user_sessions via the salted two-phase plan."""
+    """Same result as q_user_sessions via the salted two-phase plan.
+    Row count comes from the parquet footer (saves sessionize_salted's
+    ds.count() — one whole Ray execution of the read stage)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    t = _t(sessionize_salted(ds))
+    t = _t(sessionize_salted(ds, n_rows=_parquet_rows(sf_dir, "events")))
     return pa.table({
         "user_id": pc.cast(t["user_id"], pa.int64()),
         "n_events": pc.cast(t["n_events"], pa.int64()),
