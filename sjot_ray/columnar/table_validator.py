@@ -3904,6 +3904,8 @@ class TableValidator:
             # dict branches don't participate in list-depth dispatch —
             # they are handled by the object-branch rule below
         cutoff = table.get(0)
+        if not isinstance(cutoff, int):
+            cutoff = None     # a slots object parked by a bare "char"
         slots2 = table.get(2)
         if slots2 is not None and (slots2.o is not None
                                    or slots2.t is not None
@@ -4018,6 +4020,8 @@ class TableValidator:
         rule = Rule(major, 0, name, typepath, "value", js_string(rt))
 
         _cutoff = table.get(0)
+        if not isinstance(_cutoff, int):
+            _cutoff = None    # a slots object parked by a bare "char"
         _s1 = table.get(1)
 
         def ev_scalar(tbl, rt=rt):

@@ -485,12 +485,25 @@ def build_union_dispatch(sjots, branch, itemtype, sjot, typepath, union, n):
             n += 1
             itemtype = "any"  # tuples are represented by "any[]"
 
+    # union[0] doubles as the "any" cutoff (an int) AND the slot bucket
+    # for the reference's bare-"char" depth decrement (index.js:1764-1768
+    # lands n=0, so union[0] holds a SLOTS object — JS compares
+    # n >= object as false and property-writes on a number silently
+    # no-op, making a bare "char" union branch dead; node-oracle
+    # verified: "c" does NOT match [["true","char","string[]"]])
     cutoff = union.get(0)
-    if cutoff is not None and n >= cutoff:
+    if isinstance(cutoff, int) and n >= cutoff:
         raise SJOTSchemaError("union requires distinct types", typepath)
     slots = union.get(n)
     if slots is None:
         slots = union[n] = _UnionSlots()
+    if isinstance(slots, int):
+        # n == 0 (a bare "char" branch) with union[0] already an int
+        # cutoff (an earlier "any" branch): the reference's strict-mode
+        # `union[0].s = type` THROWS TypeError ("Cannot create property
+        # 's' on number") — the schema is unusable; surface it as a
+        # schema error (the node differential maps the TypeError here)
+        raise SJOTSchemaError("union requires distinct types", typepath)
 
     if isinstance(itemtype, str):
         if itemtype == "null":
@@ -1007,7 +1020,12 @@ def _validate_object(sjots, data, type_, sjot, datapath, typepath, ctx):
 
 def _validate_union(sjots, data, type_, sjot, datapath, typepath, ctx):
     union = ctx.union_dispatch(sjots, type_, sjot, typepath)
+    # union[0] is the "any" cutoff ONLY when it is an int — a bare
+    # "char" branch parks a slots object there (dead at runtime; JS
+    # compares n >= object as false, build_union_dispatch mirrors it)
     cutoff = union.get(0)
+    if not isinstance(cutoff, int):
+        cutoff = None
 
     n = 1
     item = data

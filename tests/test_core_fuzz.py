@@ -137,6 +137,12 @@ def _errors_agree(our_err: str, ref_err: str) -> bool:
         return True
     if ref_err and "Invalid regular expression" in ref_err:
         return our_err.startswith("SJOT schema error:")
+    if ref_err and "Cannot create property 's' on number" in ref_err:
+        # a bare "char" union branch after an "any" branch: the
+        # reference's strict-mode write to the numeric cutoff slot
+        # throws TypeError; we surface the same unusable schema as a
+        # schema error (core/validator.py build_union_dispatch)
+        return our_err.startswith("SJOT schema error:")
     return False
 
 

@@ -170,3 +170,40 @@ def test_external_refs_with_container_suffixes():
     assert valid({"tags": ["t1", "t2"]}, None, sjots)
     assert not valid({"tags": ["zzz"]}, None, sjots)
     assert valid({"tags": [], "uniq": ["t3"]}, None, sjots)
+
+
+def test_bare_char_union_branch_is_dead():
+    """The reference parks a bare "char" union branch at array depth 0
+    (sjot_check_union decrements n for "char", index.js:1764-1768), so
+    it can never match data (depth starts at 1) — and writing it after
+    an "any" branch hits the numeric cutoff slot, a strict-mode
+    TypeError in the reference (surfaced here as a schema error). All
+    node-oracle verified."""
+    import copy
+
+    import pytest
+
+    from sjot_ray.core import SJOTSchemaError, check, valid
+
+    s = {"@root": {"v": [["true", "char", "string[]"]]}}
+    check(copy.deepcopy(s))
+    assert valid({"v": "c"}, None, copy.deepcopy(s)) is False   # dead
+    assert valid({"v": "cc"}, None, copy.deepcopy(s)) is False
+    assert valid({"v": True}, None, copy.deepcopy(s)) is True
+    assert valid({"v": ["a"]}, None, copy.deepcopy(s)) is True
+    assert valid({"v": []}, None, copy.deepcopy(s)) is True
+
+    # char FIRST then any: any's cutoff overwrites the depth-0 slots
+    s2 = {"@root": {"v": [["char", "any"]]}}
+    check(copy.deepcopy(s2))
+    assert valid({"v": "c"}, None, copy.deepcopy(s2)) is True
+
+    # any FIRST then char: the reference throws TypeError (strict-mode
+    # write to the numeric cutoff) — unusable schema
+    s3 = {"@root": {"v": [["any", "char"]]}}
+    with pytest.raises(SJOTSchemaError):
+        check(copy.deepcopy(s3))
+
+    # char[] decrements to string at depth 1 — alive as plain string
+    s4 = {"@root": {"v": [["true", "char[]"]]}}
+    assert valid({"v": "c"}, None, copy.deepcopy(s4)) is True
