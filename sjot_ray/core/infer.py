@@ -62,8 +62,44 @@ def _escape_prop(prop: str) -> str:
     return f"({out})"
 
 
+class _UndefType:
+    """JS ``undefined`` — produced by ``type[0]`` on an EMPTY array in
+    the reference's array unification. Distinct from the ``null``
+    tombstone (JS ``undefined !== null``), so undefined branches are
+    REAL union branches that survive the merge; they serialize to
+    literal ``null`` in the final schema (JSON.stringify of undefined
+    inside an array), handled at the convert()/infer_many() boundary."""
+
+    def __repr__(self):
+        return "<js-undefined>"
+
+
+_UNDEF = _UndefType()
+
+
+def _undef_to_null(t):
+    """API boundary: JS undefined branches stringify to null."""
+    if t is _UNDEF:
+        return None
+    if isinstance(t, list):
+        return [_undef_to_null(x) for x in t]
+    if isinstance(t, dict):
+        return {k: _undef_to_null(v) for k, v in t.items()}
+    return t
+
+
 def _is_union(t) -> bool:
     return isinstance(t, list) and len(t) == 1 and isinstance(t[0], list)
+
+
+def _as_obj(t):
+    """JS ``typeof [] === "object"``: an ARRAY type flowing into the
+    reference's object-merge paths is enumerated by its string INDICES
+    ("0", "1", …) — snapsjot.js relies on this (for-in over arrays), so
+    list×dict merges produce index-keyed props ({"0?": "string"})."""
+    if isinstance(t, list):
+        return {str(i): v for i, v in enumerate(t)}
+    return t
 
 
 def equal_types(t1, t2) -> bool:
@@ -84,15 +120,19 @@ def equal_types(t1, t2) -> bool:
         if len(t1) == len(t2):
             return len(t1) == 0 or equal_types(t1[0], t2[0])
         return False
-    if isinstance(t1, dict) and isinstance(t2, dict):
-        # "equal" here means fully DISJOINT prop sets (the reference's
-        # quirky definition, snapsjot.js:153-161) — used to keep distinct
-        # object branches apart in unions
-        for p in t1:
-            if p in t2:
+    if isinstance(t1, (dict, list)) and isinstance(t2, (dict, list)):
+        # the reference's JS-exact object branch (snapsjot.js:152-161):
+        # true iff every t1 prop exists in t2 AND no t2 prop exists in
+        # t1 — i.e. t1 has NO enumerable props and t2's are absent from
+        # it. With arrays enumerated by index this makes [] "equal" to
+        # any dict (and snapped dicts, which always carry @final, never
+        # equal each other).
+        o1, o2 = _as_obj(t1), _as_obj(t2)
+        for p in o1:
+            if p not in o2:
                 return False
-        for p in t2:
-            if p in t1:
+        for p in o2:
+            if p in o1:
                 return False
         return True
     return False
@@ -110,29 +150,42 @@ def unify(t1, t2):
         return [unify_unions([t1], t2[0])]
     if isinstance(t1, list):
         if isinstance(t2, list):
-            u = unify(t1[0] if t1 else None, t2[0] if t2 else None) \
-                if t1 and t2 else (t1 or t2)
+            # JS-exact (snapsjot.js:186-201): unify the [0] items —
+            # an EMPTY array contributes JS undefined (the _UNDEF
+            # sentinel: a REAL branch, unlike the null tombstone;
+            # serialized to literal null at the API boundary) — and
+            # return the result BARE when it is not a union: the
+            # reference does NOT rewrap, so array-of-X × array-of-Y can
+            # collapse to the unified item type (e.g. two object item
+            # types merge to one bare object)
+            u = unify(t1[0] if t1 else _UNDEF, t2[0] if t2 else _UNDEF)
             if _is_union(u):
                 return [[[b] for b in u[0]]]
-            return u if isinstance(u, list) else [u]
+            return u
         return [[t1, t2]]
-    if isinstance(t1, dict) and isinstance(t2, dict):
+    if isinstance(t1, dict) and isinstance(t2, (dict, list)):
+        # JS typeof-object branch: a dict merged with an ARRAY treats
+        # the array as an index-keyed object (snapsjot.js:206-209);
+        # unify_objects enumerates it by index but the DISTINCT path
+        # preserves the original array in the union
         return unify_objects(t1, t2)
     return [[t1, t2]]
 
 
 def unify_unions(u1: list, u2: list) -> list:
-    """snapsjot_unify_union_types (mutates u1; returns it)."""
+    """snapsjot_unify_union_types (mutates u1; returns it). JS-exact
+    looping: ``union1.length`` is re-evaluated every iteration, so
+    branches APPENDED mid-pass are visited in the same pass (a Python
+    range() snapshot misses them and leaves duplicate branches)."""
     redo = True
     while redo:
         redo = False
-        for i in range(len(u1)):
-            if redo:
-                break
-            for j in range(len(u2)):
-                if redo:
-                    break
+        i = 0
+        while not redo and i < len(u1):
+            j = 0
+            while not redo and j < len(u2):
                 if u2[j] is None:
+                    j += 1
                     continue
                 t = None
                 if equal_types(u1[i], u2[j]):
@@ -148,7 +201,11 @@ def unify_unions(u1: list, u2: list) -> list:
                       and isinstance(u2[j], list) and len(u2[j]) > 0):
                     t = unify(u1[i], u2[j])
                     u2[j] = None
-                elif isinstance(u1[i], dict) and isinstance(u2[j], dict):
+                elif isinstance(u1[i], (dict, list)) \
+                        and isinstance(u2[j], (dict, list)):
+                    # JS typeof-object branch: dict×dict, dict×array and
+                    # array×dict (array×array pairs are consumed by the
+                    # branches above); arrays merge by string index
                     merged = unify_objects(u1[i], u2[j])
                     if not isinstance(merged, list):
                         # cascade object unifications: drop u1[i], retry
@@ -162,18 +219,29 @@ def unify_unions(u1: list, u2: list) -> list:
                         u1.extend(t[0][1:])
                     else:
                         u1[i] = t
+                j += 1
+            i += 1
     for j in range(len(u2)):
         if u2[j] is not None:
             u1.append(u2[j])
+    # JS copies union1 back into union2 (snapsjot.js:292-297) — the
+    # union LISTS are aliased across nested structures (u1[i] = u2[j]
+    # assignments share references), so this write-through is visible
+    # to other holders and part of the observable semantics
+    u2[:] = u1
     return u1
 
 
-def unify_objects(t1: dict, t2: dict):
-    """snapsjot_unify_object_types (t2 consumed)."""
+def unify_objects(t1, t2):
+    """snapsjot_unify_object_types (t2 consumed). Arrays are enumerated
+    as index-keyed objects (JS for-in), but the DISTINCT path returns
+    the ORIGINALS — the reference never converts, it only
+    enumerates."""
     if distinct_objects(t1, t2):
         return [[t1, t2]]
     out = {"@final": True}
-    t2 = dict(t2)
+    t1 = _as_obj(t1)
+    t2 = dict(_as_obj(t2))
     for prop, v in t1.items():
         if prop.startswith("@"):
             continue
@@ -204,7 +272,8 @@ def unify_objects(t1: dict, t2: dict):
     return out
 
 
-def distinct_objects(t1: dict, t2: dict) -> bool:
+def distinct_objects(t1, t2) -> bool:
+    t1, t2 = _as_obj(t1), _as_obj(t2)
     n = 0
     for prop in t1:
         if prop.startswith("@"):
@@ -224,7 +293,7 @@ def convert(data) -> dict:
     """snapSJOT.convert: one example document → a full SJOT schema."""
     return {
         "@note": "SJOT schema created from JSON data by snapSJOT",
-        "@root": snap(data),
+        "@root": _undef_to_null(snap(data)),
     }
 
 
@@ -239,7 +308,8 @@ def infer_many(docs) -> dict:
         else:
             u = unify(root, t)
             root = u[0][0] if _is_union(u) and len(u[0]) == 1 else u
-    return {"@note": "SJOT schema inferred from examples", "@root": root}
+    return {"@note": "SJOT schema inferred from examples",
+            "@root": _undef_to_null(root)}
 
 
 def merge_inferred(a, b):

@@ -129,3 +129,58 @@ def test_jsonschema_structural_mappings():
     assert d["properties"]["set"]["minItems"] == 1
     assert d["properties"]["tup"]["additionalItems"] is False
     assert d["properties"]["a"]["minimum"] == -2147483648
+
+
+@pytest.mark.parametrize("chunk", range(4))
+def test_snap_fuzz_vs_reference(chunk):
+    """Randomized deep documents (nested lists/objects incl. empty
+    arrays, special prop names, @sjot keys) vs dev/snapsjot.js — exact
+    schema equality. This family caught four real divergences in r4:
+    JS arrays enumerated as index-keyed objects in merge paths, the
+    bare (non-rewrapped) array-unify return, in-pass union growth
+    (JS re-evaluates union1.length), and the undefined-vs-null
+    distinction ([0] of an empty array is a REAL branch that
+    serializes to null)."""
+    import random
+
+    oracle = r"""
+const fs = require("fs");
+let src = fs.readFileSync("/root/reference/dev/snapsjot.js", "utf8");
+eval(src + "\n;globalThis.__snap = snapSJOT;");
+const cases = JSON.parse(fs.readFileSync(0, "utf8"));
+process.stdout.write(JSON.stringify(cases.map(c => __snap.convert(c))));
+"""
+
+    def rand_value(rng, depth=4):
+        kinds = ["int", "float", "str", "bool", "null"]
+        if depth > 0:
+            kinds += ["list", "obj", "list", "obj", "list"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return rng.randint(-100, 100)
+        if k == "float":
+            return round(rng.uniform(-5, 5), 3)
+        if k == "str":
+            return rng.choice(["", "a", "xyz", "2026-01-01"])
+        if k == "bool":
+            return rng.random() < 0.5
+        if k == "null":
+            return None
+        if k == "list":
+            return [rand_value(rng, depth - 1)
+                    for _ in range(rng.randint(0, 5))]
+        names = ["a", "b", "weird?n", "(p)", "@x", "c-d", "@sjot"]
+        return {rng.choice(names) + str(i): rand_value(rng, depth - 1)
+                for i in range(rng.randint(0, 4))}
+
+    rng = random.Random(310000 + chunk)
+    cases = [rand_value(rng) for _ in range(250)]
+    out = subprocess.run(
+        ["node", "-e", oracle], input=json.dumps(cases),
+        capture_output=True, text=True, check=True).stdout
+    refs = json.loads(out)
+    for c, ref in zip(cases, refs):
+        ours = infer_convert(json.loads(json.dumps(c)))
+        ours["@note"] = "SJOT schema created from JSON data by snapSJOT"
+        assert json.loads(json.dumps(ours)) == ref, (
+            json.dumps(c)[:200], ours, ref)
