@@ -243,12 +243,24 @@ def _string_type_to_js(t: str) -> dict:
         return {"type": "string", "pattern": f"^({FORMAT_PATTERNS[t]})$"}
     if t.startswith("("):
         return {"type": "string", "pattern": f"^{t}$"}
-    # numeric range / enum
+    # numeric range / enum. Fractional-data semantics mirror the
+    # validator's break-scan (ranges.py range_check): a float reaching
+    # an alternative whose relevant endpoints carry no "." is rejected
+    # outright AND aborts the scan — so an alternative admits fractional
+    # data only when it AND every preceding alternative are
+    # float-friendly. Integral-only alternatives get multipleOf: 1
+    # (draft4 "integer" wrongly rejects integral FLOATS like 5.0, which
+    # the reference accepts — JS has no int/float distinction).
     alts = compile_range(t)
     schemas = []
     import math
 
+    prefix_float = True
     for a in alts:
+        float_ok = (a.hi_dot if a.kind == 0 else
+                    a.lo_dot and a.hi_dot if a.kind == 2 else
+                    a.lo_dot)
+        prefix_float = prefix_float and float_ok
         s: dict = {"type": "number"}
         if a.kind == 3:  # const
             s = {"type": "number", "enum": [a.lo if a.lo_dot else int(a.lo)]}
@@ -261,6 +273,8 @@ def _string_type_to_js(t: str) -> dict:
                 s["maximum"] = a.hi if a.hi_dot else int(a.hi)
                 if a.hi_excl:
                     s["exclusiveMaximum"] = True
+        if not prefix_float:
+            s["multipleOf"] = 1
         schemas.append(s)
     return schemas[0] if len(schemas) == 1 else {"anyOf": schemas}
 

@@ -207,8 +207,11 @@ def test_jsonschema_pkg_differential_fuzz(seed):
                       "tuple", "nested"])
         if k == "range":
             lo = int(r.integers(-5, 3)); hi = lo + int(r.integers(1, 9))
-            t = f"{lo}..{hi}"
-            sam = lambda rr: int(rr.integers(lo - 3, hi + 4))
+            dotted = r.random() < 0.4
+            t = f"{lo}.0..{hi}.0" if dotted else f"{lo}..{hi}"
+            sam = lambda rr: (float(rr.uniform(lo - 2, hi + 2))
+                              if rr.random() < 0.5
+                              else int(rr.integers(lo - 3, hi + 4)))
         elif k == "enum":
             t = "(aa|bb)"
             sam = lambda rr: str(rr.choice(["aa", "bb", "zz"]))
@@ -355,3 +358,30 @@ def test_jsonschema_pkg_roundtrip_fuzz(seed):
         v1 = valid(copy.deepcopy(doc), None, copy.deepcopy(schema))
         v2 = valid(copy.deepcopy(doc), None, copy.deepcopy(back))
         assert v1 == v2, (schema, back, doc, v1, v2)
+
+
+def test_range_fractional_semantics_in_jsonschema():
+    """Integral-only range alternatives convert with multipleOf: 1 —
+    draft4 "integer" wrongly rejects integral floats (5.0), which SJOT
+    accepts (JS has no int/float split); and a float-friendly
+    alternative AFTER an integral one is unreachable for fractional
+    data (the validator's break-scan), so it is integral-constrained
+    too. Exhaustive verdict agreement with the jsonschema package."""
+    import copy
+
+    import jsonschema
+
+    from sjot_ray.core.convert import sjot_to_jsonschema
+
+    types = ["1..9", "1.0..9.0", "1..9.5", "1.5..9", "<1..9>", "1..",
+             "..9", "1.0..", "5", "5.0", "1..2,5..6", "1,3,5",
+             "1..2,5.0..6.0", "5,1.5..9.5", "1.5..9.5,20..30"]
+    data = [5, 5.0, 5.5, 1, 1.5, 2.5, 0.5, 9, 9.5, 20, 25.5, -3, 3]
+    for t in types:
+        s = {"@root": {"v?": t}}
+        v = jsonschema.Draft4Validator(
+            sjot_to_jsonschema(copy.deepcopy(s)))
+        for d in data:
+            ours = valid({"v": d}, None, copy.deepcopy(s))
+            theirs = v.is_valid({"v": d})
+            assert ours == theirs, (t, d, ours, theirs)
