@@ -385,3 +385,87 @@ def test_range_fractional_semantics_in_jsonschema():
             ours = valid({"v": d}, None, copy.deepcopy(s))
             theirs = v.is_valid({"v": d})
             assert ours == theirs, (t, d, ours, theirs)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_jsonschema_pkg_reverse_fuzz(seed):
+    """E2 randomized: random Draft4 schemas (nested objects/arrays,
+    required mixes, uniqueItems, additionalProperties) × random docs —
+    our validator on jsonschema_to_sjot output agrees with the
+    jsonschema package on the original. NB the reference's OWN js2sjot
+    diverges from JSON Schema semantics here (nested object props
+    become required regardless of 'required'; uniqueItems is dropped
+    for enum items) — we match the actual JSON Schema meaning, same
+    policy as the tuple-length and regex-anchor choices in E1."""
+    import copy
+    import random
+
+    import jsonschema
+
+    from sjot_ray.core.convert import jsonschema_to_sjot
+
+    rng = random.Random(590000 + seed)
+
+    def prop_schema(r, depth=2):
+        k = r.choice(["int", "num", "str", "strlen", "enum", "arr",
+                      "obj", "bool"] if depth > 0 else
+                     ["int", "num", "str", "strlen", "enum", "bool"])
+        if k == "int":
+            lo = r.randint(-5, 3); hi = lo + r.randint(1, 9)
+            return ({"type": "integer", "minimum": lo, "maximum": hi},
+                    lambda rr: rr.randint(lo - 2, hi + 2))
+        if k == "num":
+            return ({"type": "number", "minimum": 0, "maximum": 5},
+                    lambda rr: round(rr.uniform(-1, 6), 2))
+        if k == "str":
+            return ({"type": "string"},
+                    lambda rr: rr.choice(["", "a", "xyz"]))
+        if k == "strlen":
+            return ({"type": "string", "minLength": 2, "maxLength": 4},
+                    lambda rr: "x" * rr.randint(0, 6))
+        if k == "enum":
+            return ({"enum": ["x", "y"]},
+                    lambda rr: rr.choice(["x", "y", "z"]))
+        if k == "bool":
+            return ({"type": "boolean"}, lambda rr: rr.random() < 0.5)
+        if k == "arr":
+            inner, sam = prop_schema(r, 0)
+            out = {"type": "array", "items": inner}
+            if r.random() < 0.5:
+                out["minItems"] = 1
+            if r.random() < 0.3:
+                out["uniqueItems"] = True
+            return (out,
+                    lambda rr: [sam(rr) for _ in range(rr.randint(0, 3))])
+        inner, sam = prop_schema(r, 0)
+        out = {"type": "object", "properties": {"q": inner}}
+        if r.random() < 0.5:
+            out["required"] = ["q"]
+        return (out, lambda rr: {"q": sam(rr)}
+                if rr.random() < 0.8 else {})
+
+    props, samplers, required = {}, {}, []
+    for i in range(rng.randint(1, 3)):
+        psch, sam = prop_schema(rng)
+        props[f"p{i}"] = psch
+        samplers[f"p{i}"] = sam
+        if rng.random() < 0.5:
+            required.append(f"p{i}")
+    js = {"type": "object", "properties": props}
+    if required:
+        js["required"] = required
+    if rng.random() < 0.3:
+        js["additionalProperties"] = False
+
+    v = jsonschema.Draft4Validator(copy.deepcopy(js))
+    s = jsonschema_to_sjot(copy.deepcopy(js))
+    for _ in range(40):
+        doc = {}
+        for name, sam in samplers.items():
+            if rng.random() < 0.75:
+                doc[name] = sam(rng)
+        if rng.random() < 0.2:
+            doc["extra"] = 1
+        theirs = v.is_valid(copy.deepcopy(doc))
+        ours = valid(copy.deepcopy(doc), None, copy.deepcopy(s))
+        assert ours == theirs, (js, doc, s, ours, theirs)
