@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..core.infer import infer_many, merge_inferred, snap, unify
+from ..core.infer import ingest_doc, merge_state, render_state
 
 
 class SnapBatch:
@@ -23,7 +23,7 @@ class SnapBatch:
         self.column = column
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        root = None
+        S: dict = {}
         for s in t[self.column].to_pylist():
             if s is None:
                 continue
@@ -31,33 +31,27 @@ class SnapBatch:
                 doc = json.loads(s) if isinstance(s, (str, bytes)) else s
             except ValueError:
                 continue
-            typ = snap(doc)
-            root = typ if root is None else _fold(root, typ)
+            ingest_doc(doc, S)
         return pa.table({"partial": pa.array(
-            [json.dumps(root, sort_keys=True)], pa.string())})
-
-
-def _fold(a, b):
-    u = unify(a, b)
-    if isinstance(u, list) and len(u) == 1 and isinstance(u[0], list) \
-            and len(u[0]) == 1:
-        return u[0][0]
-    return u
+            [json.dumps(S, sort_keys=True)], pa.string())})
 
 
 def infer_json_column(ds: "ray.data.Dataset", column: str) -> dict:
-    """Inferred SJOT schema of a JSON string column."""
+    """Inferred SJOT schema of a JSON string column. Per-batch partials
+    are inference STATES (JSON-able trees whose merge is a set/count
+    union — commutative and associative), so the tree aggregate is
+    order-independent and the schema is rendered exactly once."""
     parts = ds.map_batches(
         SnapBatch, fn_constructor_kwargs={"column": column},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
-    root = None
+    S: dict = {}
     for b in parts.iter_batches(batch_format="pyarrow"):
         for s in b["partial"].to_pylist():
             if s is None:
                 continue
-            t = json.loads(s)
-            root = t if root is None else _fold(root, t)
-    return {"@note": "SJOT schema inferred from examples", "@root": root}
+            S = merge_state(S, json.loads(s))
+    return {"@note": "SJOT schema inferred from examples",
+            "@root": render_state(S)}
 
 
 def q_infer_events_props(sf_dir: str):
