@@ -222,18 +222,22 @@ def _valid_mask(arr) -> np.ndarray:
 
 
 def _fullmatch_mask(arr, pattern: str) -> np.ndarray:
-    """True where a non-null value FAILS the anchored regex. RE2 via
-    pyarrow; Python ``re`` fallback only when RE2 rejects the pattern."""
-    anchored = f"^(?:{pattern})$"
+    """True where a non-null value FAILS the JS-anchored regex
+    (``RegExp("^" + pattern + "$")`` — CONCATENATED anchors, split by
+    top-level alternation). RE2 via pyarrow (its ``$`` is already
+    text-end); Python fallback only when RE2 rejects the pattern."""
+    from ..core.validator import js_regex_to_py
+
     valid = _valid_mask(arr)
     try:
+        anchored = "^" + js_regex_to_py(pattern, dollar="$") + "$"
         m = pc.match_substring_regex(arr, anchored)
         ok = np.where(valid, _np(m), False).astype(bool)
         return valid & ~ok
-    except pa.ArrowInvalid:
-        from ..core.validator import js_regex_to_py
+    except (pa.ArrowInvalid, re.error):
+        from ..core.validator import compile_regex_type
 
-        rx = re.compile(js_regex_to_py(pattern))
+        rx = compile_regex_type(pattern)
         out = np.zeros(len(arr), dtype=bool)
         for i, v in enumerate(arr.to_pylist()):
             if v is not None and rx.fullmatch(v) is None:

@@ -215,11 +215,12 @@ def _check_propsets(type_, prop, propsets, typepath):
         if name.startswith("@"):
             continue
         if name.startswith("("):
-            from .validator import js_regex_to_py
+            from .errors import SJOTSchemaError as _SE
+            from .validator import compile_regex_type
 
             try:
-                matcher = re.compile(js_regex_to_py(name))
-            except re.error:
+                matcher = compile_regex_type(name)
+            except _SE:
                 continue
             for cand in seen:
                 if matcher.fullmatch(cand):

@@ -76,45 +76,231 @@ _INT_BOUNDS = {
 }
 
 
-def js_regex_to_py(pattern: str) -> str:
-    """Translate JS-specific regex constructs Python rejects or reads
-    differently: ``[]`` is a valid never-matching empty class in JS
-    (→ ``(?!)``), ``[^]`` matches any character (→ ``[\\s\\S]``), and a
-    ``]`` right after ``[`` closes the class in JS but is a literal in
-    Python."""
+_JS_QUANT = re.compile(r"\{\d+(,\d*)?\}")
+
+
+def js_regex_to_py(pattern: str, dollar: str = "\\Z") -> str:
+    """Translate a JS regex into Python-``re`` (or RE2 with
+    ``dollar="$"``) form, enforcing JS ``RegExp`` VALIDITY where Python
+    is more permissive. Differences handled:
+
+    * ``[]`` never matches in JS (→ ``(?!)``); ``[^]`` matches anything
+      (→ ``[\\s\\S]``); ``]`` right after ``[`` is a literal in Python
+      but closes the class in JS.
+    * unescaped ``$`` = END OF TEXT in JS; Python ``$`` also matches
+      before a trailing newline → ``\\Z`` (``$`` for RE2, whose ``$``
+      is already text-end).
+    * a quantifier directly after a quantifier (``a*+``, ``a{1,2}+``,
+      ``a*??``, ``a*{1,2}``) or with nothing to repeat is a JS
+      SyntaxError, while Python 3.11 reads possessive quantifiers —
+      raise ``re.error``.
+    * ``{m,n}`` with ``m > n`` is a JS SyntaxError; a brace NOT shaped
+      like a quantifier is an Annex-B LITERAL in JS but may be a
+      quantifier in Python (``a{,2}``) — escape it.
+    * Python-only group syntax ``(?i…)``, ``(?#…)``, ``(?P…)``,
+      ``(?(…)``, ``(?>…)`` is a JS "Invalid group" — raise
+      ``re.error`` (JS admits ``(?:``, ``(?=``, ``(?!``, ``(?<=``,
+      ``(?<!``, ``(?<name>``)."""
     out = []
     i = 0
     n = len(pattern)
     in_class = False
+    cls_esc = False  # last in-class token was a class escape (\d …)
+    # prev: what the previous token was, for JS quantifier validity —
+    # "atom" (quantifiable), "quant", "lazy" (quantifier + ?), None
+    prev = None
     while i < n:
         c = pattern[i]
         if c == "\\":
-            out.append(pattern[i:i + 2])
+            if not in_class and pattern.startswith("\\k<", i):
+                # JS named backreference \k<name> → Python (?P=name)
+                j = pattern.find(">", i + 3)
+                if j > 0:
+                    out.append(f"(?P={pattern[i + 3:j]})")
+                    i = j + 1
+                    prev = "atom"
+                    continue
+            e = pattern[i + 1:i + 2]
+            if e == "" :
+                raise re.error("\\ at end of pattern (JS)", pattern, i)
+            if e in "dDsSwWbBfnrtv0123456789":
+                out.append(pattern[i:i + 2])
+                cls_esc = in_class and e in "dDsSwW"
+            elif e == "x" and re.fullmatch(r"[0-9A-Fa-f]{2}",
+                                           pattern[i + 2:i + 4]):
+                out.append(pattern[i:i + 4])
+                i += 4
+                if not in_class:
+                    prev = "atom"
+                continue
+            elif e == "u" and re.fullmatch(r"[0-9A-Fa-f]{4}",
+                                           pattern[i + 2:i + 6] or ""):
+                out.append(pattern[i:i + 6])
+                i += 6
+                if not in_class:
+                    prev = "atom"
+                continue
+            elif e == "c" and pattern[i + 2:i + 3].isalpha():
+                # JS control escape \cX
+                out.append(re.escape(
+                    chr(ord(pattern[i + 2].upper()) - 64)))
+                i += 3
+                if not in_class:
+                    prev = "atom"
+                continue
+            else:
+                # JS Annex B: any other escaped char is a LITERAL
+                # (\q → "q", bare \x/\u/\c too); Python rejects unknown
+                # letter escapes
+                out.append(re.escape(e))
             i += 2
+            if not in_class:
+                prev = "atom"
             continue
-        if not in_class and c == "[":
+        if in_class:
+            if c == "]":
+                in_class = False
+                cls_esc = False
+                prev = "atom"
+            elif c == "-" and (cls_esc or (
+                    pattern[i + 1:i + 2] == "\\"
+                    and pattern[i + 2:i + 3] in "dDsSwW")):
+                # Annex B: a class range with a class-escape endpoint
+                # ([q-\w], [\d-x]) reads the dash as a LITERAL in JS;
+                # Python raises "bad character range"
+                out.append("\\-")
+                cls_esc = False
+                i += 1
+                continue
+            else:
+                cls_esc = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
             if pattern.startswith("[]", i):
                 out.append("(?!)")
                 i += 2
+                prev = "atom"
                 continue
             if pattern.startswith("[^]", i):
                 out.append("[\\s\\S]")
                 i += 3
+                prev = "atom"
                 continue
             in_class = True
-        elif in_class and c == "]":
-            in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c in "*+":
+            if prev in ("quant", "lazy"):
+                raise re.error("Nothing to repeat (JS)", pattern, i)
+            out.append(c)
+            prev = "quant"
+            i += 1
+            continue
+        if c == "?":
+            if prev == "quant":
+                prev = "lazy"
+            elif prev == "lazy":
+                raise re.error("Nothing to repeat (JS)", pattern, i)
+            else:
+                prev = "quant"
+            out.append(c)
+            i += 1
+            continue
+        if c == "{":
+            m = _JS_QUANT.match(pattern, i)
+            if m is not None:
+                if prev in ("quant", "lazy") or prev != "atom":
+                    raise re.error("Nothing to repeat (JS)", pattern, i)
+                body = m.group(0)[1:-1]
+                if "," in body:
+                    lo, hi = body.split(",", 1)
+                    if hi and int(lo) > int(hi):
+                        raise re.error(
+                            "numbers out of order in {} quantifier (JS)",
+                            pattern, i)
+                out.append(m.group(0))
+                i = m.end()
+                prev = "quant"
+                continue
+            # Annex B: non-quantifier braces are literals in JS; escape
+            # so Python cannot read shapes like {,2} as quantifiers
+            out.append("\\{")
+            prev = "atom"
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith("(?", i):
+                nxt = pattern[i + 2:i + 3]
+                if nxt in (":", "=", "!"):
+                    pass
+                elif nxt == "<":
+                    nxt2 = pattern[i + 3:i + 4]
+                    if nxt2 in ("=", "!"):
+                        pass
+                    elif nxt2.isalpha() or nxt2 == "_":
+                        # JS named group (?<name> → Python (?P<name>
+                        out.append("(?P<")
+                        prev = None
+                        i += 3
+                        continue
+                    else:
+                        raise re.error("Invalid group (JS)", pattern, i)
+                else:
+                    raise re.error("Invalid group (JS)", pattern, i)
+            out.append(c)
+            prev = None
+            i += 1
+            continue
+        if c == ")":
+            out.append(c)
+            prev = "atom"
+            i += 1
+            continue
+        if c in "|^":
+            out.append(c)
+            prev = None
+            i += 1
+            continue
+        if c == "$":
+            out.append(dollar)
+            prev = None
+            i += 1
+            continue
         out.append(c)
+        prev = "atom"
         i += 1
     return "".join(out)
+
+
+class _JsMatcher:
+    """JS ``RegExp("^" + pattern + "$").test`` semantics: the anchors
+    are CONCATENATED, not grouped, so a top-level alternation splits
+    them (``(\\d])\\w|()`` accepts every string via the empty-at-end
+    branch — node-verified). Exposes ``fullmatch`` so call sites read
+    naturally."""
+
+    __slots__ = ("_rx", "pattern")
+
+    def __init__(self, rx, pattern):
+        self._rx = rx
+        self.pattern = pattern
+
+    def fullmatch(self, s):
+        return self._rx.search(s)
 
 
 @lru_cache(maxsize=8192)
 def compile_regex_type(pattern: str):
     """Compile a ``(regex)`` type / property matcher once (vs per visit,
-    index.js:392, 676). Anchored like JS ``^pattern$`` via fullmatch."""
+    index.js:392, 676). Anchored EXACTLY like the reference's
+    ``RegExp("^" + pattern + "$")`` — concatenated anchors that a
+    top-level alternation splits — evaluated via search."""
     try:
-        return re.compile(js_regex_to_py(pattern))
+        rx = re.compile("^" + js_regex_to_py(pattern) + r"\Z")
+        return _JsMatcher(rx, pattern)
     except re.error as e:
         raise SJOTSchemaError(str(e), pattern) from None
 

@@ -254,3 +254,42 @@ def test_schema_fuzz_differential(idx, schema_reference_results):
         assert _errors_agree(ours["error"], ref["error"]), (
             f"diagnostic mismatch on {label}:\n ours={ours['error']!r}\n"
             f"  ref={ref['error']!r}")
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_regex_torture_vs_reference(chunk):
+    """JS-RegExp-semantics torture: random patterns from fragments that
+    exercise the JS/Python divergence surface — anchor-splitting
+    top-level alternation, Annex-B literal escapes/braces/class-range
+    dashes, quantifier-after-quantifier SyntaxErrors, named groups and
+    backreferences, \\x/\\u/\\c escapes. This family found and fixed
+    six real divergences in r4 (40K-case sweep clean after)."""
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    rng = random.Random(911 + chunk)
+    FRAGS = ["a", "b", "|", "*", "+", "?", "[a-z]", "[0-9]", "(", ")",
+             ".", "\\d", "\\w", "{1,2}", "^", "$", "\\", "[", "]",
+             "x|y", "()", "\\.", "-", "\\q", "\\x41", "\\u0041", "\\cA",
+             "{,2}", "(?:a)", "(?=b)", "(?<x>a)"]
+
+    def rand_pat(r):
+        return "(" + "".join(r.choice(FRAGS)
+                             for _ in range(r.randint(1, 6))) + ")"
+
+    cases = []
+    DATA = ["a", "ab", "x", "", "aa", "a1", "8", ".", "xy", "a\nb",
+            "a\n", "A", "q", "{,2}", "-"]
+    for _ in range(700):
+        t = rand_pat(rng)
+        cases.append({"data": {"v": rng.choice(DATA)}, "type": "@root",
+                      "schema": {"@root": {"v": t}}, "mode": "validate"})
+        if len(cases) % 9 == 0:
+            cases.append({"schema": {"@root": {"v": t}}, "mode": "check"})
+    refs = run_reference(cases)
+    for case, ref in zip(cases, refs):
+        ours = run_ours(case)
+        ok = ours["valid"] == ref["valid"] and (
+            ref["valid"] or _errors_agree(ours["error"] or "",
+                                          ref["error"] or ""))
+        assert ok, (case, ours, ref)
