@@ -142,16 +142,22 @@ def _ensure_violation_sidecars() -> None:
     """Write the oracle sidecar parquets for every sf dir: planted
     flagship violations (sjot_ray/sources/gen.py `_CLASS_TEMPLATES`,
     node-oracle-verified in tests), planted media metadata
-    (multimodal.media_params, fixed before any encode), and the
-    brute-force SimHash pair spec (independent quadratic scan) — all
-    engine-independent ground truths DuckDB can join."""
+    (multimodal.media_params, fixed before any encode), the generator's
+    dangling-media decisions, and the brute-force pair specs (SimHash /
+    MinHash-LSH-Jaccard / plane-LSH-cosine independent scans) plus the
+    union-find groups derived from them — all engine-independent ground
+    truths DuckDB can join."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     from sjot_ray.sources.gen import expected_violations_parquet
-    from sjot_ray.sources.sidecars import (expected_media_meta_parquet,
+    from sjot_ray.sources.sidecars import (expected_dangling_parquet,
+                                           expected_embedding_parquet,
+                                           expected_groups_parquet,
+                                           expected_media_meta_parquet,
+                                           expected_minhash_parquet,
                                            expected_simhash_parquet)
 
     for d in sorted(glob.glob("/root/testdata/sf*")):
@@ -159,11 +165,17 @@ def _ensure_violation_sidecars() -> None:
         if os.path.exists(ev):
             n_events = pq.read_metadata(ev).num_rows
             expected_violations_parquet(max(2_000, 2 * n_events), 42)
+            expected_dangling_parquet(max(2_000, 2 * n_events), 42)
             expected_media_meta_parquet(
                 min(20_000, max(2_000, 2 * n_events)), 42)
         dp = os.path.join(d, "documents.parquet")
         if os.path.exists(dp):
             expected_simhash_parquet(dp, radius=3)
+            expected_minhash_parquet(dp)
+            expected_groups_parquet(dp)
+        ep = os.path.join(d, "embeddings.parquet")
+        if os.path.exists(ep):
+            expected_embedding_parquet(ep)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -174,9 +186,50 @@ def oracle_sql() -> dict[str, str]:
     d["flagship_violations"] = """
         SELECT doc_id, datapath, typepath, what, value_repr
         FROM read_parquet(
-            '/tmp/sjot_ray_corpus/expected_violations_n*_s42.parquet')
+            '/tmp/sjot_ray_corpus/expected_violations_v2_n*_s42.parquet')
         WHERE num_docs = greatest(2000, 2 * (SELECT count(*) FROM events))
         ORDER BY doc_id
+    """
+    # flagship summary: per-rule doc counts from the planted-violation
+    # sidecar + the PASS row (corpus size minus violating docs)
+    d["flagship_interleaved"] = """
+        WITH sz AS (SELECT greatest(2000, 2 * (SELECT count(*) FROM events))
+                    AS nd),
+             v AS (SELECT rule, count(*) AS n
+                   FROM read_parquet(
+              '/tmp/sjot_ray_corpus/expected_violations_v2_n*_s42.parquet')
+                   WHERE num_docs = (SELECT nd FROM sz)
+                   GROUP BY rule)
+        SELECT rule, CAST(n AS BIGINT) AS n FROM v
+        UNION ALL
+        SELECT 'PASS' AS rule,
+               CAST((SELECT nd FROM sz) - (SELECT sum(n) FROM v)
+                    AS BIGINT) AS n
+        ORDER BY rule
+    """
+    d["flagship_dangling_media"] = """
+        SELECT media_ref, n AS "count()"
+        FROM read_parquet(
+            '/tmp/sjot_ray_corpus/expected_dangling_n*_s42.parquet')
+        WHERE num_docs = greatest(2000, 2 * (SELECT count(*) FROM events))
+    """
+    d["dedup_minhash_lsh"] = """
+        SELECT id_a, id_b, jaccard
+        FROM read_parquet('/tmp/sjot_ray_corpus/expected_minhash_k*.parquet')
+        WHERE corpus_key = (SELECT sum(doc_id * 1000003 + n_chars)
+                            FROM documents)
+    """
+    d["dedup_groups"] = """
+        SELECT doc_id, group_id, keep
+        FROM read_parquet('/tmp/sjot_ray_corpus/expected_groups_k*.parquet')
+        WHERE corpus_key = (SELECT sum(doc_id * 1000003 + n_chars)
+                            FROM documents)
+    """
+    d["dedup_embedding_cosine"] = """
+        SELECT id_a, id_b, cosine
+        FROM read_parquet('/tmp/sjot_ray_corpus/expected_embcos_k*.parquet')
+        WHERE corpus_key = (SELECT sum(vec_id * 1000003 + label * 7919)
+                            FROM embeddings)
     """
     d["multimodal_media_meta"] = """
         SELECT kind, max(width) AS max_width,

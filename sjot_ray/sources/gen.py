@@ -295,6 +295,22 @@ _CLASS_TEMPLATES = {
                    "additional property should not be present", ""),
 }
 
+# Stable per-class first-violation rule-order labels (the columnar
+# compiler's rule ids for FLAGSHIP_SCHEMA — schema-derived, not
+# data-derived). The planted-class → count structure is generator ground
+# truth; these strings are the engine's naming convention for it, pinned
+# here so verdict_summary has a joinable oracle (the mapping itself is
+# asserted by tests/test_pipelines.py).
+_CLASS_RULES = {
+    "bad_doc_id_regex": "1.0",
+    "empty_spans": "3.1",
+    "missing_kind": "3.4",
+    "bad_kind_enum": "3.5",
+    "neg_offset": "3.9",
+    "dup_set_item": "4.1",
+    "extra_prop": "5.0",
+}
+
 
 def expected_violations(num_docs: int, seed: int = 42) -> pa.Table:
     """Ground-truth violation rows for the generated corpus, derived from
@@ -328,6 +344,9 @@ def expected_violations(num_docs: int, seed: int = 42) -> pa.Table:
     if bad_id.any():
         ids = tbl["doc_id"].take(pa.array(rows[bad_id], pa.int64()))
         vr[bad_id] = np.asarray(ids.to_pylist(), dtype=object)
+    rl = np.empty(n, dtype=object)
+    for c, r in _CLASS_RULES.items():
+        rl[cls == c] = r
     return pa.table({
         "row_idx": pa.array(rows, pa.int64()),
         "doc_id": doc_ids,
@@ -335,6 +354,7 @@ def expected_violations(num_docs: int, seed: int = 42) -> pa.Table:
         "typepath": pa.array(tp, pa.string()),
         "what": pa.array(wh, pa.string()),
         "value_repr": pa.array(vr, pa.string()),
+        "rule": pa.array(rl, pa.string()),
     })
 
 
@@ -345,8 +365,10 @@ def expected_violations_parquet(num_docs: int, seed: int = 42,
     DuckDB-joinable flagship oracle; the driver's oracle SQL reads it
     with a ``row_idx < corpus_size`` filter)."""
     os.makedirs(cache_dir, exist_ok=True)
+    # _v2: carries the per-class ``rule`` column (cache name bumped so
+    # stale pre-rule sidecars in /tmp are never globbed)
     path = os.path.join(cache_dir,
-                        f"expected_violations_n{num_docs}_s{seed}.parquet")
+                        f"expected_violations_v2_n{num_docs}_s{seed}.parquet")
     if not os.path.exists(path):
         t = expected_violations(num_docs, seed)
         # constant num_docs column: the per-size sidecars share one glob
