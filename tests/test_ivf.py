@@ -87,3 +87,78 @@ def test_build_is_idempotent(ray_session, index_dir):
     assert idx2 == idx
     for f, m in mtimes.items():
         assert os.path.getmtime(f) == m  # nothing rewritten
+
+
+def test_hot_cluster_spans_multiple_files(ray_session, tmp_path):
+    """A cluster larger than rows_per_file is written as MULTIPLE files
+    (r4 VERDICT "what's wrong" #3): the manifest lists every chunk, the
+    probed read still prunes, and full probe still equals the exact
+    brute-force baseline bit-for-bit."""
+    from sjot_ray.pipelines.ivf import build_ivf_index, ivf_topk
+    from sjot_ray.pipelines.queries import q_ann_cosine_topk
+
+    rng = np.random.default_rng(3)
+    dim, n_hot, n_bg = 16, 1500, 1500
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    hot = base[None, :] + 0.05 * rng.normal(size=(n_hot, dim))
+    bg = rng.normal(size=(n_bg, dim))
+    X = np.concatenate([hot, bg]).astype(np.float32)
+    order = rng.permutation(len(X))
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(X[order].ravel(), pa.float32()), dim).cast(
+        pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(np.arange(len(X)), pa.int64()),
+                  "embedding": emb})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet")
+
+    root = str(tmp_path / "idx")
+    idx = build_ivf_index(str(sf), n_clusters=8, out_root=root,
+                          rows_per_file=400)
+    manifest = pq.read_table(os.path.join(idx, "manifest.parquet"))
+    per_cluster = {}
+    for c, r in zip(manifest["cluster"].to_pylist(),
+                    manifest["rows"].to_pylist()):
+        per_cluster.setdefault(c, []).append(r)
+    assert sum(sum(v) for v in per_cluster.values()) == len(X)
+    assert max(r for v in per_cluster.values() for r in v) <= 400
+    assert any(len(v) >= 3 for v in per_cluster.values()), \
+        "the planted hot cluster should span >= 3 chunk files"
+
+    got = ivf_topk(str(sf), n_clusters=8, nprobe=8, out_root=root,
+                   rows_per_file=400)
+    exact = q_ann_cosine_topk(str(sf))
+    assert got.to_pydict() == exact.to_pydict()
+
+    # pruned probe reads strictly fewer bytes than the full index
+    _, stats = ivf_topk(str(sf), n_clusters=8, nprobe=1, out_root=root,
+                        rows_per_file=400, return_stats=True)
+    assert 0 < stats["bytes_read"] < stats["total_bytes"]
+
+
+def test_default_n_clusters_scales_past_1024():
+    from sjot_ray.pipelines.ivf import default_n_clusters
+
+    assert default_n_clusters(10**9) == 31622      # ~sqrt(n), not 1024
+    assert default_n_clusters(10**12) == 65536     # manifest-sanity cap
+    assert default_n_clusters(500) == 22
+
+
+def test_minibatch_kmeans_recovers_planted_centroids():
+    """Mini-batch spherical k-means (the large-sample training path)
+    lands centroids near planted directions: every planted direction has
+    a centroid at cosine > 0.95."""
+    from sjot_ray.pipelines.ivf import _kmeans_minibatch
+
+    rng = np.random.default_rng(5)
+    dim, k = 12, 4
+    D = rng.normal(size=(k, dim))
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    X = np.repeat(D, 500, axis=0) + 0.05 * rng.normal(size=(k * 500, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[rng.permutation(len(X))]
+    C = _kmeans_minibatch(X, k, seed=1, steps=120)
+    sim = D @ C.T
+    assert (sim.max(axis=1) > 0.95).all()

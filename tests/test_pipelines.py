@@ -945,3 +945,54 @@ def test_hash_shuffle_two_stage_matches_single(ray_session):
     assert got.equals(want)
     # the whole point: peak driver cells an order of magnitude below B×n
     assert st2["peak_driver_cells"] < st1["peak_driver_cells"] / 10
+
+
+def test_shuffle_owner_death_contract(ray_session):
+    """The pool's documented fault contract (abort-and-rerun): cells an
+    owner actor holds die WITH it — readers get a Ray error, never wrong
+    data — and the next shuffle self-heals (every pool actor is
+    health-checked on reuse, the pool is recreated around the corpse)."""
+    import pytest
+    import ray
+    from ray.exceptions import RayError
+
+    from sjot_ray.pipelines import shuffle as sh
+
+    pool = sh._worker_pool()
+    assert len(pool) == sh._pool_size() >= sh._POOL_MIN
+
+    t = pa.table({"key": pa.array(np.arange(64), pa.int64())})
+    victim = pool[1]
+    cells = [c for c in ray.get(
+        victim.split.options(num_returns=4).remote(t, "key", 4))
+        if c is not None]
+    assert cells
+    ray.kill(victim, no_restart=True)
+    import time
+
+    time.sleep(2)  # let the owner-death fault propagate to the raylet
+    with pytest.raises(RayError):  # owner died → cells are gone, loudly
+        for c in cells:
+            ray.get(c, timeout=60)
+
+    # self-heal: pool reuse detects the corpse and rebuilds; a full
+    # shuffle over the healed pool (multi-round → pool-owned cells)
+    # produces correct results
+    healed = sh._worker_pool()
+    assert victim not in healed and len(healed) == len(pool)
+    import ray.data
+
+    refs = [ray.put(pa.table({"key": pa.array(k, pa.int64())}))
+            for k in np.arange(120).reshape(20, 6)]
+    ds = ray.data.from_arrow_refs(refs)
+
+    def per_part(g):
+        out = g.group_by("key").aggregate([([], "count_all")])
+        return out.rename_columns(["key", "n"])
+
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    out = sh.hash_shuffle_apply(ds, "key", 4, per_part, empty, fanin=4)
+    res = pa.concat_tables(list(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert res.num_rows == 120 and set(res["n"].to_pylist()) == {1}
