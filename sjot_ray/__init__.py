@@ -21,7 +21,7 @@ Layers:
 
 from .core import SJOT, SJOTSchemaError, SJOTValidationError, check, valid, validate
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "SJOT",

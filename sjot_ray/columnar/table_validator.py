@@ -55,10 +55,16 @@ non-scalar map values, exotic item-field types, …) DEGRADE to one
 generic dyn rule that validates just that column/field per row through
 the row engine — the rest of the schema stays columnar, and the
 violation rows/ordering are exactly the reference's because the row
-engine produces them. Only a non-object root type still raises
-:class:`ColumnarCompileError` AT COMPILE TIME (callers fall back to
-the row engine, ``sjot_ray.stages``); no evaluation path raises inside
-a Ray worker. MAP-layout targets are owned by row-engine catch-all
+engine produces them. NON-OBJECT roots (scalar / container / union /
+``any``) compile too when the caller names the single document column
+(``value_column=``): the per-position machinery validates that column
+and datapaths render with the reference's root ``$`` prefix; null
+cells are the null DOCUMENT (row-engine verdict, computed once per
+batch). :class:`ColumnarCompileError` is reserved for the genuinely
+untypeable input — a non-object root with NO ``value_column`` (a
+table cannot say which column holds the document; callers fall back
+to the row engine, ``sjot_ray.stages``); no evaluation path raises
+inside a Ray worker. MAP-layout targets are owned by row-engine catch-all
 rules whenever the object type exceeds the vectorized map companions
 (scalar prop values + @final) — propsets/@dep, regex props and
 non-scalar prop values all route map rows through the row engine with
@@ -371,8 +377,11 @@ def _scalar_fail_mask(arr, type_str: str) -> np.ndarray:
     if type_str == "any":
         return np.zeros(len(arr), dtype=bool)
     if type_str == "atom":
-        return np.zeros(len(arr), dtype=bool) if kind != "null" \
-            else _valid_mask(arr)
+        # atom = bool ∨ number ∨ string (index.js:466,477,668): null
+        # data and ARRAY/OBJECT data (kind None — list/struct/map
+        # columns) are not atoms
+        return np.zeros(len(arr), dtype=bool) \
+            if kind in ("boolean", "number", "string") else _valid_mask(arr)
     if type_str == "null":
         return _valid_mask(arr)
     if type_str in ("object", "array"):
@@ -580,25 +589,99 @@ class TableValidator:
     Arrow table shape. Build once (driver or actor ``__init__``), call
     :meth:`validate_batch` per batch."""
 
-    def __init__(self, schema, type_=None, extras_column: str | None = None):
+    def __init__(self, schema, type_=None, extras_column: str | None = None,
+                 value_column: str | None = None):
         sjots = schema if isinstance(schema, list) else [schema]
         self.sjots = sjots
         self.sjot = sjots[0]
         typepath = "/@root"
-        t = type_ if type_ is not None else roottype(self.sjot)
+        orig_t = type_ if type_ is not None else roottype(self.sjot)
+        t = orig_t
         while isinstance(t, str) and "#" in t and not t.startswith("(") \
                 and not t.endswith("]") and not t.endswith("}"):
             typepath = f"{typepath}/{t}"
             t = reftype(sjots, t, self.sjot)
-        if not isinstance(t, dict):
-            raise ColumnarCompileError(
-                "table validation requires an object root type")
         self.extras_column = extras_column
         self.root_type = t
         self.root_typepath = typepath
+        self.root_value_column: str | None = None
         self._major = -1
         self.rules: list[tuple[Rule, object]] = []
+        if not isinstance(t, dict):
+            # NON-OBJECT roots (scalar / container / union / any): the
+            # document IS the cell value of ONE caller-named column —
+            # over a table there is no other meaning, so without
+            # ``value_column`` the input is genuinely untypeable and we
+            # keep the compile-time raise (callers fall back to the row
+            # engine). With it, the per-position machinery compiles the
+            # column like any prop value; datapaths render with the
+            # synthetic "$.<col>" prefix stripped back to "$" (the
+            # reference's root datapath).
+            if value_column is None:
+                raise ColumnarCompileError(
+                    "table validation requires an object root type"
+                    " (pass value_column=<col> to validate a non-object"
+                    " root over that single column)")
+            self.root_value_column = value_column
+            self._compile_root_value(orig_t, t, value_column, typepath)
+            return
         self._compile_object(t, typepath)
+
+    def _compile_root_value(self, orig_t, rt, vc, typepath):
+        """Compile a non-object root type over the single document
+        column ``vc``. Null cells are the NULL DOCUMENT (not an absent
+        property): their verdict is the row engine's on ``None`` —
+        computed once per batch, it is the same for every null row."""
+        from ..core import Context, SJOTValidationError
+        from ..core.validator import validate_value
+
+        sjots, sjot = self.sjots, self.sjot
+        major = self._next_major()
+        r_null = Rule(major, 0, vc, typepath, "value", "", dyn=True)
+
+        def ev_null(tbl, vc=vc, orig_t=orig_t, tp=typepath):
+            n = tbl.num_rows
+            zeros = np.zeros(n, dtype=bool)
+            if vc not in tbl.column_names:
+                nulls = np.ones(n, dtype=bool)
+            else:
+                nulls = ~_valid_mask(tbl[vc] if not isinstance(
+                    tbl[vc], pa.ChunkedArray)
+                    else tbl[vc].combine_chunks())
+            if not nulls.any():
+                return zeros, None
+            try:
+                validate_value(sjots, None, orig_t, sjot, f"$.{vc}",
+                               "/@root", Context())
+                return zeros, None           # root type accepts null
+            except SJOTValidationError as e:
+                row = e.violation_row()
+            except SJOTSchemaError:
+                return zeros, None
+            paths_o = np.full(n, None, dtype=object)
+            reprs_o = np.full(n, None, dtype=object)
+            whats_o = np.full(n, None, dtype=object)
+            tps_o = np.full(n, None, dtype=object)
+            dp = row["datapath"]
+            for i in np.nonzero(nulls)[0]:
+                paths_o[i] = dp[2:] if dp.startswith("$.") else vc
+                reprs_o[i] = row["value_repr"]
+                whats_o[i] = row["what"]
+                tps_o[i] = row["typepath"]
+            return nulls, (paths_o, reprs_o, whats_o, tps_o)
+        self._add(r_null, ev_null)
+
+        mark = len(self.rules)
+        saved_major = self._major
+        try:
+            major = self._next_major()
+            self._compile_value_rules(vc, rt, typepath, major)
+        except ColumnarCompileError:
+            # beyond the vectorized kernels: per-cell row engine for the
+            # document column (still never a whole-schema fallback)
+            del self.rules[mark:]
+            self._major = saved_major
+            self._add_rowengine_value_rule([vc], rt, typepath)
 
     # -- compilation -------------------------------------------------------
 
@@ -884,6 +967,7 @@ class TableValidator:
         sub = TableValidator.__new__(TableValidator)
         sub.sjots, sub.sjot = self.sjots, self.sjot
         sub.extras_column = None
+        sub.root_value_column = None
         sub._major = -1
         sub.rules = []
         path = [cname] if isinstance(cname, str) else list(cname)
@@ -1270,16 +1354,65 @@ class TableValidator:
 
         if rt.startswith("char[") and rt != "char[]":
             # char[n,m] diagnostics report the violated LENGTH
-            # (index.js:920-966 passes len as the error datum)
-            rule = Rule(major, 0, name, typepath, "length", rt)
+            # (index.js:920-966 passes len as the error datum); LIST
+            # data exercises the reference duality (array of "char"
+            # items): bounds first, then the first failing ITEM with
+            # its $.col[i] datapath — dyn rendering for exact parity
+            rule = Rule(major, 0, name, typepath, "length", rt, dyn=True)
 
             def ev(tbl, name=name, rt=rt):
+                n = tbl.num_rows
                 if name not in tbl.column_names:
-                    return np.zeros(tbl.num_rows, dtype=bool), None
+                    return np.zeros(n, dtype=bool), None
                 arr = tbl[name]
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                return _char_len_scalar_eval(arr, rt)
+                paths = np.full(n, None, dtype=object)
+                whats = np.full(n, None, dtype=object)
+                reprs = np.full(n, None, dtype=object)
+                if not _is_list_type(arr.type):
+                    fail, vals = _char_len_scalar_eval(arr, rt)
+                    is_str = pa.types.is_string(arr.type) \
+                        or pa.types.is_large_string(arr.type)
+                    for i in np.nonzero(fail)[0]:
+                        paths[i] = name
+                        if is_str:
+                            # string data: length check ("length", len)
+                            reprs[i] = str(int(vals[i]))
+                        else:
+                            # non-string scalars: the reference labels
+                            # these "value" (number range-scan misses /
+                            # shape mismatches), node-verified
+                            whats[i] = "value"
+                            v = vals[int(i)].as_py()
+                            reprs[i] = js_string(v) \
+                                if not isinstance(v, (dict, list)) else ""
+                    return fail, (paths, reprs, whats, None)
+                valid = _valid_mask(arr)
+                lengths = np.where(
+                    valid, np.nan_to_num(_np(pc.list_value_length(arr))),
+                    0).astype(np.int64)
+                len_fail = _length_fail_mask(lengths, valid,
+                                             compile_bounds(rt, 5)) & valid
+                for i in np.nonzero(len_fail)[0]:
+                    paths[i], reprs[i] = name, str(int(lengths[i]))
+                item_fail, ival = _list_item_first_fail(
+                    arr, "char", valid, self.sjots, self.sjot)
+                item_fail = item_fail & valid & ~len_fail
+                if item_fail.any() and ival is not None:
+                    flat, vidx, fpos = ival[0], ival[1], ival[2]
+                    iwhats = ival[3] if len(ival) > 3 else None
+                    for i in np.nonzero(item_fail)[0]:
+                        paths[i] = f"{name}[{int(fpos[i])}]"
+                        whats[i] = str(iwhats[int(vidx[i])]) \
+                            if iwhats is not None else "value"
+                        if isinstance(flat, np.ndarray):
+                            reprs[i] = str(flat[int(vidx[i])])
+                        else:
+                            v = flat[int(vidx[i])].as_py()
+                            reprs[i] = "" if isinstance(v, (dict, list)) \
+                                else js_string(v)
+                return len_fail | item_fail, (paths, reprs, whats, None)
             self._add(rule, ev)
             return
 
@@ -3970,6 +4103,7 @@ class TableValidator:
                 sub = TableValidator.__new__(TableValidator)
                 sub.sjots, sub.sjot = self.sjots, self.sjot
                 sub.extras_column = None
+                sub.root_value_column = None
                 sub._major = -1
                 sub.rules = []
                 sub._compile_struct_props([name], bdict, typepath)
@@ -4534,6 +4668,20 @@ class TableValidator:
         return verdict, violations, best
 
     def _violation(self, row, rule, item_idx, child_idx, values):
+        v = self._violation_inner(row, rule, item_idx, child_idx, values)
+        vc = self.root_value_column
+        if vc is not None:
+            # non-object root: the synthetic "$.<col>" prefix renders
+            # back to the reference's root datapath "$"
+            pref = f"$.{vc}"
+            dp = v["datapath"]
+            if dp == pref:
+                v["datapath"] = "$"
+            elif dp.startswith(pref + ".") or dp.startswith(pref + "["):
+                v["datapath"] = "$" + dp[len(pref):]
+        return v
+
+    def _violation_inner(self, row, rule, item_idx, child_idx, values):
         if rule.child:
             base = f"$.{rule.list_col}[{item_idx}]"
             datapath = f"{base}.{rule.field_name}" if rule.field_name else base
@@ -4656,7 +4804,15 @@ class TableValidator:
     def normalize_batch(self, batch: pa.Table) -> pa.Table:
         """Inject optional-property defaults (SURVEY.md §1.3) on typed
         columns. Arrow null ≡ absent, so no-default optionals need no
-        work, and set sorting applies only to set-typed list columns."""
+        work, and set sorting applies only to set-typed list columns.
+
+        Non-object roots (``value_column`` mode) have no optional
+        properties to default — scalar documents normalize to
+        themselves; container-root item normalization (null→default,
+        set sort) is a row-engine concern (``ValidateJsonColumn``) and
+        the batch passes through unchanged."""
+        if self.root_value_column is not None:
+            return batch
         out = batch
         for prop, proptype in self.root_type.items():
             if prop.startswith("("):

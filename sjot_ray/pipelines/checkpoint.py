@@ -65,6 +65,12 @@ def _process_shard(input_file: str, out_dir: str, idx: int, schema,
     hll = HyperLogLog(14)
     if tbl.num_rows:
         hll.add_hashes(hash64(out["doc_id"]))
+    # per-rule verdict histogram: manifests alone reconstruct the job
+    # summary (a resumed/summary-only run never re-reads the data)
+    rc = pa.table({"rule": pc.fill_null(out["v_rule"], "PASS")}) \
+        .group_by("rule").aggregate([([], "count_all")])
+    rule_counts = dict(zip(rc["rule"].to_pylist(),
+                           rc["count_all"].to_pylist()))
     manifest = {
         "partition": idx,
         "input_file": input_file,
@@ -76,6 +82,7 @@ def _process_shard(input_file: str, out_dir: str, idx: int, schema,
         "engine_version": engine_version,
         "completed_at": time.time(),
         "hll_doc_id": base64.b64encode(hll.serialize()).decode(),
+        "rule_counts": rule_counts,
     }
     mdir = os.path.join(out_dir, "_manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -158,6 +165,7 @@ def resumable_validate(input_dir: str, out_dir: str, schema=None,
 
     total = {"rows": 0, "rows_pass": 0, "rows_fail": 0}
     merged_hll = HyperLogLog(14)
+    rule_counts: dict = {}
     for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
         if f.endswith(".json"):
             with open(os.path.join(mdir, f)) as fh:
@@ -167,10 +175,13 @@ def resumable_validate(input_dir: str, out_dir: str, schema=None,
             if m.get("hll_doc_id"):
                 merged_hll.merge(HyperLogLog.deserialize(
                     base64.b64decode(m["hll_doc_id"]), 14))
+            for r, n in (m.get("rule_counts") or {}).items():
+                rule_counts[r] = rule_counts.get(r, 0) + n
     return {
         "partitions_total": len(shards),
         "partitions_processed": len(results),
         "partitions_skipped": skipped,
         **total,
         "distinct_doc_ids_est": round(merged_hll.estimate()),
+        "rule_counts": rule_counts,
     }

@@ -377,15 +377,41 @@ def test_json_stage_embedded_sjot_and_normalized(ray_session):
 
 
 def test_run_flagship_writes_partitioned_output(ray_session, tmp_path):
-    from sjot_ray.pipelines.flagship import run_flagship
-
-    out = str(tmp_path / "flag")
-    summary = run_flagship(3000, out_dir=out)
+    """The flagship write path IS the resumable checkpoint writer: every
+    output partition is manifest-covered, an interrupted run re-validates
+    ONLY the missing shards, the rerun output is byte-identical, and the
+    manifest-derived summary equals the streaming-path summary."""
     import os
 
-    files = os.listdir(f"{out}/validated")
-    assert len(files) >= 1 and all(f.endswith(".parquet") for f in files)
-    assert summary["n"].sum() == 3000
+    from sjot_ray.pipelines.flagship import FLAGSHIP_JOB_STATS, run_flagship
+
+    out = str(tmp_path / "flag")
+    n = 50_000  # 3 corpus shards → 3 addressable partitions
+    summary = run_flagship(n, out_dir=out)
+    vdir = f"{out}/validated"
+    files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+    assert len(files) == 3
+    assert os.path.isdir(f"{vdir}/_manifest")
+    assert summary["n"].sum() == n
+    assert FLAGSHIP_JOB_STATS["partitions_processed"] == len(files)
+    assert FLAGSHIP_JOB_STATS["rows"] == n
+
+    # streaming path and manifest path agree on the summary
+    streaming = run_flagship(n)
+    assert list(zip(streaming["rule"], streaming["n"])) == \
+        list(zip(summary["rule"], summary["n"]))
+
+    # interrupted-run resume: lose one finished partition (crash
+    # mid-run), rerun → exactly that shard re-validates, byte-identical
+    victim = files[1]
+    orig = open(f"{vdir}/{victim}", "rb").read()
+    os.remove(f"{vdir}/{victim}")
+    os.remove(f"{vdir}/_manifest/{victim.replace('.parquet', '.json')}")
+    summary2 = run_flagship(n, out_dir=out)
+    assert summary2.equals(summary)
+    assert FLAGSHIP_JOB_STATS["partitions_processed"] == 1
+    assert FLAGSHIP_JOB_STATS["partitions_skipped"] == len(files) - 1
+    assert open(f"{vdir}/{victim}", "rb").read() == orig
 
 
 def test_salted_sessions_match_plain_on_skewed_key(ray_session):
