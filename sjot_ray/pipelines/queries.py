@@ -1082,13 +1082,30 @@ ORACLE_SQL.update({
 
 
 def q_sample_documents(sf_dir: str):
-    """Seeded random sample (deterministic for a fixed block layout);
-    rows-only check by design — sampling is not SQL-reproducible."""
+    """Deterministic content-keyed 20% sample: keep rows where
+    ``(doc_id * 2654435761) mod 2^32 < 0.2 * 2^32`` (Knuth
+    multiplicative hash). Unlike ``ds.random_sample`` — whose output
+    depends on the physical block layout — a content-keyed sample is
+    reproducible across reruns, repartitions and engines; at 100 TB
+    reproducibility IS the operator (resumable pipelines re-derive the
+    same sample). Exact integer arithmetic ⇒ DuckDB hash oracle."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return _t(ds.random_sample(0.2, seed=42))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            < np.uint64(858993459)  # floor(0.2 * 2^32)
+        return t.filter(pa.array(m))
+
+    return _t(ds.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True))
 
 
 ORACLE_SQL.update({
+    "sample_documents": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+    """,
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "embedding_stats": """
         SELECT vec_id, len(embedding) AS dim,

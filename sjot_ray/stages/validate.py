@@ -54,7 +54,7 @@ class ValidateInterleavedDocs:
     with ``ray.put`` on the driver; each actor fetches it once)."""
 
     def __init__(self, schema=None, extras_column: str | None = "_extra_props",
-                 normalize: bool = True):
+                 normalize: bool = True, value_column: str | None = None):
         import ray
 
         # Ray workers inherit OMP_NUM_THREADS=1 → Arrow's CPU pool of 1,
@@ -70,7 +70,10 @@ class ValidateInterleavedDocs:
         if isinstance(schema, ray.ObjectRef):
             schema = ray.get(schema)
         schema = copy.deepcopy(schema)
-        self.tv = TableValidator(schema, extras_column=extras_column)
+        # value_column: validate a NON-OBJECT root type over that single
+        # document column (columnar root-value mode)
+        self.tv = TableValidator(schema, extras_column=extras_column,
+                                 value_column=value_column)
         self.normalize = normalize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -172,21 +175,25 @@ def violations_view(batch: pa.Table, id_column: str = "doc_id") -> pa.Table:
 _WORKER_VALIDATORS: dict = {}
 
 
-def make_validate_fn(schema, extras_column="_extra_props", normalize=True):
+def make_validate_fn(schema, extras_column="_extra_props", normalize=True,
+                     value_column=None):
     """A plain function for ``map_batches`` that lazily builds (once per
-    worker process) the same compiled validator the actor variant holds."""
+    worker process) the same compiled validator the actor variant holds.
+    ``value_column`` enables the columnar non-object-root mode (the
+    document is that single column's cell value)."""
     import json
 
     # NB: no sort_keys — SJOT property order IS the first-error-wins
     # rule order; reordering the dict would change which violation wins
-    key = (json.dumps(schema), extras_column, normalize)
+    key = (json.dumps(schema), extras_column, normalize, value_column)
 
     def validate_fn(batch: pa.Table) -> pa.Table:
         v = _WORKER_VALIDATORS.get(key)
         if v is None:
             v = ValidateInterleavedDocs(json.loads(key[0]),
                                         extras_column=extras_column,
-                                        normalize=normalize)
+                                        normalize=normalize,
+                                        value_column=value_column)
             _WORKER_VALIDATORS[key] = v
         return v(batch)
 

@@ -163,3 +163,22 @@ def test_root_value_node_anchor(ray_session):
         tv = TableValidator(schema, value_column="v")
         verdict, _, _ = tv.validate_batch(pa.table({"v": arr}))
         assert bool(verdict[i]) == bool(ref["valid"]), (schema, arr[i])
+
+
+def test_root_value_through_stage_surface(ray_session):
+    """The pipeline surface reaches root-value mode: a Dataset of scalar
+    documents validates against a non-object root via make_validate_fn
+    (per-worker cached compile), with root $ datapaths."""
+    import ray.data
+
+    from sjot_ray.stages.validate import make_validate_fn
+
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array([1, 5, 50, None], pa.int64())}))
+    out = ds.map_batches(
+        make_validate_fn({"@root": "1..10"}, extras_column=None,
+                         value_column="v"),
+        batch_format="pyarrow").to_pandas().sort_values("v", na_position="last")
+    assert out["verdict"].tolist() == [True, True, False, False]
+    bad = out[~out["verdict"]]
+    assert set(bad["v_datapath"]) == {"$"}
