@@ -14,6 +14,9 @@ import statistics
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 KEYED = ("q1_lineitem", "events_hourly", "dedup_exact",
          "uniqueness_events_user", "order_lineitem_join",
          "user_sessions_salted")
