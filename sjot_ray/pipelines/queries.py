@@ -360,6 +360,89 @@ def _np_round_away(x, ndigits: int):
     m = 10.0 ** ndigits
     return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
 
+def q_text_clean(sf_dir: str):
+    """Text cleaning/normalization stage (training-data prep): collapse
+    whitespace runs, trim, lowercase — three Arrow kernels per batch, no
+    Python per row. Output carries the cleaned text and its length;
+    DuckDB oracle reproduces it with regexp_replace/trim/lower."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        c = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], r"\s+", " ")))
+        return pa.table({"doc_id": t["doc_id"], "clean_text": c,
+                         "clean_chars": pc.cast(pc.utf8_length(c),
+                                                pa.int64())})
+
+    return _t(ds.map_batches(clean, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+def q_top_ngrams(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k word bigrams by frequency (the classic
+    training-data n-gram census). Per batch: regex tokenization, one
+    vectorized adjacent-token join (consecutive flat positions in the
+    same row), Arrow group-count partial; partials co-locate by
+    hash64(ngram) through the manual shuffle, each partition emits its
+    local top-k (an ngram's counts live wholly in one partition), and
+    the driver merges B×k candidate rows. Ties break on (count DESC,
+    ngram ASC) — deterministic and SQL-reproducible."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n_rows = _parquet_rows(sf_dir, "documents")
+    B = coarse_buckets(n_rows * 30)  # ~tokens per doc
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat = toks.flatten()
+        # drop empty tokens (regexp_extract_all('\\S+') parity)
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        row_of = row_of[nonempty]
+        m = len(flat)
+        if m < 2:
+            return pa.table({"hkey": pa.array([], pa.int64()),
+                             "ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_row = row_of[1:] == row_of[:-1]
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, m - 1), flat.slice(1), " ")
+        bigrams = bigrams.filter(pa.array(same_row))
+        g = pa.table({"ngram": bigrams}).group_by("ngram") \
+            .aggregate([([], "count_all")])
+        g = g.rename_columns(["ngram", "n"])
+        from ..state.sketches import hash64
+
+        return g.append_column(
+            "hkey", pa.array(hash64(g["ngram"]).astype(np.int64)))
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        agg = g.group_by("ngram").aggregate([("n", "sum")])
+        agg = agg.rename_columns(["ngram", "n"])
+        idx = pc.sort_indices(agg, sort_keys=[("n", "descending"),
+                                              ("ngram", "ascending")])
+        return agg.take(idx.slice(0, k))
+
+    empty = pa.table({"ngram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    parts = hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, topk_part, empty)
+    t = _t(parts)  # ≤ B×k candidate rows on the driver
+    if t.num_rows:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("ngram", "ascending")])
+        t = t.take(idx.slice(0, k))
+    return t
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace token counts, vectorized (count_substring_regex)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1102,6 +1185,25 @@ def q_sample_documents(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "text_clean": """
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                 AS clean_text,
+               length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 AS clean_chars
+        FROM documents
+    """,
+    "top_ngrams": """
+        WITH toks AS (
+          SELECT regexp_extract_all(text, '\\S+') AS w FROM documents),
+        grams AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                 AS ngram
+          FROM toks WHERE len(w) >= 2)
+        SELECT ngram, count(*) AS n FROM grams
+        GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+    """,
     "sample_documents": """
         SELECT doc_id, lang FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 < 858993459

@@ -1022,3 +1022,40 @@ def test_shuffle_owner_death_contract(ray_session):
     res = pa.concat_tables(list(
         out.iter_batches(batch_format="pyarrow", batch_size=None)))
     assert res.num_rows == 120 and set(res["n"].to_pylist()) == {1}
+
+
+def test_text_clean_and_top_ngrams_planted(ray_session, tmp_path):
+    """Planted-corpus spec for the two text ops: cleaning collapses and
+    lowercases exactly; the bigram census counts adjacent pairs within
+    (not across) documents with the deterministic tie order."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_text_clean, q_top_ngrams
+
+    texts = ["  Big  CAT \t sat  ", "big cat sat big cat", "", "solo",
+             "big cat"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+
+    got = q_text_clean(str(sf))
+    want = [re.sub(r"\s+", " ", s).strip().lower() for s in texts]
+    assert got["clean_text"].to_pylist() == want
+    assert got["clean_chars"].to_pylist() == [len(w) for w in want]
+
+    # expected bigrams: adjacent within each doc, case-sensitive raw text
+    exp = collections.Counter()
+    for s in texts:
+        w = re.findall(r"\S+", s)
+        for i in range(len(w) - 1):
+            exp[f"{w[i]} {w[i+1]}"] += 1
+    want_rows = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ng = q_top_ngrams(str(sf))
+    assert list(zip(ng["ngram"].to_pylist(), ng["n"].to_pylist())) == \
+        want_rows
+    assert exp["big cat"] == 3  # "Big CAT" stays case-sensitive
