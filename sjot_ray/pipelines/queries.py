@@ -443,6 +443,52 @@ def q_top_ngrams(sf_dir: str, k: int = 20):
     return t
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Population covariance matrix of the embedding columns — the
+    distributed-linear-algebra primitive under whitening / PCA /
+    drift-of-correlations checks. Per batch: one (n, Σx, ΣxxT) moment
+    partial (a single GEMM); the driver merges the tiny d×d partials and
+    emits (i, j, cov) rows. Nothing row-proportional ever reaches the
+    driver; at 10^12 rows the reduce is still d² floats per block.
+    DuckDB oracle: covar_pop over the unnested (vec_id, i, x) pairs."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t["embedding"])
+        d = X.shape[1]
+        s = X.sum(axis=0)
+        xx = X.T @ X
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "xx": pa.array([xx.ravel().tolist()], pa.list_(pa.float64())),
+            "d": pa.array([d], pa.int64())})
+
+    n_tot, s_tot, xx_tot, d = 0, None, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for k in range(b.num_rows):
+            d = int(b["d"][k].as_py())
+            n_tot += int(b["n"][k].as_py())
+            s_k = np.asarray(b["s"][k].as_py())
+            xx_k = np.asarray(b["xx"][k].as_py()).reshape(d, d)
+            s_tot = s_k if s_tot is None else s_tot + s_k
+            xx_tot = xx_k if xx_tot is None else xx_tot + xx_k
+    if n_tot == 0:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    mean = s_tot / n_tot
+    cov = xx_tot / n_tot - np.outer(mean, mean)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return pa.table({
+        "i": pa.array(ii.ravel(), pa.int64()),
+        "j": pa.array(jj.ravel(), pa.int64()),
+        "cov": pa.array(np.round(cov.ravel(), 9))})
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace token counts, vectorized (count_substring_regex)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1185,6 +1231,15 @@ def q_sample_documents(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "embedding_covariance": """
+        WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+        SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 9) AS cov
+        FROM u a JOIN u b USING (vec_id)
+        GROUP BY a.i, b.i
+    """,
     "text_clean": """
         SELECT doc_id,
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))

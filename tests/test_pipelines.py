@@ -1059,3 +1059,27 @@ def test_text_clean_and_top_ngrams_planted(ray_session, tmp_path):
     assert list(zip(ng["ngram"].to_pylist(), ng["n"].to_pylist())) == \
         want_rows
     assert exp["big cat"] == 3  # "Big CAT" stays case-sensitive
+
+
+def test_embedding_covariance_matches_numpy(ray_session, tmp_path):
+    """Moment-partial covariance (one GEMM per batch, d×d driver merge)
+    equals np.cov(bias=True) on planted vectors across multiple blocks."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_embedding_covariance
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(500, 6)).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(X.ravel(), pa.float32()), 6).cast(pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(range(500), pa.int64()),
+                  "embedding": emb})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=64)
+
+    got = q_embedding_covariance(str(sf))
+    assert got.num_rows == 36
+    C = np.asarray(got["cov"].to_pylist()).reshape(6, 6)
+    want = np.cov(X.astype(np.float64).T, bias=True)
+    assert np.allclose(C, want, atol=1e-8)
