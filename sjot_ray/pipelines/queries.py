@@ -489,6 +489,57 @@ def q_embedding_covariance(sf_dir: str):
         "cov": pa.array(np.round(cov.ravel(), 9))})
 
 
+def pca_project(ds: "ray.data.Dataset", n_components: int,
+                emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed PCA projection over an embedding column: the
+    covariance comes from the same mergeable (n, Σx, ΣxxT) moment
+    partials as :func:`q_embedding_covariance` (one GEMM per batch,
+    d×d driver merge — row-count-independent driver work), the
+    eigendecomposition is a d×d driver `eigh`, and the projection is
+    one broadcast matmul per batch. Components are sign-canonicalized
+    (largest-|loading| coordinate made positive) so the output is
+    deterministic. Returns a Dataset of (id, components list)."""
+    def moments(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t[emb_col])
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "xx": pa.array([(X.T @ X).ravel().tolist()],
+                           pa.list_(pa.float64()))})
+
+    n_tot, s_tot, xx_tot = 0, None, None
+    for b in ds.map_batches(moments, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for k in range(b.num_rows):
+            n_tot += int(b["n"][k].as_py())
+            s_k = np.asarray(b["s"][k].as_py())
+            d = len(s_k)
+            xx_k = np.asarray(b["xx"][k].as_py()).reshape(d, d)
+            s_tot = s_k if s_tot is None else s_tot + s_k
+            xx_tot = xx_k if xx_tot is None else xx_tot + xx_k
+    mean = s_tot / max(n_tot, 1)
+    cov = xx_tot / max(n_tot, 1) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)          # ascending eigenvalues
+    comps = V[:, ::-1][:, :n_components]  # top components, columns
+    # canonical sign: the largest-|loading| coordinate is positive
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])]
+    comps = comps * np.where(flip < 0, -1.0, 1.0)
+    state = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean_w, comps_w = ray.get(state)
+        X = _emb_matrix(t[emb_col])
+        P = (X - mean_w) @ comps_w
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(X) + 1) * P.shape[1], pa.int32()),
+            pa.array(P.ravel()))
+        return pa.table({id_col: t[id_col], "components": lst})
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace token counts, vectorized (count_substring_regex)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -1083,3 +1083,41 @@ def test_embedding_covariance_matches_numpy(ray_session, tmp_path):
     C = np.asarray(got["cov"].to_pylist()).reshape(6, 6)
     want = np.cov(X.astype(np.float64).T, bias=True)
     assert np.allclose(C, want, atol=1e-8)
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed PCA (moment partials → driver eigh → broadcast
+    projection) equals the numpy reference projection on planted data
+    with a dominant planted direction."""
+    import ray.data
+
+    from sjot_ray.pipelines.queries import pca_project
+
+    rng = np.random.default_rng(29)
+    d, n = 8, 600
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = (rng.normal(size=(n, 1)) * 5) * direction[None, :] \
+        + 0.3 * rng.normal(size=(n, d))
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(X.astype(np.float32).ravel(), pa.float32()), d).cast(
+        pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": emb})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    out = pca_project(ds, 2).to_pandas().sort_values("vec_id")
+    P = np.asarray(out["components"].tolist())
+    assert P.shape == (n, 2)
+
+    Xd = X.astype(np.float32).astype(np.float64)
+    mean = Xd.mean(axis=0)
+    cov = np.cov(Xd.T, bias=True)
+    w, V = np.linalg.eigh(cov)
+    comps = V[:, ::-1][:, :2]
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(2)]
+    comps = comps * np.where(flip < 0, -1.0, 1.0)
+    want = (Xd - mean) @ comps
+    assert np.allclose(P, want, atol=1e-6)
+    # the first component recovers the planted direction
+    assert abs(np.dot(comps[:, 0], direction)) > 0.99
