@@ -124,6 +124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     try:
+        from sjot_ray.pipelines import temporal as T
+
+        d["asof_purchase_click"] = T.q_asof_purchase_click
+        d["events_window"] = T.q_events_window
+        d["order_shipments_window"] = T.q_order_shipments_window
+    except ImportError:
+        pass
+    try:
         from sjot_ray.pipelines import drift as DR
 
         d["drift_lineitem_price"] = DR.q_drift_lineitem_price
@@ -180,8 +188,10 @@ def _ensure_violation_sidecars() -> None:
 
 def oracle_sql() -> dict[str, str]:
     from sjot_ray.pipelines.queries import ORACLE_SQL
+    from sjot_ray.pipelines.temporal import TEMPORAL_ORACLE_SQL
 
     d = dict(ORACLE_SQL)
+    d.update(TEMPORAL_ORACLE_SQL)
     _ensure_violation_sidecars()
     d["flagship_violations"] = """
         SELECT doc_id, datapath, typepath, what, value_repr

@@ -1,0 +1,444 @@
+"""Temporal operators Ray Data lacks natively: distributed AS-OF join,
+per-key window functions (lag / row_number / running max), and a
+big-big time-band RANGE join — each expressed as a hash-partitioned
+shuffle (pipelines/shuffle.py) with fully vectorized per-partition
+kernels, the composition the brief prescribes for operators the Dataset
+API can't express directly.
+
+Partitioning assumptions (documented per the brief):
+* ``asof_join`` / ``window_funcs``: all rows of one key fit one reduce
+  task (same contract as sessionize_salted's merge phase — per-user
+  event counts are bounded; a pathological hot key would need the salt
+  treatment sessionize_salted demonstrates).
+* ``range_join_count``: the probe window must be narrower than the time
+  bucket (window ≤ BUCKET_DAYS days ⇒ ≤ 2 probed buckets per probe
+  row); one bucket's build rows fit one reduce task (buckets are
+  fixed-width time slices, so skew is bounded by event-rate skew, not
+  key skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..state.sketches import rehash
+from .shuffle import coarse_buckets, hash_shuffle_apply
+
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+def _i64(col) -> np.ndarray:
+    """int64 numpy view of an int/timestamp Arrow column. Nulls (the
+    other side's rows in a union-schema shuffle) become 0 — callers mask
+    them by side, and filling avoids the lossy float64 round-trip Arrow
+    uses for nullable-to-numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    if col.null_count:
+        col = pc.fill_null(col, 0)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _hkey(keys: np.ndarray) -> pa.Array:
+    """Well-mixed shuffle key (plain ``% B`` on raw keys would stripe)."""
+    return pa.array(rehash(keys.view(np.uint64), 17).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join
+
+
+def asof_join(probe: "ray.data.Dataset", source: "ray.data.Dataset",
+              key_col: str, ts_col: str, tie_col: str,
+              carry_cols: list[str], n_rows: int | None = None,
+              prefix: str = "prior_") -> "ray.data.Dataset":
+    """For every probe row, attach ``carry_cols`` of the LATEST source
+    row of the same key that is STRICTLY earlier by the total order
+    ``(ts, tie)`` — the classic as-of (backward) join, distributed as:
+
+    1. tag both sides into one union schema (probe extras are null on
+       source rows and vice versa),
+    2. hash-shuffle by key so every key's rows co-locate,
+    3. per partition: one vectorized sort by ``(key, ts, tie, side)``
+       with probe-before-source at exact ties (strict '<' semantics),
+       then a single ``np.maximum.accumulate`` over source positions —
+       each probe row reads the last source index in its prefix, and a
+       key-equality check masks leakage across key boundaries.
+
+    No per-row Python; the whole partition is O(n log n) in the sort.
+    ``tie_col`` must make ``(ts, tie)`` a total order per key (use a
+    unique row id); carried columns are null where no source precedes.
+    """
+    probe_schema = probe.schema().base_schema \
+        if hasattr(probe.schema(), "base_schema") else probe.schema()
+    source_schema = source.schema().base_schema \
+        if hasattr(source.schema(), "base_schema") else source.schema()
+    probe_cols = list(probe_schema.names)
+    out_names = probe_cols + [prefix + c for c in carry_cols]
+
+    if n_rows is None:
+        n_rows = probe.count() + source.count()
+    B = coarse_buckets(n_rows, cap=1024)
+
+    def _tag(side: int):
+        # capture plain pyarrow schemas, never the Datasets themselves
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict = {"hkey": _hkey(_i64(t[key_col])),
+                          "side": pa.array(np.full(n, side, np.int8))}
+            for c in probe_cols:
+                cols[c] = t[c] if side == 0 else pa.nulls(
+                    n, probe_schema.field(c).type)
+            for c in carry_cols:
+                cols["__src_" + c] = t[c] if side == 1 else pa.nulls(
+                    n, source_schema.field(c).type)
+            if side == 1:  # source rows still need the join coordinates
+                cols[key_col] = t[key_col]
+                cols[ts_col] = t[ts_col]
+                cols[tie_col] = t[tie_col]
+            return pa.table(cols)
+        return fn
+
+    tagged = probe.map_batches(_tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        source.map_batches(_tag(1), batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def within(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                          (tie_col, "ascending"), ("side", "ascending")])
+        g = g.take(idx)
+        key = _i64(g[key_col])
+        is_src = _i64(g["side"]) == 1
+        n = len(key)
+        last_src = np.maximum.accumulate(
+            np.where(is_src, np.arange(n, dtype=np.int64), -1))
+        probe_pos = np.nonzero(~is_src)[0]
+        match = last_src[probe_pos]
+        ok = (match >= 0)
+        ok &= key[match.clip(min=0)] == key[probe_pos]
+        cols = {c: g[c].take(pa.array(probe_pos)) for c in probe_cols}
+        take_idx = np.where(ok, match, -1)
+        for c in carry_cols:
+            src = g["__src_" + c].combine_chunks() \
+                if isinstance(g["__src_" + c], pa.ChunkedArray) \
+                else g["__src_" + c]
+            taken = src.take(pa.array(take_idx.clip(min=0)))
+            cols[prefix + c] = pc.if_else(pa.array(ok), taken,
+                                          pa.nulls(len(ok), src.type))
+        return pa.table(cols)
+
+    empty = pa.table({
+        **{c: pa.nulls(0, probe_schema.field(c).type)
+           for c in probe_cols},
+        **{prefix + c: pa.nulls(0, source_schema.field(c).type)
+           for c in carry_cols}}).select(out_names)
+    return hash_shuffle_apply(tagged, "hkey", B, within, empty)
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """AS-OF join inside the events stream: every 'purchase' event picks
+    up the id and value of the same user's most recent earlier 'click'
+    (strictly earlier by (ts, event_id)). Oracle: DuckDB
+    last_value(... IGNORE NULLS) over the interleaved per-user log."""
+    from .queries import _read, _t
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pick(kind: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
+        return fn
+
+    probe = ev.map_batches(pick("purchase", ["event_id", "user_id", "ts"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    source = ev.map_batches(
+        pick("click", ["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from .queries import _parquet_rows
+
+    out = asof_join(probe, source, key_col="user_id", ts_col="ts",
+                    tie_col="event_id", carry_cols=["event_id", "value"],
+                    prefix="prior_click_",
+                    n_rows=_parquet_rows(sf_dir, "events"))
+    t = _t(out).rename_columns(
+        ["event_id", "user_id", "ts", "prior_click_id",
+         "prior_click_value"])
+    return t.sort_by("event_id")
+
+
+# ---------------------------------------------------------------------------
+# per-key window functions
+
+
+def window_funcs(ds: "ray.data.Dataset", key_col: str, ts_col: str,
+                 tie_col: str, val_col: str,
+                 n_rows: int | None = None) -> "ray.data.Dataset":
+    """SQL window functions over ``PARTITION BY key ORDER BY (ts, tie)``
+    without a global sort: hash-partition by key, then one vectorized
+    pass per partition computes
+
+    * ``prev_delta_us`` — lag difference of ``ts`` in microseconds
+      (null on each key's first row),
+    * ``row_number`` — 1-based rank within the key,
+    * ``running_max`` — cumulative max of ``val_col`` (an
+      order-insensitive aggregate, so it is bit-exact regardless of the
+      engine's accumulation tree — unlike a running float SUM).
+    """
+    if n_rows is None:
+        n_rows = ds.count()
+    B = coarse_buckets(n_rows, cap=1024)
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t[key_col])))
+
+    def within(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                          (tie_col, "ascending")])
+        g = g.take(idx)
+        key = _i64(g[key_col])
+        ts = _i64(g[ts_col])
+        val = g[val_col].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(g[val_col], pa.ChunkedArray) \
+            else g[val_col].to_numpy(zero_copy_only=False)
+        n = len(key)
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        run = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rn = np.arange(n, dtype=np.int64) - starts[run] + 1
+        delta = np.empty(n, dtype=np.int64)
+        delta[1:] = ts[1:] - ts[:-1]
+        delta[new] = 0
+        run_max = _segmented_cummax(val, run)
+        return pa.table({
+            key_col: g[key_col],
+            tie_col: g[tie_col],
+            "prev_delta_us": pc.if_else(
+                pa.array(~new), pa.array(delta), pa.nulls(n, pa.int64())),
+            "row_number": pa.array(rn),
+            "running_max": pa.array(run_max, pa.float64()),
+        })
+
+    empty = pa.table({
+        key_col: pa.nulls(0, schema.field(key_col).type),
+        tie_col: pa.nulls(0, schema.field(tie_col).type),
+        "prev_delta_us": pa.nulls(0, pa.int64()),
+        "row_number": pa.nulls(0, pa.int64()),
+        "running_max": pa.nulls(0, pa.float64()),
+    })
+    return hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, within, empty)
+
+
+def _segmented_cummax(val: np.ndarray, run: np.ndarray) -> np.ndarray:
+    """Cumulative max that resets at each new ``run`` id (runs are
+    contiguous). pandas' grouped cummax is a comparison-only C kernel —
+    EXACT on floats, unlike an arithmetic lift-and-accumulate trick
+    whose add/subtract round-trip can perturb the 1e-6 digit the
+    correctness gate hashes."""
+    import pandas as pd
+
+    if len(val) == 0:
+        return val.astype(np.float64)
+    return pd.Series(val.astype(np.float64)).groupby(run).cummax() \
+        .to_numpy()
+
+
+def q_events_window(sf_dir: str):
+    """Per-user window functions over the events stream: lag-delta in
+    µs, row_number, running max(value) ordered by (ts, event_id)."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = window_funcs(ds, key_col="user_id", ts_col="ts",
+                       tie_col="event_id", val_col="value",
+                       n_rows=_parquet_rows(sf_dir, "events"))
+    return _t(out).sort_by("event_id")
+
+
+# ---------------------------------------------------------------------------
+# big-big time-band RANGE join
+
+BUCKET_DAYS = 32
+
+
+def range_join_count(build: "ray.data.Dataset", build_ts: str,
+                     probe: "ray.data.Dataset", probe_id: str,
+                     probe_ts: str, window_days: int,
+                     n_rows: int | None = None) -> "ray.data.Dataset":
+    """Count, for every probe row, the build rows whose day-granular
+    timestamp falls in ``[probe_ts, probe_ts + window_days)`` — a
+    big-big interval join with NO equi key, distributed by
+    time-bucketing both sides (bucket = day // BUCKET_DAYS):
+
+    * build rows go to their bucket;
+    * each probe row fans out to the ≤ 2 buckets its window overlaps
+      (requires ``window_days ≤ BUCKET_DAYS``), its window clamped to
+      that bucket's day range so buckets count disjointly;
+    * per partition: sort the build days once, answer every probe with
+      two ``np.searchsorted`` calls;
+    * per-bucket partial counts groupby-sum back to one row per probe
+      id (zero-count probes drop out — inner-join semantics).
+
+    Both sides stream; no broadcast of either side; partition size is
+    bounded by the event rate of a fixed time slice.
+    """
+    if window_days > BUCKET_DAYS:
+        raise ValueError(f"window_days must be <= {BUCKET_DAYS}")
+    if n_rows is None:
+        n_rows = build.count()
+    B = min(256, coarse_buckets(n_rows, rows_per_part=200_000, cap=256))
+    W = np.int64(window_days)
+    BD = np.int64(BUCKET_DAYS)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        day = _i64(t[build_ts]) // _US_PER_DAY
+        b = day // BD
+        n = len(day)
+        return pa.table({
+            "hkey": _hkey(b), "side": pa.array(np.zeros(n, np.int8)),
+            "day": pa.array(day), "pid": pa.nulls(n, pa.int64()),
+            "lo": pa.nulls(n, pa.int64()), "hi": pa.nulls(n, pa.int64())})
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        lo = _i64(t[probe_ts]) // _US_PER_DAY
+        hi = lo + W                       # exclusive
+        pid = _i64(t[probe_id])
+        b0 = lo // BD
+        b1 = (hi - 1) // BD
+        parts = []
+        for b in (b0, np.where(b1 != b0, b1, np.int64(-1))):
+            keep = b >= 0
+            bb, pl, ph, pp = b[keep], lo[keep], hi[keep], pid[keep]
+            parts.append(pa.table({
+                "hkey": _hkey(bb),
+                "side": pa.array(np.ones(keep.sum(), np.int8)),
+                "day": pa.array(bb),  # bucket id rides in `day` for probes
+                "pid": pa.array(pp),
+                "lo": pa.array(np.maximum(pl, bb * BD)),
+                "hi": pa.array(np.minimum(ph, (bb + 1) * BD))}))
+        return pa.concat_tables(parts)
+
+    tagged = build.map_batches(tag_build, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        probe.map_batches(tag_probe, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def within(g: pa.Table) -> pa.Table:
+        side = _i64(g["side"])
+        day = _i64(g["day"])
+        ships = np.sort(day[side == 0])
+        is_p = side == 1
+        lo = _i64(g["lo"])[is_p]
+        hi = _i64(g["hi"])[is_p]
+        pid = _i64(g["pid"])[is_p]
+        n = np.searchsorted(ships, hi, "left") - \
+            np.searchsorted(ships, lo, "left")
+        keep = n > 0
+        return pa.table({"pid": pa.array(pid[keep]),
+                         "n": pa.array(n[keep].astype(np.int64))})
+
+    empty = pa.table({"pid": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    parts = hash_shuffle_apply(tagged, "hkey", B, within, empty)
+
+    def merge(g: pa.Table) -> pa.Table:
+        pid = _i64(g["pid"])
+        n = _i64(g["n"])
+        order = np.argsort(pid, kind="stable")
+        pid, n = pid[order], n[order]
+        newk = np.ones(len(pid), dtype=bool)
+        newk[1:] = pid[1:] != pid[:-1]
+        starts = np.nonzero(newk)[0]
+        return pa.table({
+            "pid": pa.array(pid[starts]),
+            "n": pa.array(np.add.reduceat(n, starts)
+                          if len(starts) else n[:0])})
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey2", _hkey(_i64(t["pid"])))
+
+    B2 = coarse_buckets(n_rows, rows_per_part=800_000, cap=512)
+    return hash_shuffle_apply(
+        parts.map_batches(rekey, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "hkey2", B2, merge,
+        pa.table({"pid": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())}))
+
+
+def q_order_shipments_window(sf_dir: str):
+    """RANGE join orders × lineitem with no equi key: per order, how
+    many lineitems (of ANY order) shipped in the 7 days from its order
+    date. 150K × 600K at sf0.1 — the time-bucket co-partition keeps it
+    off the O(n·m) cliff the SQL engines' IEJoin exists for."""
+    from .queries import _parquet_rows, _read, _t
+
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    out = range_join_count(li, "l_shipdate", orders, "o_orderkey",
+                           "o_orderdate", window_days=7,
+                           n_rows=_parquet_rows(sf_dir, "lineitem"))
+    t = _t(out).rename_columns(["o_orderkey", "n_shipped_7d"])
+    return t.sort_by("o_orderkey")
+
+
+TEMPORAL_ORACLE_SQL: dict[str, str] = {
+    "asof_purchase_click": """
+        WITH s AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type = 'click' THEN event_id END
+                   AS click_id,
+                 CASE WHEN event_type = 'click' THEN value END
+                   AS click_value
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ), w AS (
+          SELECT event_id, user_id, ts, event_type,
+                 last_value(click_id IGNORE NULLS) OVER win
+                   AS prior_click_id,
+                 last_value(click_value IGNORE NULLS) OVER win
+                   AS prior_click_value
+          FROM s
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts, prior_click_id, prior_click_value
+        FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "events_window": """
+        SELECT user_id, event_id,
+               date_diff('microsecond', lag(ts) OVER win, ts)
+                 AS prev_delta_us,
+               row_number() OVER win AS row_number,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running_max
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "order_shipments_window": """
+        SELECT o.o_orderkey, count(*) AS n_shipped_7d
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey
+    """,
+}
