@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     try:
+        from sjot_ray.pipelines import quantiles as QT
+
+        d["quantiles_lineitem_price"] = QT.q_quantiles_lineitem_price
+    except ImportError:
+        pass
+    try:
         from sjot_ray.pipelines import drift as DR
 
         d["drift_lineitem_price"] = DR.q_drift_lineitem_price
@@ -187,11 +193,13 @@ def _ensure_violation_sidecars() -> None:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sjot_ray.pipelines.quantiles import QUANTILES_ORACLE_SQL
     from sjot_ray.pipelines.queries import ORACLE_SQL
     from sjot_ray.pipelines.temporal import TEMPORAL_ORACLE_SQL
 
     d = dict(ORACLE_SQL)
     d.update(TEMPORAL_ORACLE_SQL)
+    d.update(QUANTILES_ORACLE_SQL)
     _ensure_violation_sidecars()
     d["flagship_violations"] = """
         SELECT doc_id, datapath, typepath, what, value_repr

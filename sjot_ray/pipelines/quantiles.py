@@ -1,0 +1,179 @@
+"""EXACT distributed quantiles — the hard-oracle companion to the KLL /
+t-digest sketches in pipelines/drift.py (which are approximate by
+design and therefore rows-only at the gate).
+
+Algorithm: histogram-refinement selection. Each level histograms the
+(filtered) column into K fixed buckets with ONE streaming pass (per-batch
+nonzero (bucket, count) partials → small keyed groupby-sum → ≤K rows on
+the driver), locates the bucket holding each target rank, then either
+
+* collects that bucket's values exactly (a second streaming pass that
+  ships ONLY the ≤ ~n/K matching values to the driver), or
+* recurses into the bucket when it still holds more than ``collect_cap``
+  values (mass concentration / extreme scale): at 10^12 rows and
+  K = 2048, level 1 buckets hold ~5×10^8 values, level 2 ~2.4×10^5 — two
+  levels reach driver-collectable size with 2 passes per level.
+
+Bucket membership is decided by ONE shared function (`_bucket_ids`) used
+identically in the histogram and collect passes, so float rounding at
+bucket edges cannot desynchronize them; recursion filters by the parent
+bucket-id CHAIN rather than recomputed float ranges for the same reason.
+Ranks are exact integer arithmetic: rank(p) = max(1, ceil(p·n/100)) =
+max(1, (p·n + 99) // 100) — matching the SQL oracle digit for digit.
+Nulls are excluded (SQL ORDER BY semantics over a WHERE NOT NULL scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _bucket_ids(v: np.ndarray, lo: float, hi: float, K: int) -> np.ndarray:
+    """Bucket index in [0, K) for finite float values in [lo, hi]."""
+    if hi <= lo:
+        return np.zeros(len(v), dtype=np.int64)
+    idx = np.floor((v - lo) * (K / (hi - lo))).astype(np.int64)
+    return np.clip(idx, 0, K - 1)
+
+
+def _col_values(t: pa.Table, col: str) -> np.ndarray:
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if c.null_count:
+        c = c.drop_null()
+    return c.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _chain_mask(v: np.ndarray, chain) -> np.ndarray:
+    """Rows whose bucket id matches every (lo, hi, K, b) level filter."""
+    m = np.ones(len(v), dtype=bool)
+    for lo, hi, K, b in chain:
+        m &= _bucket_ids(v, lo, hi, K) == b
+    return m
+
+
+def _histogram(ds, col: str, chain, lo: float, hi: float, K: int):
+    """One streaming histogram pass → (bucket ids, counts) sorted."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = _col_values(t, col)
+        v = v[_chain_mask(v, chain)]
+        cnt = np.bincount(_bucket_ids(v, lo, hi, K), minlength=K)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").sum("cnt")
+    rows = agg.take_all()   # ≤ K tiny rows
+    b = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    c = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    order = np.argsort(b)
+    return b[order], c[order]
+
+
+def _collect(ds, col: str, chain) -> np.ndarray:
+    """Ship exactly the chain-matching values to the driver, sorted."""
+    def keep(t: pa.Table) -> pa.Table:
+        v = _col_values(t, col)
+        return pa.table({"v": pa.array(v[_chain_mask(v, chain)])})
+
+    out = ds.map_batches(keep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    vals = np.concatenate(
+        [b["v"].to_numpy(zero_copy_only=False)
+         for b in out.iter_batches(batch_format="pyarrow")] or
+        [np.array([], np.float64)])
+    return np.sort(vals)
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str, pcts: list[int],
+                    K: int = 2048, collect_cap: int = 4_000_000,
+                    max_depth: int = 4) -> pa.Table:
+    """Exact percentile values of ``ds[col]``: for each integer percent
+    p, the value at 1-based rank max(1, ceil(p·n/100)) of the sorted
+    non-null column. Returns a (pct, value) table ordered by pct."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col), Max(col))
+    glo, ghi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+
+    buckets, counts = _histogram(ds, col, [], glo, ghi, K)
+    n = int(counts.sum())
+    if n == 0:
+        return pa.table({"pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    ranks = {p: max(1, (p * n + 99) // 100) for p in pcts}
+
+    def solve(chain, lo, hi, b, c, rank_items, depth) -> dict[int, float]:
+        """rank_items: [(pct, rank-within-this-range 1-based)] sorted."""
+        out: dict[int, float] = {}
+        cum = np.concatenate([[0], np.cumsum(c)])
+        # group ranks by the bucket that contains them
+        by_bucket: dict[int, list] = {}
+        for pct, r in rank_items:
+            # counts are > 0, so cum is strictly increasing: the unique i
+            # with cum[i] < r <= cum[i+1] is searchsorted(left) - 1
+            i = int(np.searchsorted(cum, r, side="left")) - 1
+            i = max(0, min(i, len(b) - 1))
+            by_bucket.setdefault(i, []).append((pct, r - cum[i]))
+        for i, items in sorted(by_bucket.items()):
+            sub_chain = chain + [(lo, hi, K, int(b[i]))]
+            blo = lo + (hi - lo) * (int(b[i]) / K)
+            bhi = lo + (hi - lo) * ((int(b[i]) + 1) / K)
+            if int(c[i]) > collect_cap and bhi <= blo:
+                # zero-width bucket past the collect budget: an
+                # equal-value mass no split can separate — all its
+                # values agree with the range's low end to float
+                # resolution, so answer directly instead of shipping
+                # an unbounded value list to the driver
+                for pct, _ in items:
+                    out[pct] = blo
+            elif int(c[i]) > collect_cap and depth < max_depth:
+                sb, sc = _histogram(ds, col, sub_chain, blo, bhi, K)
+                out.update(solve(sub_chain, blo, bhi, sb, sc,
+                                 sorted(items, key=lambda x: x[1]),
+                                 depth + 1))
+            else:
+                vals = _collect(ds, col, sub_chain)
+                for pct, rr in items:
+                    out[pct] = float(vals[rr - 1])
+        return out
+
+    res = solve([], glo, ghi, buckets, counts,
+                sorted(ranks.items(), key=lambda x: x[1]), 1)
+    ps = sorted(pcts)
+    return pa.table({"pct": pa.array(ps, pa.int64()),
+                     "value": pa.array([res[p] for p in ps],
+                                       pa.float64())})
+
+
+def q_quantiles_lineitem_price(sf_dir: str):
+    """Exact deciles/tails of l_extendedprice — hash-oracled against a
+    DuckDB row_number() rank selection (same integer rank formula)."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice",
+                           [1, 10, 25, 50, 75, 90, 99])
+
+
+QUANTILES_ORACLE_SQL: dict[str, str] = {
+    "quantiles_lineitem_price": """
+        WITH r AS (SELECT l_extendedprice AS v,
+                          row_number() OVER (ORDER BY l_extendedprice)
+                            AS rn,
+                          count(*) OVER () AS n
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT p.pct, r.v AS value
+        FROM (VALUES (1), (10), (25), (50), (75), (90), (99)) p(pct)
+        JOIN r ON r.rn = greatest(1, (p.pct * r.n + 99) // 100)
+        ORDER BY p.pct
+    """,
+}
