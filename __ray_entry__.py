@@ -98,9 +98,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # non-SQL-expressible pipelines (rows-only checks)
     d["ann_ivf_topk"] = Q.q_ann_ivf_topk
     try:
-        from sjot_ray.pipelines.ivf import q_ann_ivf_partitioned
+        from sjot_ray.pipelines.ivf import (q_ann_ivf_fullprobe,
+                                            q_ann_ivf_partitioned)
 
         d["ann_ivf_partitioned"] = q_ann_ivf_partitioned
+        d["ann_ivf_fullprobe"] = q_ann_ivf_fullprobe
     except ImportError:
         pass
     d["flagship_interleaved"] = _flagship_summary
@@ -200,6 +202,9 @@ def oracle_sql() -> dict[str, str]:
     d = dict(ORACLE_SQL)
     d.update(TEMPORAL_ORACLE_SQL)
     d.update(QUANTILES_ORACLE_SQL)
+    # full-probe IVF must reproduce the exact brute-force ranking, so it
+    # shares the ann_cosine_topk oracle (full-probe ≡ exact, tests/test_ivf.py)
+    d["ann_ivf_fullprobe"] = d["ann_cosine_topk"]
     _ensure_violation_sidecars()
     d["flagship_violations"] = """
         SELECT doc_id, datapath, typepath, what, value_repr

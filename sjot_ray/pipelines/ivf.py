@@ -346,3 +346,13 @@ def q_ann_ivf_partitioned(sf_dir: str):
     design; full probe ≡ exact baseline is the correctness evidence,
     tests/test_ivf.py)."""
     return ivf_topk(sf_dir)
+
+
+def q_ann_ivf_fullprobe(sf_dir: str):
+    """queries() entry: the SAME cluster-partitioned index queried at
+    nprobe = n_clusters — reads every partition file and must reproduce
+    the exact brute-force ranking, so it carries a HARD hash oracle (the
+    ann_cosine_topk SQL): the full-probe ≡ exact property the unit tests
+    assert, enforced by the driver gate on the real corpus too."""
+    n_clusters = default_n_clusters(_parquet_rows(sf_dir, "embeddings"))
+    return ivf_topk(sf_dir, n_clusters=n_clusters, nprobe=n_clusters)
