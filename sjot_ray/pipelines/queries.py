@@ -1753,3 +1753,248 @@ ORACLE_SQL["components_order_part"] = """
     )
     SELECT node, MIN(label) AS label FROM lbl GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: pivot / rollup (conditional aggregation, grouping sets)
+
+def q_pivot_doc_length(sf_dir: str):
+    """Pivot: per-lang document counts across fixed n_chars buckets
+    (<100 / 100-199 / >=200) as COLUMNS — the conditional-aggregation
+    pivot shape. Per batch: three vectorized indicator columns summed
+    per lang (an Arrow group-count partial), then a tiny keyed groupby;
+    the shuffle moves ≤ langs×3 ints per block regardless of input
+    size."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"]
+        i64 = pa.int64()
+        ind = pa.table({
+            "lang": t["lang"],
+            "n_short": pc.cast(pc.less(nc, 100), i64),
+            "n_mid": pc.cast(pc.and_(pc.greater_equal(nc, 100),
+                                     pc.less(nc, 200)), i64),
+            "n_long": pc.cast(pc.greater_equal(nc, 200), i64),
+        })
+        g = ind.group_by("lang").aggregate([("n_short", "sum"),
+                                            ("n_mid", "sum"),
+                                            ("n_long", "sum")])
+        return g.rename_columns(["lang", "n_short", "n_mid", "n_long"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang").sum(["n_short", "n_mid", "n_long"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_short": pc.cast(t["sum(n_short)"], pa.int64()),
+            "n_mid": pc.cast(t["sum(n_mid)"], pa.int64()),
+            "n_long": pc.cast(t["sum(n_long)"], pa.int64()),
+        })
+
+    return _t(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): revenue + count
+    at the finest level, per-priority subtotals, and a grand total.
+    Distributed plan: ONE finest-level keyed aggregate (the only
+    shuffle; its result is |priorities×statuses| rows), then the coarser
+    grouping-set levels are derived from that small table on the driver
+    — sums are additive, so no second pass over the data. Rounding
+    happens per OUTPUT row after each level's raw-sum fold (matching
+    SQL's ROUND(SUM(..)) per rollup row)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus",
+                                 "rev", "cnt"])
+
+    fine = _t(ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .sum(["rev", "cnt"]))
+    pdf = fine.to_pandas().rename(columns={"sum(rev)": "rev",
+                                           "sum(cnt)": "cnt"})
+    lvl1 = (pdf.groupby("o_orderpriority", as_index=False)
+            [["rev", "cnt"]].sum())
+    lvl1["o_orderstatus"] = "ALL"
+    lvl0 = pd.DataFrame({"o_orderpriority": ["ALL"],
+                         "o_orderstatus": ["ALL"],
+                         "rev": [pdf["rev"].sum()],
+                         "cnt": [pdf["cnt"].sum()]})
+    out = pd.concat([pdf, lvl1, lvl0], ignore_index=True)
+    out = out.sort_values(["o_orderpriority", "o_orderstatus"])
+    # _np_round_away (x*10^d + 0.5 → floor → /10^d) reproduces DuckDB's
+    # ROUND bit-for-bit; pc.round lands on a 1-ULP-different double here
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "revenue": pa.array(
+            _np_round_away(out["rev"].to_numpy(), 2), pa.float64()),
+        "n_orders": pa.array(out["cnt"].astype("int64"), pa.int64()),
+    })
+
+
+ORACLE_SQL.update({
+    "pivot_doc_length": """
+        SELECT lang,
+               count(*) FILTER (WHERE n_chars < 100) AS n_short,
+               count(*) FILTER (WHERE n_chars >= 100 AND n_chars < 200)
+                 AS n_mid,
+               count(*) FILTER (WHERE n_chars >= 200) AS n_long
+        FROM documents GROUP BY lang
+    """,
+    "rollup_orders": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
+# training-data prep: stratified sampling, contamination, blocklist scrub
+
+#: Per-stratum sample rates as EXACT 32-bit thresholds
+#: (floor(rate * 2^32)); unknown strata fall back to "default".
+STRATIFIED_RATES: dict[str, float] = {
+    "en": 0.10, "de": 0.50, "es": 0.25, "fr": 0.75, "zh": 0.40,
+}
+_STRATIFIED_DEFAULT = 0.20
+
+
+def _rate_threshold(rate: float) -> np.uint64:
+    return np.uint64(int(rate * (1 << 32)))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified content-keyed sample: per-lang keep rates applied via
+    the Knuth multiplicative hash on doc_id (exact integer arithmetic ⇒
+    reproducible across reruns / block layouts / engines, and
+    DuckDB-expressible). The training-data use: down-sample dominant
+    languages while keeping rare ones — the keep decision is pure
+    per-row math, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        thr = np.full(len(ids), _rate_threshold(_STRATIFIED_DEFAULT))
+        lang = t["lang"]
+        for lg, rate in STRATIFIED_RATES.items():
+            m = pc.equal(lang, lg).to_numpy(zero_copy_only=False)
+            thr[m] = _rate_threshold(rate)
+        return t.filter(pa.array(h < thr))
+
+    return _t(ds.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+def q_contamination_check(sf_dir: str):
+    """Benchmark-contamination scan: the 'benchmark' is the 3-token
+    prefix of every doc_id < 20 document; any OTHER document whose raw
+    text contains one of those snippets is flagged with its hit count.
+    Plan: the snippet list is tiny ⇒ built once on the driver from a
+    pruned filtered read and BROADCAST (ray.put); each batch runs one
+    vectorized substring scan per snippet (kernels, not row loops) and
+    sums the boolean masks — the 100 TB shape for screening a corpus
+    against a fixed eval set."""
+    bench = _t(_read(sf_dir, "documents", columns=["doc_id", "text"])
+               .filter(expr="doc_id < 20"))
+    toks = pc.split_pattern_regex(bench["text"], r"\s+")
+    snippets = []
+    for row in toks.to_pylist():
+        row = [w for w in row if w]
+        if len(row) >= 3:
+            snippets.append(" ".join(row[:3]))
+    snip_ref = ray.put(snippets)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        snips = ray.get(snip_ref)
+        n = t.num_rows
+        hits = np.zeros(n, np.int64)
+        for s in snips:
+            hits += pc.cast(pc.match_substring(t["text"], s),
+                            pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (hits > 0) & (t["doc_id"].to_numpy(
+            zero_copy_only=False) >= 20)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "n_hits": pa.array(hits, pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return _t(ds.map_batches(scan, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+#: Blocklist for the scrub op (word-boundary alternation, RE2 in both
+#: engines).
+SCRUB_BLOCKLIST = ("spark", "hash", "merge")
+_SCRUB_PATTERN = r"\b(" + "|".join(SCRUB_BLOCKLIST) + r")\b"
+
+
+def q_blocklist_scrub(sf_dir: str):
+    """Blocklist redaction (PII-scrub shape): replace word-boundary
+    blocklist hits with '[MASKED]' and count them — two RE2 kernels per
+    batch (count + replace), no Python per row. The real PII pass swaps
+    the pattern for email/phone/SSN alternations; the plumbing
+    (compiled pattern, vectorized count+replace, streamed output) is
+    identical."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], _SCRUB_PATTERN),
+                    pa.int64())
+        red = pc.replace_substring_regex(t["text"], _SCRUB_PATTERN,
+                                         "[MASKED]")
+        return pa.table({"doc_id": t["doc_id"], "scrubbed": red,
+                         "n_masked": n})
+
+    return _t(ds.map_batches(scrub, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+ORACLE_SQL.update({
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CAST(floor(CASE lang
+                     WHEN 'en' THEN 0.10 WHEN 'de' THEN 0.50
+                     WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.75
+                     WHEN 'zh' THEN 0.40 ELSE 0.20 END * 4294967296.0)
+                   AS BIGINT)
+    """,
+    "contamination_check": """
+        WITH bench AS (
+          SELECT array_to_string(
+                   regexp_extract_all(text, '\\S+')[1:3], ' ') AS snip
+          FROM documents
+          WHERE doc_id < 20
+            AND len(regexp_extract_all(text, '\\S+')) >= 3)
+        SELECT d.doc_id, count(*) AS n_hits
+        FROM documents d JOIN bench ON contains(d.text, bench.snip)
+        WHERE d.doc_id >= 20
+        GROUP BY d.doc_id
+    """,
+    "blocklist_scrub": """
+        SELECT doc_id,
+               regexp_replace(text, '\\b(spark|hash|merge)\\b',
+                              '[MASKED]', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '\\b(spark|hash|merge)\\b'))
+                 AS n_masked
+        FROM documents
+    """,
+})

@@ -1121,3 +1121,79 @@ def test_pca_project_matches_numpy(ray_session):
     assert np.allclose(P, want, atol=1e-6)
     # the first component recovers the planted direction
     assert abs(np.dot(comps[:, 0], direction)) > 0.99
+
+
+def test_relational_and_prep_ops_planted(ray_session, tmp_path):
+    """Planted-corpus spec for the round-5 breadth ops: pivot buckets,
+    rollup grouping-set sums, stratified keep decisions, contamination
+    hit counts and blocklist scrubbing — each checked against scalar
+    Python re-derivations."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import (
+        STRATIFIED_RATES, q_blocklist_scrub, q_contamination_check,
+        q_pivot_doc_length, q_rollup_orders, q_stratified_sample)
+
+    texts = {
+        0: "alpha beta gamma delta",         # bench: snippet "alpha beta gamma"
+        1: "one two three four",             # bench: snippet "one two three"
+        20: "x alpha beta gamma y",          # hit (snippet 0)
+        21: "one two three one two three",   # hit (snippet 1)
+        22: "spark hash merge sparkle",      # no hit, 3 scrub tokens
+        23: "nothing here",                  # no hit
+    }
+    langs = {0: "en", 1: "de", 20: "zh", 21: "xx", 22: "fr", 23: "es"}
+    ids = sorted(texts)
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids]),
+        "lang": pa.array([langs[i] for i in ids]),
+        "source": pa.array(["src0"] * len(ids)),
+        "n_chars": pa.array([5, 150, 250, 90, 180, 220], pa.int64()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(4), pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", "O"]),
+        "o_totalprice": pa.array([10.105, 20.0, 1.0, 2.0]),
+        "o_orderdate": pa.array(["1996-01-01"] * 4),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "2-HIGH", "2-HIGH"]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    pq.write_table(orders, sf / "orders.parquet")
+
+    piv = q_pivot_doc_length(str(sf)).to_pandas().set_index("lang")
+    assert piv.loc["en"].tolist() == [1, 0, 0]     # 5 chars
+    assert piv.loc["de"].tolist() == [0, 1, 0]     # 150
+    assert piv.loc["zh"].tolist() == [0, 0, 1]     # 250
+    assert piv.loc["xx"].tolist() == [1, 0, 0]     # 90
+    assert int(piv.values.sum()) == 6
+
+    ru = q_rollup_orders(str(sf)).to_pylist()
+    by = {(r["o_orderpriority"], r["o_orderstatus"]):
+          (r["revenue"], r["n_orders"]) for r in ru}
+    assert by[("1-URGENT", "O")] == (10.11, 1)      # half-away rounding
+    assert by[("1-URGENT", "ALL")] == (30.11, 2)
+    assert by[("2-HIGH", "ALL")] == (3.0, 2)
+    assert by[("ALL", "ALL")] == (33.11, 4)
+    assert len(ru) == 3 + 2 + 1  # fine levels + subtotals + grand total
+
+    samp = q_stratified_sample(str(sf))
+    kept = set(samp["doc_id"].to_pylist())
+    for i in ids:
+        rate = STRATIFIED_RATES.get(langs[i], 0.20)
+        expect = (i * 2654435761) % (1 << 32) < int(rate * (1 << 32))
+        assert (i in kept) == expect, (i, langs[i], rate)
+
+    cont = {r["doc_id"]: r["n_hits"]
+            for r in q_contamination_check(str(sf)).to_pylist()}
+    assert cont == {20: 1, 21: 1}  # bench docs themselves excluded
+
+    scr = {r["doc_id"]: r for r in q_blocklist_scrub(str(sf)).to_pylist()}
+    assert scr[22]["n_masked"] == 3
+    assert scr[22]["scrubbed"] == "[MASKED] [MASKED] [MASKED] sparkle"
+    assert scr[23]["n_masked"] == 0
+    assert scr[23]["scrubbed"] == "nothing here"
