@@ -1998,3 +1998,258 @@ ORACLE_SQL.update({
         FROM documents
     """,
 })
+
+# ---------------------------------------------------------------------------
+# repetition-quality + cross-document duplicated-n-gram operators
+# (training-data curation: Gopher-style repetition filters and the
+# substring-level duplication signal of Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better")
+
+
+def _flat_tokens(t: pa.Table):
+    """Vectorized whitespace tokenization of ``t["text"]`` → (flat token
+    Array with empties dropped, int64 row index per token). Shared by the
+    n-gram family; regexp_extract_all('\\S+') parity."""
+    toks = pc.split_pattern_regex(t["text"], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = np.nan_to_num(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    flat = toks.flatten()
+    row_of = np.repeat(np.arange(len(lengths)), lengths)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), row_of[keep]
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style per-document repetition metrics (Rae et al. 2021 §A1
+    quality filters): token count, distinct-token count, duplicate-token
+    fraction, most-common-token fraction and most-common-bigram fraction.
+    All metrics are per-row ⇒ ONE streaming map_batches pass, no shuffle;
+    the per-(row, token) counting is two Arrow group_by kernels per batch
+    (no Python per row). Documents with zero tokens are dropped (no
+    denominator), matching the oracle's unnest semantics."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "dup_frac": pa.array([], pa.float64()),
+        "top_tok_frac": pa.array([], pa.float64()),
+        "top_bigram_frac": pa.array([], pa.float64())})
+
+    def metrics(t: pa.Table) -> pa.Table:
+        flat, row_of = _flat_tokens(t)
+        m = len(flat)
+        if m == 0:
+            return empty
+        tc = pa.table({"r": pa.array(row_of, pa.int64()), "tok": flat}) \
+            .group_by(["r", "tok"]).aggregate([([], "count_all")])
+        per = tc.group_by("r").aggregate([
+            ("count_all", "sum"), ("count_all", "count"),
+            ("count_all", "max")])
+        r = per["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = per["count_all_sum"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        distinct = per["count_all_count"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        top = per["count_all_max"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # most-common-bigram count per ROW (adjacent same-row pairs)
+        top_bg = np.zeros(t.num_rows, np.float64)
+        if m >= 2:
+            same = row_of[1:] == row_of[:-1]
+            bigrams = pc.binary_join_element_wise(
+                flat.slice(0, m - 1), flat.slice(1), " ")
+            bigrams = bigrams.filter(pa.array(same))
+            if len(bigrams):
+                bc = pa.table({
+                    "r": pa.array(row_of[:-1][same], pa.int64()),
+                    "bg": bigrams,
+                }).group_by(["r", "bg"]).aggregate([([], "count_all")])
+                bm = bc.group_by("r").aggregate([("count_all", "max")])
+                top_bg[bm["r"].to_numpy(zero_copy_only=False)] = \
+                    bm["count_all_max"].to_numpy(zero_copy_only=False)
+        # single-token docs have no bigram: 0.0 (oracle: coalesce(., 0.0))
+        denom = total - 1.0
+        tbf = np.where(denom > 0, top_bg[r] / np.maximum(denom, 1.0), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(r)),
+            "n_tokens": pa.array(total.astype(np.int64)),
+            "n_distinct": pa.array(distinct.astype(np.int64)),
+            "dup_frac": pa.array(1.0 - distinct / total),
+            "top_tok_frac": pa.array(top / total),
+            "top_bigram_frac": pa.array(tbf)})
+
+    return _t(ds.map_batches(metrics, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+#: word-n-gram width for the cross-document duplication scan
+DUP_NGRAM_N = 5
+
+
+def q_dup_ngram_frac(sf_dir: str):
+    """Cross-document duplicated-n-gram fraction — per document, the
+    share of its word 5-gram positions whose 5-gram also occurs in at
+    least one OTHER document (the detection half of substring-level
+    dedup; Lee et al. 2022). Two keyed shuffles, no all-pairs work and
+    no text re-shipping:
+
+    1. gram postings: per batch, vectorized 5-gram construction (N
+       shifted slices of the flat token array joined element-wise) and a
+       per-(gram, doc) position pre-count, keyed by ``hash64(gram)`` —
+       a gram's postings land wholly in one partition, where grams with
+       ≥2 distinct docs emit per-doc duplicated-position partials;
+    2. the partials union a cheap per-doc total-positions pass and
+       co-locate by ``doc_id`` for the final per-doc fold (two ints per
+       doc per partition — the only data crossing the second exchange).
+
+    At 100 TB the posting shuffle carries (gram, doc, count) rows —
+    bounded by token count, pre-deduplicated per batch — and partition
+    counts scale with ``coarse_buckets``. Documents shorter than 5
+    tokens have no 5-gram and are absent, matching the oracle."""
+    from ..state.sketches import hash64
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    N = DUP_NGRAM_N
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_rows = _parquet_rows(sf_dir, "documents")
+
+    post_empty = pa.table({"gram": pa.array([], pa.string()),
+                           "doc_id": pa.array([], pa.int64()),
+                           "n_pos": pa.array([], pa.int64()),
+                           "hkey": pa.array([], pa.int64())})
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, row_of = _flat_tokens(t)
+        m = len(flat)
+        if m < N:
+            return post_empty
+        k = m - N + 1
+        same = row_of[N - 1:] == row_of[:k]
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(i, k) for i in range(N)], " ").filter(
+            pa.array(same))
+        docs = t["doc_id"].to_numpy(
+            zero_copy_only=False)[row_of[:k][same]]
+        g = pa.table({"gram": grams, "doc_id": pa.array(docs, pa.int64())}) \
+            .group_by(["gram", "doc_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["gram", "doc_id", "n_pos"])
+        return g.append_column(
+            "hkey", pa.array(hash64(g["gram"]).astype(np.int64)))
+
+    part_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "v": pa.array([], pa.int64()),
+                           "is_dup": pa.array([], pa.int64())})
+
+    def dup_partials(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["gram", "doc_id"]).aggregate([("n_pos", "sum")])
+        docs_per = agg.group_by("gram").aggregate([([], "count_all")])
+        shared = docs_per.filter(
+            pc.greater_equal(docs_per["count_all"], 2)).select(["gram"])
+        dup = agg.join(shared, keys="gram", join_type="inner")
+        out = dup.group_by("doc_id").aggregate([("n_pos_sum", "sum")])
+        out = out.rename_columns(["doc_id", "v"])
+        return out.append_column(
+            "is_dup", pa.array(np.ones(out.num_rows, np.int64)))
+
+    B = coarse_buckets(n_rows * 30)  # ~gram postings per doc
+    dup_ds = hash_shuffle_apply(
+        ds.map_batches(postings, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, dup_partials, part_empty)
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, row_of = _flat_tokens(t)
+        n_tok = np.bincount(row_of, minlength=t.num_rows).astype(np.int64)
+        n_grams = np.maximum(n_tok - (N - 1), 0)
+        keep = n_grams > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "v": pa.array(n_grams[keep], pa.int64()),
+            "is_dup": pa.array(np.zeros(int(keep.sum()), np.int64))})
+
+    tot_ds = ds.map_batches(totals, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64()),
+                          "dup_frac": pa.array([], pa.float64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        tot = t.filter(pc.equal(t["is_dup"], 0)).group_by("doc_id") \
+            .aggregate([("v", "sum")]).rename_columns(
+            ["doc_id", "n_grams"])
+        dup = t.filter(pc.equal(t["is_dup"], 1)).group_by("doc_id") \
+            .aggregate([("v", "sum")]).rename_columns(["doc_id", "n_dup"])
+        j = tot.join(dup, keys="doc_id", join_type="left outer")
+        ng = j["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = np.nan_to_num(j["n_dup"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64))
+        return pa.table({"doc_id": j["doc_id"], "n_grams": j["n_grams"],
+                         "n_dup": pa.array(nd.astype(np.int64)),
+                         "dup_frac": pa.array(nd / ng)})
+
+    B2 = coarse_buckets(n_rows)
+    return _t(hash_shuffle_apply(dup_ds.union(tot_ds), "doc_id", B2,
+                                 fold, out_empty))
+
+
+ORACLE_SQL.update({
+    "doc_repetition": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM documents),
+        tc AS (
+          SELECT doc_id, tok, count(*) AS n
+          FROM toks GROUP BY doc_id, tok),
+        per AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(n) AS BIGINT) AS top_n
+          FROM tc GROUP BY doc_id),
+        lists AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 1),
+                                       i -> ts[i] || ' ' || ts[i + 1]))
+                   AS b
+          FROM lists WHERE len(ts) >= 2),
+        bgc AS (
+          SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+        bgm AS (SELECT doc_id, max(n) AS top_bg FROM bgc GROUP BY doc_id)
+        SELECT per.doc_id, n_tokens, n_distinct,
+               1.0 - n_distinct / n_tokens AS dup_frac,
+               top_n / n_tokens AS top_tok_frac,
+               coalesce(top_bg / (n_tokens - 1), 0.0) AS top_bigram_frac
+        FROM per LEFT JOIN bgm ON per.doc_id = bgm.doc_id
+    """,
+    "dup_ngram_frac": """
+        WITH lists AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 4),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS g
+          FROM lists WHERE len(ts) >= 5),
+        shared AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 2),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN g IN (SELECT g FROM shared)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM grams GROUP BY doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_dup,
+               n_dup / n_grams AS dup_frac
+        FROM per
+    """,
+})

@@ -1197,3 +1197,80 @@ def test_relational_and_prep_ops_planted(ray_session, tmp_path):
     assert scr[22]["scrubbed"] == "[MASKED] [MASKED] [MASKED] sparkle"
     assert scr[23]["n_masked"] == 0
     assert scr[23]["scrubbed"] == "nothing here"
+
+
+def test_doc_repetition_and_dup_ngram_planted(ray_session, tmp_path):
+    """Brute-force Python spec for the repetition metrics and the
+    cross-document duplicated-5-gram fraction on a planted corpus with
+    known repetition structure (shared prefix run, single-token doc,
+    all-distinct doc, cross-doc copied span)."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import (DUP_NGRAM_N, q_doc_repetition,
+                                            q_dup_ngram_frac)
+
+    span = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        "a a a a b",                     # heavy repetition
+        "x y z w v u",                   # all distinct
+        "solo",                          # one token: no bigram
+        "",                              # zero tokens: dropped
+        f"{span} tail1 tail2",           # shares the 6-token span
+        f"lead {span}",                  # with this doc (cross-doc dups)
+        "p q p q p q",                   # dominant bigram
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+
+    rep = q_doc_repetition(str(sf))
+    got = {r["doc_id"]: r for r in rep.to_pylist()}
+    assert sorted(got) == [0, 1, 2, 4, 5, 6]  # doc 3 dropped
+    for i, s in enumerate(texts):
+        w = re.findall(r"\S+", s)
+        if not w:
+            continue
+        c = collections.Counter(w)
+        bg = collections.Counter(
+            f"{w[j]} {w[j+1]}" for j in range(len(w) - 1))
+        r = got[i]
+        assert r["n_tokens"] == len(w) and r["n_distinct"] == len(c)
+        assert r["dup_frac"] == pytest.approx(1.0 - len(c) / len(w))
+        assert r["top_tok_frac"] == pytest.approx(
+            max(c.values()) / len(w))
+        want_bg = (max(bg.values()) / (len(w) - 1)) if bg else 0.0
+        assert r["top_bigram_frac"] == pytest.approx(want_bg)
+    assert got[0]["dup_frac"] == pytest.approx(1.0 - 2 / 5)
+    assert got[1]["dup_frac"] == 0.0
+    assert got[6]["top_bigram_frac"] == pytest.approx(3 / 5)
+
+    # brute-force 5-gram duplication spec
+    N = DUP_NGRAM_N
+    doc_grams = {}
+    for i, s in enumerate(texts):
+        w = re.findall(r"\S+", s)
+        doc_grams[i] = [" ".join(w[j:j + N])
+                        for j in range(len(w) - N + 1)]
+    owners = collections.defaultdict(set)
+    for i, gs in doc_grams.items():
+        for g in gs:
+            owners[g].add(i)
+    want = {}
+    for i, gs in doc_grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if len(owners[g]) >= 2)
+        want[i] = (len(gs), dup)
+    out = {r["doc_id"]: r for r in q_dup_ngram_frac(str(sf)).to_pylist()}
+    assert sorted(out) == sorted(want)
+    for i, (ng, nd) in want.items():
+        assert (out[i]["n_grams"], out[i]["n_dup"]) == (ng, nd)
+        assert out[i]["dup_frac"] == pytest.approx(nd / ng)
+    # the copied span yields dup 5-grams in docs 4 and 5 and nowhere else
+    assert out[4]["n_dup"] == 2 and out[5]["n_dup"] == 2
+    assert out[0]["n_dup"] == 0 and out[6]["n_dup"] == 0
