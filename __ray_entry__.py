@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from sjot_ray.pipelines import quantiles as QT
 
         d["quantiles_lineitem_price"] = QT.q_quantiles_lineitem_price
+        d["quantiles_price_by_flag"] = QT.q_quantiles_price_by_flag
     except ImportError:
         pass
     try:

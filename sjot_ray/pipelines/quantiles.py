@@ -177,3 +177,185 @@ QUANTILES_ORACLE_SQL: dict[str, str] = {
         ORDER BY p.pct
     """,
 }
+
+
+def grouped_exact_quantiles(ds: "ray.data.Dataset", group_col: str,
+                            col: str, pcts: list[int], K: int = 2048,
+                            collect_cap: int = 4_000_000,
+                            max_depth: int = 4) -> pa.Table:
+    """Exact per-group percentiles for a LOW-cardinality group key (the
+    grouped companion to ``exact_quantiles``; same rank formula per
+    group). Every refinement level is batched across groups: ONE
+    streaming histogram pass emits (group, bucket, count) partials for
+    all still-pending groups, and ONE collect pass ships all
+    collect-ready buckets (tagged by entry id) — so the pass count is
+    O(levels), not O(groups). Designed for group cardinalities that fit
+    a driver dict (flags/status/lang-style keys, ≤ ~10^4); per-key
+    distribution sketches over high-cardinality keys belong to
+    drift.py's KLL path instead."""
+    # pass 0: per-group n / min / max (tiny partials, driver fold)
+    def stats(t: pa.Table) -> pa.Table:
+        keep = t.select([group_col, col]).filter(
+            pc.is_valid(t[col]))
+        return keep.group_by(group_col).aggregate(
+            [(col, "count"), (col, "min"), (col, "max")])
+
+    parts = list(ds.map_batches(stats, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    st = pa.concat_tables(parts, promote_options="default") \
+        .group_by(group_col).aggregate([
+            (f"{col}_count", "sum"), (f"{col}_min", "min"),
+            (f"{col}_max", "max")])
+    groups = st[group_col].to_pylist()
+    ns = st[f"{col}_count_sum"].to_numpy(zero_copy_only=False)
+    los = st[f"{col}_min_min"].to_numpy(zero_copy_only=False)
+    his = st[f"{col}_max_max"].to_numpy(zero_copy_only=False)
+
+    # pending refinement entries: (group, chain, lo, hi,
+    # [(pct, local_rank)]) — entry-grained (not group-grained) so two
+    # target ranks landing in two different oversized buckets of the
+    # SAME group each refine independently in the same level
+    pending: list = []
+    answers: dict = {g: {} for g in groups}
+    for g, n, lo, hi in zip(groups, ns, los, his):
+        n = int(n)
+        if n == 0:
+            continue
+        items = sorted(((p, max(1, (p * n + 99) // 100)) for p in pcts),
+                       key=lambda x: x[1])
+        pending.append((g, [], float(lo), float(hi), items))
+
+    def _group_values(t: pa.Table, g) -> np.ndarray:
+        m = pc.equal(t[group_col], g)
+        sub = t.filter(pc.and_kleene(m, pc.is_valid(t[col])))
+        c = sub[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    depth = 1
+    while pending:
+        level = list(pending)  # freeze this level's entries
+
+        def hist(t: pa.Table) -> pa.Table:
+            es, bs, cs = [], [], []
+            for eid, (g, chain, lo, hi, _items) in enumerate(level):
+                v = _group_values(t, g)
+                v = v[_chain_mask(v, chain)]
+                cnt = np.bincount(_bucket_ids(v, lo, hi, K), minlength=K)
+                nz = np.nonzero(cnt)[0]
+                es.extend([eid] * len(nz))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+            return pa.table({
+                "e": pa.array(np.asarray(es, np.int64)),
+                "bucket": pa.array(np.concatenate(bs) if bs else
+                                   np.array([], np.int64)),
+                "cnt": pa.array(np.concatenate(cs) if cs else
+                                np.array([], np.int64))})
+
+        hp = list(ds.map_batches(hist, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+        ht = pa.concat_tables(hp, promote_options="default") \
+            .group_by(["e", "bucket"]).aggregate([("cnt", "sum")])
+
+        pending = []
+        collects: list = []  # (g, sub_chain, items)
+        for eid, (g, chain, lo, hi, items) in enumerate(level):
+            sub = ht.filter(pc.equal(ht["e"], eid))
+            b = sub["bucket"].to_numpy(zero_copy_only=False)
+            c = sub["cnt_sum"].to_numpy(zero_copy_only=False)
+            order = np.argsort(b)
+            b, c = b[order].astype(np.int64), c[order].astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(c)])
+            by_bucket: dict[int, list] = {}
+            for pct, r in items:
+                i = int(np.searchsorted(cum, r, side="left")) - 1
+                i = max(0, min(i, len(b) - 1))
+                by_bucket.setdefault(i, []).append((pct, r - cum[i]))
+            for i, its in sorted(by_bucket.items()):
+                sub_chain = chain + [(lo, hi, K, int(b[i]))]
+                blo = lo + (hi - lo) * (int(b[i]) / K)
+                bhi = lo + (hi - lo) * ((int(b[i]) + 1) / K)
+                if int(c[i]) > collect_cap and bhi <= blo:
+                    for pct, _ in its:
+                        answers[g][pct] = blo
+                elif int(c[i]) > collect_cap and depth < max_depth:
+                    pending.append((g, sub_chain, blo, bhi,
+                                    sorted(its, key=lambda x: x[1])))
+                else:
+                    collects.append((g, sub_chain, its))
+
+        if collects:
+            ids = list(range(len(collects)))
+
+            def keep(t: pa.Table) -> pa.Table:
+                es, vs = [], []
+                for eid in ids:
+                    g, sub_chain, _its = collects[eid]
+                    v = _group_values(t, g)
+                    v = v[_chain_mask(v, sub_chain)]
+                    es.extend([eid] * len(v))
+                    vs.append(v)
+                return pa.table({
+                    "eid": pa.array(np.asarray(es, np.int64)),
+                    "v": pa.array(np.concatenate(vs) if vs else
+                                  np.array([], np.float64))})
+
+            out = ds.map_batches(keep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            bs = list(out.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+            allv = pa.concat_tables(bs, promote_options="default") \
+                if bs else pa.table({"eid": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.float64())})
+            ev = allv["eid"].to_numpy(zero_copy_only=False)
+            vv = allv["v"].to_numpy(zero_copy_only=False)
+            for eid in ids:
+                g, _chain, its = collects[eid]
+                vals = np.sort(vv[ev == eid])
+                for pct, rr in its:
+                    answers[g][pct] = float(vals[rr - 1])
+        depth += 1
+
+    gs_out, ps_out, vs_out = [], [], []
+    for g in sorted(answers):
+        for p in sorted(pcts):
+            if p in answers[g]:
+                gs_out.append(g)
+                ps_out.append(p)
+                vs_out.append(answers[g][p])
+    return pa.table({group_col: pa.array(gs_out),
+                     "pct": pa.array(ps_out, pa.int64()),
+                     "value": pa.array(vs_out, pa.float64())})
+
+
+def q_quantiles_price_by_flag(sf_dir: str):
+    """Exact per-group quartiles/p90 of l_extendedprice grouped by
+    l_returnflag — the grouped-quantile operator, hash-oracled against a
+    per-partition row_number() rank selection."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_exact_quantiles(ds, "l_returnflag", "l_extendedprice",
+                                   [25, 50, 75, 90])
+
+
+QUANTILES_ORACLE_SQL["quantiles_price_by_flag"] = """
+    WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT r.l_returnflag, p.pct, r.v AS value
+    FROM (VALUES (25), (50), (75), (90)) p(pct)
+    JOIN r ON r.rn = greatest(1, (p.pct * r.n + 99) // 100)
+    ORDER BY l_returnflag, pct
+"""

@@ -69,3 +69,86 @@ def test_exact_quantiles_with_nulls(ray_session):
     t = exact_quantiles(ds, "x", [50])
     # 10 non-null values → rank ceil(0.5·10)=5 → value 5.0
     assert t["value"].to_pylist() == [5.0]
+
+
+def _grouped_expected(gs, vals, pcts):
+    want = {}
+    for g in np.unique(gs):
+        s = np.sort(vals[gs == g])
+        n = len(s)
+        for p in pcts:
+            want[(g, p)] = float(s[max(1, (p * n + 99) // 100) - 1])
+    return want
+
+
+def _grouped_run(ray, gs, vals, pcts, **kw):
+    import ray.data
+
+    from sjot_ray.pipelines.quantiles import grouped_exact_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(list(gs)), "x": pa.array(vals, pa.float64())}))
+    t = grouped_exact_quantiles(ds.repartition(8), "g", "x", pcts, **kw)
+    return {(g, p): v for g, p, v in zip(t["g"].to_pylist(),
+                                         t["pct"].to_pylist(),
+                                         t["value"].to_pylist())}
+
+
+def test_grouped_quantiles_planted(ray_session):
+    """Per-group exact selection vs numpy on skewed groups of very
+    different sizes and ranges (shared histogram/collect passes)."""
+    rng = np.random.default_rng(11)
+    gs = np.array(["a"] * 40_000 + ["b"] * 3_000 + ["c"] * 7)
+    vals = np.concatenate([np.exp(rng.normal(0, 2, 40_000)),
+                           rng.uniform(-50, -10, 3_000),
+                           np.arange(7, dtype=np.float64)])
+    pcts = [10, 50, 90]
+    got = _grouped_run(ray_session, gs, vals, pcts)
+    assert got == _grouped_expected(gs, vals, pcts)
+
+
+def test_grouped_quantiles_recursion_and_dup_mass(ray_session):
+    """Tiny collect_cap forces per-group refinement levels; one group is
+    40% a single exact value (unsplittable bucket), the other is smooth
+    — both must stay exact through the batched level loop."""
+    rng = np.random.default_rng(12)
+    gs = np.array(["hot"] * 50_000 + ["cold"] * 20_000)
+    vals = np.concatenate([
+        np.concatenate([np.full(20_000, 5.0),
+                        rng.uniform(0, 10, 30_000)]),
+        rng.normal(0, 1, 20_000)])
+    pcts = [25, 50, 75]
+    got = _grouped_run(ray_session, gs, vals, pcts,
+                       K=16, collect_cap=300)
+    assert got == _grouped_expected(gs, vals, pcts)
+
+
+def test_grouped_quantiles_nulls_and_empty_group(ray_session):
+    """Null measure values are excluded per group; a group whose values
+    are ALL null contributes no output rows."""
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3),
+        "x": pa.array([1.0, None, 3.0, 2.0, None, None, None, None])})
+    import ray.data
+
+    from sjot_ray.pipelines.quantiles import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(
+        ray_session.data.from_arrow(t), "g", "x", [50, 99])
+    rows = {(g, p): v for g, p, v in zip(out["g"].to_pylist(),
+                                         out["pct"].to_pylist(),
+                                         out["value"].to_pylist())}
+    assert rows == {("a", 50): 2.0, ("a", 99): 3.0}
+
+
+def test_grouped_quantiles_two_oversized_buckets_same_group(ray_session):
+    """Two far-apart dense clusters in ONE group put p10 and p90 into two
+    DIFFERENT oversized buckets — both must refine (entry-grained
+    pending), not fall back to an over-cap collect."""
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([rng.uniform(0.0, 1.0, 30_000),
+                           rng.uniform(999.0, 1000.0, 30_000)])
+    gs = np.array(["g"] * 60_000)
+    pcts = [10, 90]
+    got = _grouped_run(ray_session, gs, vals, pcts, K=8, collect_cap=500)
+    assert got == _grouped_expected(gs, vals, pcts)
