@@ -1422,6 +1422,88 @@ def q_order_lineitem_join(sf_dir: str):
     })
 
 
+def q_order_lineitem_left(sf_dir: str):
+    """LEFT OUTER large-large join: every order row survives; orders
+    with no lineitem get n_lines = 0 and a NULL sum (SQL LEFT JOIN +
+    GROUP BY semantics). Same partitioned-hash-shuffle plan as the inner
+    join above — pre-aggregated lineitem partials and tagged order rows
+    co-locate by key, and each partition performs one vectorized Arrow
+    left-outer join — so null-extension costs nothing extra over the
+    inner plan (the driver never sees unmatched keys specially)."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"], split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_quantity"], split=False)
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_orderkey"],
+                         "status": t["o_orderstatus"],
+                         "sum_qty": pa.nulls(t.num_rows, pa.float64()),
+                         "n": pa.nulls(t.num_rows, pa.int64()),
+                         "side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int8))})
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return pa.table({"key": g["l_orderkey"],
+                         "status": pa.nulls(g.num_rows, pa.string()),
+                         "sum_qty": pc.cast(g["l_quantity_sum"],
+                                            pa.float64()),
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "side": pa.array(
+                             np.ones(g.num_rows, dtype=np.int8))})
+
+    tagged = orders.map_batches(left_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(right_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderstatus": pa.array([], pa.string()),
+                      "n_lines": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)) \
+            .select(["key", "status"]) \
+            .rename_columns(["o_orderkey", "o_orderstatus"])
+        if left.num_rows == 0:
+            return empty
+        right = g.filter(pa.array(side == 1))
+        agg = right.group_by("key").aggregate(
+            [("sum_qty", "sum"), ("n", "sum")])
+        agg = agg.rename_columns(["o_orderkey", "sum_qty", "n_lines"])
+        j = left.join(agg, keys="o_orderkey", join_type="left outer")
+        n = pc.coalesce(j["n_lines"], pa.scalar(0, pa.int64()))
+        return pa.table({"o_orderkey": j["o_orderkey"],
+                         "o_orderstatus": j["o_orderstatus"],
+                         "n_lines": pc.cast(n, pa.int64()),
+                         "sum_qty": pc.cast(j["sum_qty"], pa.float64())})
+
+    out = hash_shuffle_apply(tagged, "key", B, join_part, empty)
+    t = _t(out)
+    return pa.table({
+        "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        "o_orderstatus": t["o_orderstatus"],
+        "n_lines": pc.cast(t["n_lines"], pa.int64()),
+        "sum_qty": _round(pc.cast(t["sum_qty"], pa.float64()), 2),
+    })
+
+
+ORACLE_SQL["order_lineitem_left"] = """
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+"""
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Oracle-checked alias for dedup.q_ngram_jaccard_pairs (exact word
     3-gram Jaccard over first-2-token-key pair candidates, verified in a

@@ -1274,3 +1274,31 @@ def test_doc_repetition_and_dup_ngram_planted(ray_session, tmp_path):
     # the copied span yields dup 5-grams in docs 4 and 5 and nowhere else
     assert out[4]["n_dup"] == 2 and out[5]["n_dup"] == 2
     assert out[0]["n_dup"] == 0 and out[6]["n_dup"] == 0
+
+
+def test_order_lineitem_left_null_extension(ray_session, tmp_path):
+    """Childless orders survive the partitioned left-outer join with
+    n_lines = 0 and NULL sum; matched orders aggregate exactly."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_order_lineitem_left
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", "P"])}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 3], pa.int64()),
+        "l_quantity": pa.array([2.0, 3.0, 7.0])}),
+        sf / "lineitem.parquet")
+
+    out = {r["o_orderkey"]: r
+           for r in q_order_lineitem_left(str(sf)).to_pylist()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert (out[1]["n_lines"], out[1]["sum_qty"]) == (2, 5.0)
+    assert (out[3]["n_lines"], out[3]["sum_qty"]) == (1, 7.0)
+    for childless in (2, 4):
+        assert out[childless]["n_lines"] == 0
+        assert out[childless]["sum_qty"] is None
