@@ -2335,3 +2335,106 @@ ORACLE_SQL.update({
         FROM per
     """,
 })
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Most distinctive term per document — the max-idf term (argmin
+    document frequency, ties broken lexicographically), reported with
+    its in-doc term frequency and tf·idf score. Two passes:
+
+    1. corpus document frequency: documents never span batches, so a
+       per-batch (doc, token) dedup makes per-batch DF partials globally
+       correct; a tiny keyed groupby sums them and the vocab-sized DF
+       table broadcasts via ``ray.put`` (documented bound: the vocab
+       must fit a worker's heap — for open-ended vocabularies swap the
+       broadcast for a token-keyed join, same pass structure);
+    2. per batch: vectorized per-(doc, token) tf, a searchsorted DF
+       lookup against the broadcast vocab, and a per-doc argmin by
+       (df, token) via one Arrow sort + first-occurrence mask.
+
+    Term SELECTION is integer-exact (df, token) — reproducible across
+    engines bit for bit; the tf·ln(N/df) score column is informational
+    (numpy and DuckDB ln differ in the last ulp, so ordering by the
+    float would not be oracle-stable; ordering by df is idf-maximal and
+    is)."""
+    n_docs = _parquet_rows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, row_of = _flat_tokens(t)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        dt = pa.table({"r": pa.array(row_of, pa.int64()), "tok": flat}) \
+            .group_by(["r", "tok"]).aggregate([])
+        g = dt.group_by("tok").aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "df"])
+
+    df_rows = ds.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("tok").sum("df")
+    dft = _t(df_rows)  # vocab-sized
+    vocab = dft["tok"].to_numpy(zero_copy_only=False).astype(object)
+    dfs = dft["sum(df)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vocab)
+    df_ref = ray.put((vocab[order], dfs[order]))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "tfidf": pa.array([], pa.float64())})
+
+    def top_term(t: pa.Table) -> pa.Table:
+        svocab, sdf = ray.get(df_ref)
+        flat, row_of = _flat_tokens(t)
+        if len(flat) == 0:
+            return empty
+        tf = pa.table({"r": pa.array(row_of, pa.int64()), "tok": flat}) \
+            .group_by(["r", "tok"]).aggregate([([], "count_all")])
+        toks = tf["tok"].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(svocab, toks)
+        dfv = sdf[pos]
+        scored = pa.table({
+            "r": tf["r"], "tok": tf["tok"],
+            "tf": pc.cast(tf["count_all"], pa.int64()),
+            "df": pa.array(dfv, pa.int64())})
+        idx = pc.sort_indices(scored, sort_keys=[
+            ("r", "ascending"), ("df", "ascending"),
+            ("tok", "ascending")])
+        s = scored.take(idx)
+        r = s["r"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], r[1:] != r[:-1]])
+        s = s.filter(pa.array(first))
+        tfv = s["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dvv = s["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = _round(pa.array(tfv * np.log(float(n_docs) / dvv)), 6)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(
+                s["r"].to_numpy(zero_copy_only=False))),
+            "term": s["tok"], "tf": s["tf"], "df": s["df"],
+            "tfidf": score})
+
+    return _t(ds.map_batches(top_term, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+
+ORACLE_SQL["distinctive_terms"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY df.df ASC, tf.tok ASC) AS rk
+      FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         / df), 6) AS tfidf
+    FROM ranked WHERE rk = 1
+"""

@@ -1302,3 +1302,39 @@ def test_order_lineitem_left_null_extension(ray_session, tmp_path):
     for childless in (2, 4):
         assert out[childless]["n_lines"] == 0
         assert out[childless]["sum_qty"] is None
+
+
+def test_distinctive_terms_planted(ray_session, tmp_path):
+    """Rarest-term selection (df ASC, term ASC) with brute-force df/tf
+    and the tf*ln(N/df) score on a corpus with known term spread."""
+    import collections
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_distinctive_terms
+
+    texts = ["common rare1 common", "common zebra apple",
+             "common common", "rare1 zebra common unique1 unique1"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+
+    df = collections.Counter()
+    for s in texts:
+        df.update(set(re.findall(r"\S+", s)))
+    n = len(texts)
+    want = {}
+    for i, s in enumerate(texts):
+        tf = collections.Counter(re.findall(r"\S+", s))
+        term = min(tf, key=lambda w: (df[w], w))
+        want[i] = (term, tf[term], df[term],
+                   round(tf[term] * math.log(n / df[term]), 6))
+    got = {r["doc_id"]: (r["term"], r["tf"], r["df"], r["tfidf"])
+           for r in q_distinctive_terms(str(sf)).to_pylist()}
+    assert got == want
+    assert got[3][0] == "unique1" and got[3][1] == 2  # df=1 wins, tf=2
+    assert got[2] == ("common", 2, 4, pytest.approx(0.0))
