@@ -1946,6 +1946,64 @@ ORACLE_SQL.update({
 })
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): the full
+    grouping-set lattice (fine level, both one-dimension marginals, and
+    the grand total). Same distributed plan as the ROLLUP above — ONE
+    finest-level keyed aggregate is the only shuffle, and every coarser
+    grouping set folds from that |priorities×statuses|-row table on the
+    driver (sums are additive), so CUBE costs exactly one extra tiny
+    driver fold over ROLLUP, not a second data pass."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus",
+                                 "rev", "cnt"])
+
+    fine = _t(ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .sum(["rev", "cnt"]))
+    pdf = fine.to_pandas().rename(columns={"sum(rev)": "rev",
+                                           "sum(cnt)": "cnt"})
+    by_prio = (pdf.groupby("o_orderpriority", as_index=False)
+               [["rev", "cnt"]].sum())
+    by_prio["o_orderstatus"] = "ALL"
+    by_stat = (pdf.groupby("o_orderstatus", as_index=False)
+               [["rev", "cnt"]].sum())
+    by_stat["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({"o_orderpriority": ["ALL"],
+                          "o_orderstatus": ["ALL"],
+                          "rev": [pdf["rev"].sum()],
+                          "cnt": [pdf["cnt"].sum()]})
+    out = pd.concat([pdf, by_prio, by_stat, total], ignore_index=True)
+    out = out.sort_values(["o_orderpriority", "o_orderstatus"])
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "revenue": pa.array(
+            _np_round_away(out["rev"].to_numpy(), 2), pa.float64()),
+        "n_orders": pa.array(out["cnt"].astype("int64"), pa.int64()),
+    })
+
+
+ORACLE_SQL["cube_orders"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # training-data prep: stratified sampling, contamination, blocklist scrub
 
@@ -2437,4 +2495,99 @@ ORACLE_SQL["distinctive_terms"] = """
            round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
                          / df), 6) AS tfidf
     FROM ranked WHERE rk = 1
+"""
+
+
+def q_histogram_doc_length(sf_dir: str):
+    """Equi-width histogram of document lengths (the distribution-report
+    primitive behind length/quality-filter tuning): 16 fixed-width
+    buckets over [min, max] computed from footer-free aggregates, one
+    bincount partial per batch, ≤16 rows to the driver. Bucket edges use
+    the same integer-exact arithmetic as the SQL oracle (width as a
+    rational, floor on BIGINT math) so bucket membership cannot drift on
+    float rounding."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    K = 16
+    span = max(hi - lo + 1, 1)  # integer width: bucket = (v-lo)*K//span
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t["n_chars"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            v = v.drop_null()
+        x = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (x - lo) * K // span
+        cnt = np.bincount(b, minlength=K)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("bucket").sum("n")
+    t = _t(agg)
+    b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    b, n = b[order], n[order]
+    return pa.table({
+        "bucket": pa.array(b),
+        "lo_edge": pa.array(lo + b * span // K, pa.int64()),
+        "n": pa.array(n)})
+
+
+ORACLE_SQL["histogram_doc_length"] = """
+    WITH mm AS (SELECT min(n_chars) AS lo,
+                       greatest(max(n_chars) - min(n_chars) + 1, 1)
+                         AS span
+                FROM documents),
+    b AS (SELECT ((n_chars - mm.lo) * 16) // mm.span AS bucket
+          FROM documents, mm WHERE n_chars IS NOT NULL)
+    SELECT bucket, mm.lo + (bucket * mm.span) // 16 AS lo_edge,
+           count(*) AS n
+    FROM b, mm GROUP BY bucket, mm.lo, mm.span
+"""
+
+
+#: EXCEPT-op purchase-size threshold (chosen to split users
+#: non-trivially at every sf: 8/83/795 qualifying users at
+#: sf0.001/0.01/0.1)
+BIG_PURCHASE_VALUE = 150.0
+
+
+def q_users_no_big_purchase(sf_dir: str):
+    """Set-difference (EXCEPT) as a distributed aggregate: users who
+    have events but never a purchase above ``BIG_PURCHASE_VALUE``. Per
+    batch: one group_by emitting (user_id, any_big_purchase) partials —
+    an EXCEPT between two subsets of one table needs no second read and
+    no distinct-shuffle of either side, just max() over a boolean
+    through the tiny keyed groupby. The same fold shape handles any
+    A∖B where both sides are predicates over one scan."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        big = pc.and_(pc.equal(t["event_type"], "purchase"),
+                      pc.greater(t["value"], BIG_PURCHASE_VALUE))
+        ind = pa.table({"user_id": t["user_id"],
+                        "p": pc.cast(big, pa.int64())})
+        g = ind.group_by("user_id").aggregate([("p", "max")])
+        return g.rename_columns(["user_id", "p"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("user_id").max("p")
+    t = _t(agg)
+    t = t.filter(pc.equal(t["max(p)"], 0))
+    return pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+
+
+ORACLE_SQL["users_no_big_purchase"] = """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 150.0
 """

@@ -1181,6 +1181,17 @@ def test_relational_and_prep_ops_planted(ray_session, tmp_path):
     assert by[("ALL", "ALL")] == (33.11, 4)
     assert len(ru) == 3 + 2 + 1  # fine levels + subtotals + grand total
 
+    from sjot_ray.pipelines.queries import q_cube_orders
+
+    cu = q_cube_orders(str(sf)).to_pylist()
+    cby = {(r["o_orderpriority"], r["o_orderstatus"]):
+           (r["revenue"], r["n_orders"]) for r in cu}
+    assert cby[("1-URGENT", "O")] == (10.11, 1)
+    assert cby[("ALL", "O")] == (13.11, 3)       # the CUBE-only marginal
+    assert cby[("ALL", "F")] == (20.0, 1)
+    assert cby[("ALL", "ALL")] == (33.11, 4)
+    assert len(cu) == 3 + 2 + 2 + 1  # fine + prio + status + total
+
     samp = q_stratified_sample(str(sf))
     kept = set(samp["doc_id"].to_pylist())
     for i in ids:
