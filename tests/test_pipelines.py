@@ -1349,3 +1349,28 @@ def test_distinctive_terms_planted(ray_session, tmp_path):
     assert got == want
     assert got[3][0] == "unique1" and got[3][1] == 2  # df=1 wins, tf=2
     assert got[2] == ("common", 2, 4, pytest.approx(0.0))
+
+
+def test_users_no_big_purchase_planted(ray_session, tmp_path):
+    """EXCEPT fold: a user with only small purchases qualifies, a user
+    with one big purchase among noise does not, non-purchase event
+    types never count as big."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_users_no_big_purchase
+
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2, 3, 3, 4], pa.int64()),
+        "event_type": pa.array(["purchase", "click", "purchase",
+                                "purchase", "click", "view", "error"]),
+        "value": pa.array([10.0, 9999.0, 100.0, 151.0, 9999.0, 1.0,
+                           9999.0])})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+
+    got = sorted(q_users_no_big_purchase(str(sf))["user_id"].to_pylist())
+    # user 1: only small purchase (click value ignored); user 2: one
+    # purchase over 150 -> excluded; users 3/4: no purchase at all
+    assert got == [1, 3, 4]
