@@ -2591,3 +2591,57 @@ ORACLE_SQL["users_no_big_purchase"] = """
     SELECT DISTINCT user_id FROM events
     WHERE event_type = 'purchase' AND value > 150.0
 """
+
+
+def q_corr_price_qty_by_flag(sf_dir: str):
+    """Grouped Pearson correlation of (l_extendedprice, l_quantity) per
+    l_returnflag via mergeable moment partials — the same shape every
+    distributed second-order statistic reduces to: each batch emits one
+    (n, Σx, Σy, Σxx, Σyy, Σxy) row per group (vectorized kernels), a
+    tiny keyed groupby sums them, and the driver finishes the ≤|groups|
+    rows. Correlation is scale-free, so the raw-moment formula matches
+    DuckDB's streaming corr() to ~1e-12 relative — far inside the
+    6-decimal rounding both sides apply."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_extendedprice"], pa.float64())
+        y = pc.cast(t["l_quantity"], pa.float64())
+        m = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)})
+        g = m.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    agg = _t(ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("l_returnflag")
+             .sum(["n", "sx", "sy", "sxx", "syy", "sxy"]))
+    n = agg["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = agg["sum(sx)"].to_numpy(zero_copy_only=False)
+    sy = agg["sum(sy)"].to_numpy(zero_copy_only=False)
+    sxx = agg["sum(sxx)"].to_numpy(zero_copy_only=False)
+    syy = agg["sum(syy)"].to_numpy(zero_copy_only=False)
+    sxy = agg["sum(sxy)"].to_numpy(zero_copy_only=False)
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    t = pa.table({"l_returnflag": agg["l_returnflag"],
+                  "n": pa.array(n.astype(np.int64)),
+                  "corr_xy": _round(pa.array(corr), 6)})
+    return t.take(pc.sort_indices(t, sort_keys=[("l_returnflag",
+                                                 "ascending")]))
+
+
+ORACLE_SQL["corr_price_qty_by_flag"] = """
+    SELECT l_returnflag, count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_xy
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -1374,3 +1374,36 @@ def test_users_no_big_purchase_planted(ray_session, tmp_path):
     # user 1: only small purchase (click value ignored); user 2: one
     # purchase over 150 -> excluded; users 3/4: no purchase at all
     assert got == [1, 3, 4]
+
+
+def test_corr_price_qty_by_flag_planted(ray_session, tmp_path):
+    """Grouped moment-partial correlation equals np.corrcoef per group,
+    including a perfectly-correlated and an anti-correlated group."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_corr_price_qty_by_flag
+
+    rng = np.random.default_rng(21)
+    x_a = rng.uniform(1, 100, 4000)
+    x_n = rng.uniform(1, 100, 4000)
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 4000 + ["N"] * 4000 +
+                                 ["R"] * 3000),
+        "l_extendedprice": pa.array(np.concatenate(
+            [x_a, x_n, rng.uniform(1, 100, 3000)])),
+        "l_quantity": pa.array(np.concatenate(
+            [2.0 * x_a + 1.0,                 # corr exactly 1
+             -0.5 * x_n + 7.0,                # corr exactly -1
+             rng.uniform(1, 50, 3000)]))})    # ~0
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "lineitem.parquet")
+
+    out = {r["l_returnflag"]: (r["n"], r["corr_xy"])
+           for r in q_corr_price_qty_by_flag(str(sf)).to_pylist()}
+    assert out["A"][0] == 4000 and out["A"][1] == pytest.approx(1.0)
+    assert out["N"][1] == pytest.approx(-1.0)
+    xs = t["l_extendedprice"].to_numpy()[8000:]
+    ys = t["l_quantity"].to_numpy()[8000:]
+    assert out["R"][1] == pytest.approx(
+        float(np.corrcoef(xs, ys)[0, 1]), abs=1e-6)
