@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d["asof_purchase_click"] = T.q_asof_purchase_click
         d["events_window"] = T.q_events_window
         d["order_shipments_window"] = T.q_order_shipments_window
+        d["latest_event_per_user"] = T.q_latest_event_per_user
+        d["funnel_view_click_purchase"] = T.q_funnel_view_click_purchase
     except ImportError:
         pass
     try:
@@ -138,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         d["quantiles_lineitem_price"] = QT.q_quantiles_lineitem_price
         d["quantiles_price_by_flag"] = QT.q_quantiles_price_by_flag
+        d["quantile_cont_price"] = QT.q_quantile_cont_price
     except ImportError:
         pass
     try:

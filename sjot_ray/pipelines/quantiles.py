@@ -93,12 +93,15 @@ def _collect(ds, col: str, chain) -> np.ndarray:
     return np.sort(vals)
 
 
-def exact_quantiles(ds: "ray.data.Dataset", col: str, pcts: list[int],
+def values_at_ranks(ds: "ray.data.Dataset", col: str, ranks,
                     K: int = 2048, collect_cap: int = 4_000_000,
-                    max_depth: int = 4) -> pa.Table:
-    """Exact percentile values of ``ds[col]``: for each integer percent
-    p, the value at 1-based rank max(1, ceil(p·n/100)) of the sorted
-    non-null column. Returns a (pct, value) table ordered by pct."""
+                    max_depth: int = 4) -> tuple[dict[int, float], int]:
+    """Exact sorted-column values at arbitrary 1-based ranks (the
+    selection core behind ``exact_quantiles`` and the interpolated
+    ``quantile_cont`` variant). ``ranks`` is a list of ranks or a
+    callable ``n -> list[int]`` (for rank formulas that need the
+    non-null count, discovered on the first histogram pass). Returns
+    ({rank: value}, n_non_null); ranks outside [1, n] are clamped."""
     from ray.data.aggregate import Max, Min
 
     mm = ds.aggregate(Min(col), Max(col))
@@ -107,12 +110,12 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, pcts: list[int],
     buckets, counts = _histogram(ds, col, [], glo, ghi, K)
     n = int(counts.sum())
     if n == 0:
-        return pa.table({"pct": pa.array([], pa.int64()),
-                         "value": pa.array([], pa.float64())})
-    ranks = {p: max(1, (p * n + 99) // 100) for p in pcts}
+        return {}, 0
+    rank_list = ranks(n) if callable(ranks) else ranks
+    want = sorted({max(1, min(int(r), n)) for r in rank_list})
 
     def solve(chain, lo, hi, b, c, rank_items, depth) -> dict[int, float]:
-        """rank_items: [(pct, rank-within-this-range 1-based)] sorted."""
+        """rank_items: [(rank_id, rank-within-this-range 1-based)]."""
         out: dict[int, float] = {}
         cum = np.concatenate([[0], np.cumsum(c)])
         # group ranks by the bucket that contains them
@@ -147,11 +150,30 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, pcts: list[int],
         return out
 
     res = solve([], glo, ghi, buckets, counts,
-                sorted(ranks.items(), key=lambda x: x[1]), 1)
+                [(r, r) for r in want], 1)
+    return res, n
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str, pcts: list[int],
+                    K: int = 2048, collect_cap: int = 4_000_000,
+                    max_depth: int = 4) -> pa.Table:
+    """Exact percentile values of ``ds[col]``: for each integer percent
+    p, the value at 1-based rank max(1, ceil(p·n/100)) of the sorted
+    non-null column. Returns a (pct, value) table ordered by pct."""
+    # the rank formula needs n, which the selection core discovers on its
+    # first histogram pass — so resolve ranks lazily via the callable form
+    def ranks_fn(n: int) -> list[int]:
+        return [max(1, (p * n + 99) // 100) for p in pcts]
+
+    res, n = values_at_ranks(ds, col, ranks_fn, K, collect_cap, max_depth)
+    if n == 0:
+        return pa.table({"pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
     ps = sorted(pcts)
-    return pa.table({"pct": pa.array(ps, pa.int64()),
-                     "value": pa.array([res[p] for p in ps],
-                                       pa.float64())})
+    return pa.table({
+        "pct": pa.array(ps, pa.int64()),
+        "value": pa.array([res[max(1, (p * n + 99) // 100)] for p in ps],
+                          pa.float64())})
 
 
 def q_quantiles_lineitem_price(sf_dir: str):
@@ -358,4 +380,57 @@ QUANTILES_ORACLE_SQL["quantiles_price_by_flag"] = """
     FROM (VALUES (25), (50), (75), (90)) p(pct)
     JOIN r ON r.rn = greatest(1, (p.pct * r.n + 99) // 100)
     ORDER BY l_returnflag, pct
+"""
+
+
+def q_quantile_cont_price(sf_dir: str):
+    """Interpolated percentiles (SQL ``percentile_cont`` semantics) of
+    l_extendedprice: h = p·(n−1)/100 as an exact rational, neighbor
+    values fetched by the rank-selection core, then ONE shared formula
+    ``v_lo + frac·(v_hi − v_lo)`` with frac = (p·(n−1) mod 100)/100 —
+    integer-exact, so the oracle SQL computes the interpolation from the
+    SAME two doubles with the SAME expression and the hash cannot drift
+    on an engine's internal quantile_cont formula choice."""
+    from .queries import _read
+
+    pcts = [10, 25, 50, 75, 90]
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def ranks_fn(n: int) -> list[int]:
+        out = []
+        for p in pcts:
+            lo0 = (p * (n - 1)) // 100
+            out.extend([lo0 + 1, min(lo0 + 2, n)])
+        return out
+
+    vals, n = values_at_ranks(ds, "l_extendedprice", ranks_fn)
+    if n == 0:
+        return pa.table({"pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    out = []
+    for p in sorted(pcts):
+        lo0 = (p * (n - 1)) // 100
+        frac = ((p * (n - 1)) % 100) / 100.0
+        vlo = vals[lo0 + 1]
+        vhi = vals[min(lo0 + 2, n)]
+        out.append(round(vlo + frac * (vhi - vlo), 6))
+    return pa.table({"pct": pa.array(sorted(pcts), pa.int64()),
+                     "value": pa.array(out, pa.float64())})
+
+
+QUANTILES_ORACLE_SQL["quantile_cont_price"] = """
+    WITH n AS (SELECT count(*) AS n FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    r AS (SELECT l_extendedprice AS v,
+                 row_number() OVER (ORDER BY l_extendedprice) AS rn
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    k AS (SELECT p.pct,
+                 (p.pct * (n.n - 1)) // 100 + 1 AS lo_rn,
+                 least((p.pct * (n.n - 1)) // 100 + 2, n.n) AS hi_rn,
+                 ((p.pct * (n.n - 1)) % 100) / 100.0 AS frac
+          FROM (VALUES (10), (25), (50), (75), (90)) p(pct), n)
+    SELECT k.pct, round(lo.v + k.frac * (hi.v - lo.v), 6) AS value
+    FROM k JOIN r lo ON lo.rn = k.lo_rn
+           JOIN r hi ON hi.rn = k.hi_rn
+    ORDER BY k.pct
 """

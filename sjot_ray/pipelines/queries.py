@@ -2645,3 +2645,486 @@ ORACLE_SQL["corr_price_qty_by_flag"] = """
            round(corr(l_extendedprice, l_quantity), 6) AS corr_xy
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def q_intersect_click_purchase(sf_dir: str):
+    """Set-intersection (INTERSECT) as a distributed indicator fold:
+    users who have BOTH a click and a purchase event. Per batch one
+    Arrow group_by emits (user_id, saw_click, saw_purchase) indicator
+    partials; the tiny keyed groupby maxes them; the driver keeps rows
+    where both indicators fired. Like the EXCEPT fold above, an
+    INTERSECT of two predicate-defined subsets of one table costs one
+    scan and one small keyed shuffle — never two distinct-shuffles plus
+    a join."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ind = pa.table({
+            "user_id": t["user_id"],
+            "c": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+            "p": pc.cast(pc.equal(t["event_type"], "purchase"),
+                         pa.int64())})
+        g = ind.group_by("user_id").aggregate([("c", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "c", "p"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").max(["c", "p"])
+    t = _t(agg)
+    both = pc.and_(pc.equal(t["max(c)"], 1), pc.equal(t["max(p)"], 1))
+    t = t.filter(both)
+    return pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+
+
+ORACLE_SQL["intersect_click_purchase"] = """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+#: EXISTS semi-join discount threshold (≥0.08 qualifies ~63% of orders
+#: at every sf — non-trivial both ways)
+SEMI_DISCOUNT = 0.08
+
+
+def q_orders_discounted_semi(sf_dir: str):
+    """EXISTS semi-join between two LARGE sides: orders that have at
+    least one lineitem with ``l_discount >= SEMI_DISCOUNT``. The probe
+    side ships full payload rows; the build side pre-reduces to
+    DISTINCT qualifying keys per batch (a semi-join never needs the
+    build payload, so only keys move); ``key % B`` co-locates them and
+    each partition keeps probe rows via one Arrow ``is_in``. Same
+    bounded-partition contract as the partitioned inner/left joins."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"], split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_discount"], split=False)
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_orderkey"],
+            "price": pc.cast(t["o_totalprice"], pa.float64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))})
+
+    def build_keys(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.greater_equal(t["l_discount"],
+                                      SEMI_DISCOUNT))["l_orderkey"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = pc.unique(k)
+        return pa.table({
+            "key": k, "price": pa.nulls(len(k), pa.float64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8))})
+
+    tagged = orders.map_batches(probe_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(build_keys, batch_format="pyarrow"))
+
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_totalprice": pa.array([], pa.float64())})
+
+    def semi_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        probe = g.filter(pa.array(side == 0))
+        keys = g.filter(pa.array(side == 1))["key"].combine_chunks()
+        if probe.num_rows == 0 or len(keys) == 0:
+            return empty
+        hit = probe.filter(pc.is_in(probe["key"], value_set=keys))
+        return pa.table({"o_orderkey": pc.cast(hit["key"], pa.int64()),
+                         "o_totalprice": hit["price"]})
+
+    out = hash_shuffle_apply(tagged, "key", B, semi_part, empty)
+    return _t(out).sort_by("o_orderkey")
+
+
+ORACLE_SQL["orders_discounted_semi"] = """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount >= 0.08)
+    ORDER BY o_orderkey
+"""
+
+
+def q_mode_priority_per_status(sf_dir: str):
+    """Grouped MODE (most frequent value per key): per batch one Arrow
+    group_by emits (status, priority, n) count partials, the keyed
+    groupby sums them, and the driver argmaxes the ≤|status|·|priority|
+    rows with a deterministic tie order (count DESC, value ASC) — the
+    categorical companion to the moment-partial statistics: any
+    "top value per key" over bounded-cardinality pairs reduces to this
+    fold with no row shuffle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority"], split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    agg = _t(ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["o_orderstatus", "o_orderpriority"]).sum("n"))
+    idx = pc.sort_indices(agg, sort_keys=[
+        ("o_orderstatus", "ascending"), ("sum(n)", "descending"),
+        ("o_orderpriority", "ascending")])
+    agg = agg.take(idx)
+    st = agg["o_orderstatus"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(st), dtype=bool)
+    first[1:] = st[1:] != st[:-1]
+    top = agg.filter(pa.array(first))
+    return pa.table({
+        "o_orderstatus": top["o_orderstatus"],
+        "mode_priority": top["o_orderpriority"],
+        "n": pc.cast(top["sum(n)"], pa.int64())})
+
+
+ORACLE_SQL["mode_priority_per_status"] = """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY count(*) DESC,
+                                             o_orderpriority ASC) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+def q_zscore_doc_length(sf_dir: str):
+    """Feature normalization (z-score of n_chars per document): pass 1
+    folds exact INTEGER moment partials (n, Σx, Σxx — n_chars is an
+    int, so the sums are order-independent and bit-identical to SQL's),
+    pass 2 broadcasts the two derived doubles and maps every row. The
+    shared mean = Σx/n and var = Σxx/n − mean² expressions make both
+    engines compute z from the SAME doubles — no stddev-implementation
+    drift under the 6-decimal hash."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+            "sxx": pa.array([pc.sum(pc.multiply(x, x)).as_py() or 0],
+                            pa.int64())})
+
+    m = _t(ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    n = int(pc.sum(m["n"]).as_py() or 0)
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
+    sx = int(pc.sum(m["sx"]).as_py())
+    sxx = int(pc.sum(m["sxx"]).as_py())
+    mean = sx / n
+    sd = float(np.sqrt(sxx / n - mean * mean))
+
+    def zmap(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.float64())
+        z = pc.divide(pc.subtract(x, mean), sd)
+        return pa.table({"doc_id": t["doc_id"], "z": _round(z, 6)})
+
+    return _t(ds.map_batches(zmap, batch_format="pyarrow",
+                             zero_copy_batch=True)).sort_by("doc_id")
+
+
+ORACLE_SQL["zscore_doc_length"] = """
+    WITH m AS (SELECT count(*) AS n, sum(n_chars) AS sx,
+                      sum(n_chars * n_chars) AS sxx
+               FROM documents),
+    s AS (SELECT CAST(sx AS DOUBLE) / n AS mean,
+                 sqrt(CAST(sxx AS DOUBLE) / n -
+                      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   AS sd
+          FROM m)
+    SELECT doc_id, round((n_chars - s.mean) / s.sd, 6) AS z
+    FROM documents, s ORDER BY doc_id
+"""
+
+
+def q_gapfill_daily_events(sf_dir: str):
+    """Gap-filled daily event counts (the regular-time-series primitive
+    behind rate dashboards and drift windows): one streaming pass folds
+    (day, n) partials, and the driver left-extends the ≤(span-in-days)
+    result over the full [min, max] day range with zero fill — the
+    dense range lives only on the driver, never as a shuffled join
+    side."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.date32())
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day", "n"])
+
+    agg = _t(ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby("day").sum("n"))
+    if agg.num_rows == 0:
+        return pa.table({"day": pa.array([], pa.date32()),
+                         "n": pa.array([], pa.int64())})
+    days = agg["day"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[D]").astype(np.int64)
+    counts = agg["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    full = np.arange(days.min(), days.max() + 1, dtype=np.int64)
+    dense = np.zeros(len(full), dtype=np.int64)
+    dense[days - days.min()] = counts
+    return pa.table({
+        "day": pa.array(full.astype("datetime64[D]")),
+        "n": pa.array(dense)})
+
+
+ORACLE_SQL["gapfill_daily_events"] = """
+    -- DuckDB's generate_series takes only constant bounds, so the dense
+    -- day axis comes from a constant range() cross-joined to the min/max
+    -- CTE and clamped by date_diff (100000 days ≈ 273 years of headroom)
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY 1),
+    mm AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    g AS (SELECT CAST(mm.lo + k * INTERVAL 1 DAY AS DATE) AS day
+          FROM mm, range(0, 100000) t(k)
+          WHERE k <= date_diff('day', mm.lo, mm.hi))
+    SELECT g.day, coalesce(d.n, 0) AS n
+    FROM g LEFT JOIN d ON d.day = g.day
+    ORDER BY g.day
+"""
+
+
+#: TPC-H Q3 shape parameters (mid-range date splits both tables
+#: non-trivially at every sf)
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = __import__("datetime").datetime(1998, 6, 1)
+
+
+def q_q3_top_unshipped(sf_dir: str):
+    """TPC-H Q3 shape — top-10 unshipped-revenue orders for one market
+    segment: the composite that exercises broadcast + partitioned join +
+    grouped aggregate + top-k in ONE plan. The customer dimension
+    filters to a custkey set broadcast via ray.put; orders prune on
+    (date, custkey) AT THE SCAN so only qualifying (orderkey, date,
+    priority) rows enter the shuffle; lineitem pre-aggregates revenue
+    per order per batch before shuffling; each co-located partition
+    joins + emits its local top-10, and the driver merges ≤10·B rows.
+    (Float caveat shared with every revenue query: the top-10 CUT is on
+    an order-of-summation-sensitive double — last-ulp ties could in
+    principle flip ranks, measured harmless at these scales.)"""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"]))
+    keys = cust.filter(pc.equal(cust["c_mktsegment"],
+                                Q3_SEGMENT))["c_custkey"]
+    keys_ref = ray.put(keys.combine_chunks()
+                       if isinstance(keys, pa.ChunkedArray) else keys)
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    D = pa.scalar(Q3_DATE, pa.timestamp("us"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"], split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount", "l_shipdate"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ck = ray.get(keys_ref)
+        t = t.filter(pc.and_(pc.less(t["o_orderdate"], D),
+                             pc.is_in(t["o_custkey"], value_set=ck)))
+        return pa.table({
+            "key": t["o_orderkey"], "odate": t["o_orderdate"],
+            "prio": t["o_orderpriority"],
+            "rev": pa.nulls(t.num_rows, pa.float64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], D))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev}) \
+            .group_by("key").aggregate([("rev", "sum")])
+        return pa.table({
+            "key": g["key"],
+            "odate": pa.nulls(g.num_rows, pa.timestamp("us")),
+            "prio": pa.nulls(g.num_rows, pa.string()),
+            "rev": pc.cast(g["rev_sum"], pa.float64()),
+            "side": pa.array(np.ones(g.num_rows, dtype=np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us")),
+                      "o_orderpriority": pa.array([], pa.string())})
+
+    def topk(t: pa.Table, k: int = 10) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=k, sort_keys=[("revenue", "descending"),
+                               ("o_orderdate", "ascending"),
+                               ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)) \
+            .select(["key", "odate", "prio"])
+        right = g.filter(pa.array(side == 1)).select(["key", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        agg = right.group_by("key").aggregate([("rev", "sum")])
+        j = left.join(agg, keys="key", join_type="inner")
+        out = pa.table({
+            "o_orderkey": pc.cast(j["key"], pa.int64()),
+            "revenue": pc.cast(j["rev_sum"], pa.float64()),
+            "o_orderdate": j["odate"],
+            "o_orderpriority": j["prio"]})
+        return topk(out)
+
+    out = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    final = topk(out)
+    return final.set_column(1, "revenue", _round(final["revenue"], 2))
+
+
+ORACLE_SQL["q3_top_unshipped"] = """
+    SELECT l_orderkey AS o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+             o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+Q5_REGION = "ASIA"
+
+
+def q_q5_nation_volume(sf_dir: str):
+    """TPC-H Q5 shape — revenue per nation where the ordering customer
+    and the supplier share the nation, restricted to one region: ONE
+    partitioned lineitem⋈orders join (the only large-large edge) plus
+    dimension broadcasts for customer→nation, supplier→nation and
+    nation/region names. The c_nationkey = s_nationkey condition is a
+    post-join vectorized mask (dense int-indexed lookup arrays), and
+    each partition pre-reduces to ≤|nations| rows, so the final keyed
+    shuffle is tiny regardless of scale."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"]))
+    supp = _t(_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]))
+    nat = _t(_read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"]))
+    reg = _t(_read(sf_dir, "region", columns=["r_regionkey", "r_name"]))
+
+    # dense nationkey-indexed name / in-region arrays (≤25 entries)
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    names = np.empty(nk.max() + 1, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    region_of = np.full(nk.max() + 1, -1, dtype=np.int64)
+    region_of[nk] = nat["n_regionkey"].to_numpy(zero_copy_only=False)
+    asia = {int(k) for k, n in zip(
+        reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if n == Q5_REGION}
+    in_region = np.isin(region_of, list(asia))
+    lookups_ref = ray.put((
+        cust["c_custkey"].combine_chunks(),
+        cust["c_nationkey"].combine_chunks(),
+        supp["s_suppkey"].combine_chunks(),
+        supp["s_nationkey"].combine_chunks(),
+        names, in_region))
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"],
+                     split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"],
+            "ck": pc.cast(t["o_custkey"], pa.int64()),
+            "sk": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.float64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "key": t["l_orderkey"], "ck": pa.nulls(n, pa.int64()),
+            "sk": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pc.cast(rev, pa.float64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        ckeys, cnat, skeys, snat, names_, in_region_ = ray.get(lookups_ref)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "ck"])
+        right = g.filter(pa.array(side == 1)).select(["key", "sk", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        j = right.join(left, keys="key", join_type="inner")
+        # dangling keys (testdata plants some) → null lookups → -1, which
+        # the cn >= 0 mask drops before the equality test
+        cn = pc.fill_null(
+            pc.take(cnat, pc.index_in(j["ck"], value_set=ckeys)),
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = pc.fill_null(
+            pc.take(snat, pc.index_in(j["sk"], value_set=skeys)),
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (cn >= 0) & (cn == sn) \
+            & in_region_[np.clip(cn, 0, len(in_region_) - 1)]
+        if not m.any():
+            return empty
+        sub = pa.table({
+            "n_name": pa.array(names_[cn[m]].tolist(), pa.string()),
+            "rev": j["rev"].combine_chunks().take(
+                pa.array(np.nonzero(m)[0], pa.int64()))})
+        agg = sub.group_by("n_name").aggregate([("rev", "sum")])
+        return agg.rename_columns(["n_name", "revenue"])
+
+    out = hash_shuffle_apply(tagged, "key", B, join_part, empty)
+    agg = _t(out)
+    if agg.num_rows == 0:
+        return empty
+    final = agg.group_by("n_name").aggregate([("revenue", "sum")])
+    final = final.rename_columns(["n_name", "revenue"]).sort_by("n_name")
+    return final.set_column(1, "revenue", _round(final["revenue"], 2))
+
+
+ORACLE_SQL["q5_nation_volume"] = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+"""

@@ -442,3 +442,147 @@ TEMPORAL_ORACLE_SQL: dict[str, str] = {
         ORDER BY o.o_orderkey
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# grouped ARG_MAX (latest row per key)
+
+def _last_per_key(t: pa.Table, key_col: str, ts_col: str,
+                  tie_col: str) -> pa.Table:
+    """Keep each key's row with the max (ts, tie) — one vectorized sort +
+    one take; ties broken deterministically by ``tie_col``."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                      (tie_col, "ascending")])
+    t = t.take(idx)
+    key = _i64(t[key_col])
+    last = np.nonzero(np.r_[key[1:] != key[:-1], True])[0]
+    return t.take(pa.array(last, pa.int64()))
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Grouped ARG_MAX — each user's latest event row (full payload),
+    ordered by (ts, event_id) so ties are deterministic. Two-level
+    reduction: every batch first collapses to ≤ one row per user seen in
+    the batch (argmax is idempotent and mergeable, like the moment
+    partials), then the ≤|users|-per-batch partials co-locate through
+    the keyed shuffle and each partition re-argmaxes once — the same
+    shape as SQL's ``arg_max``/``row_number()=1`` but with no global
+    sort and only partial rows on the wire."""
+    from .queries import _parquet_rows, _read, _t
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    ds = _read(sf_dir, "events", columns=cols)
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = _last_per_key(t, "user_id", "ts", "event_id")
+        return r.append_column("hkey", _hkey(_i64(r["user_id"])))
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        return _last_per_key(g, "user_id", "ts", "event_id").select(cols)
+
+    out = hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, final, empty)
+    return _t(out).sort_by("user_id")
+
+
+TEMPORAL_ORACLE_SQL["latest_event_per_user"] = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                      AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordered-sequence funnel
+
+def q_funnel_view_click_purchase(sf_dir: str):
+    """Conversion funnel with STRICT temporal ordering — users who
+    viewed, then clicked after their first view, then purchased after
+    that first qualifying click. Events hash-partition by user (all of
+    a user's rows co-locate once), and each partition resolves the
+    three stages with Arrow kernels only: min-ts per user for stage 1,
+    then an inner join + ts-filter + min for each later stage — no
+    per-user Python loop, no global sort. Partitions emit 3-row count
+    partials; the driver folds ≤3·B rows. The same shape extends to any
+    fixed event-sequence pattern (A then B then C …)."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t["user_id"])))
+
+    STAGES = ["view", "view>click", "view>click>purchase"]
+    empty = pa.table({"stage": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64())})
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        def first_after(kind: str, prev: pa.Table | None) -> pa.Table:
+            """min ts per user of `kind` events, strictly after the
+            user's ts in `prev` (prev=None → unconditional)."""
+            e = g.filter(pc.equal(g["event_type"], kind)) \
+                .select(["user_id", "ts"])
+            if prev is not None:
+                e = e.join(prev, keys="user_id", join_type="inner")
+                e = e.filter(pc.greater(e["ts"], e["t_prev"]))
+                e = e.select(["user_id", "ts"])
+            m = e.group_by("user_id").aggregate([("ts", "min")])
+            return m.rename_columns(["user_id", "t_prev"])
+
+        s1 = first_after("view", None)
+        s2 = first_after("click", s1)
+        s3 = first_after("purchase", s2)
+        return pa.table({
+            "stage": pa.array(STAGES, pa.string()),
+            "n_users": pa.array([s1.num_rows, s2.num_rows, s3.num_rows],
+                                pa.int64())})
+
+    parts = hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, funnel_part, empty)
+    t = _t(parts)
+    if t.num_rows == 0:
+        return empty
+    agg = t.group_by("stage").aggregate([("n_users", "sum")])
+    return agg.rename_columns(["stage", "n_users"]).sort_by("stage")
+
+
+TEMPORAL_ORACLE_SQL["funnel_view_click_purchase"] = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT 'view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 'view>click', count(*) FROM s2
+        UNION ALL
+        SELECT 'view>click>purchase', count(*) FROM s3)
+    ORDER BY stage
+"""

@@ -1407,3 +1407,253 @@ def test_corr_price_qty_by_flag_planted(ray_session, tmp_path):
     ys = t["l_quantity"].to_numpy()[8000:]
     assert out["R"][1] == pytest.approx(
         float(np.corrcoef(xs, ys)[0, 1]), abs=1e-6)
+
+
+def test_intersect_click_purchase_planted(ray_session, tmp_path):
+    """INTERSECT indicator fold: only users with BOTH event kinds
+    survive, one-sided and unrelated-event users drop."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_intersect_click_purchase
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 2, 3, 3, 4, 4, 3], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "click", "purchase",
+                                "view", "signup", "view"])}),
+        sf / "events.parquet")
+    got = sorted(q_intersect_click_purchase(str(sf))["user_id"].to_pylist())
+    assert got == [3]
+
+
+def test_orders_discounted_semi_planted(ray_session, tmp_path):
+    """EXISTS semi-join: an order qualifies iff ≥1 lineitem meets the
+    discount bound; payload passes through once per order (no fanout
+    on multi-match), childless orders drop."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_orders_discounted_semi
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0])}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 4, 4], pa.int64()),
+        "l_discount": pa.array([0.09, 0.02, 0.08, 0.10])}),
+        sf / "lineitem.parquet")
+    out = q_orders_discounted_semi(str(sf))
+    assert out["o_orderkey"].to_pylist() == [1, 4]
+    assert out["o_totalprice"].to_pylist() == [10.0, 40.0]
+
+
+def test_latest_event_per_user_planted(ray_session, tmp_path):
+    """Grouped ARG_MAX: max (ts, event_id) row per user with full
+    payload; equal timestamps break ties on the higher event_id."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.temporal import q_latest_event_per_user
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 8, 8, 8], pa.int64()),
+        "ts": pa.array([ts(0), ts(5), ts(1), ts(9), ts(9)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "view", "click",
+                                "purchase"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])}),
+        sf / "events.parquet")
+    out = q_latest_event_per_user(str(sf))
+    rows = {r["user_id"]: r for r in out.to_pylist()}
+    assert sorted(rows) == [7, 8]
+    assert rows[7]["event_id"] == 2 and rows[7]["value"] == 2.0
+    # tie on ts(9): event_id 5 wins
+    assert rows[8]["event_id"] == 5 and rows[8]["event_type"] == "purchase"
+
+
+def test_mode_priority_per_status_planted(ray_session, tmp_path):
+    """Grouped MODE: highest count wins; equal counts break ties on the
+    lexicographically smallest value."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_mode_priority_per_status
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderstatus": pa.array(["O", "O", "O", "O", "F"]),
+        "o_orderpriority": pa.array(["2-HIGH", "1-URGENT", "2-HIGH",
+                                     "1-URGENT", "3-LOW"])}),
+        sf / "orders.parquet")
+    out = {r["o_orderstatus"]: r
+           for r in q_mode_priority_per_status(str(sf)).to_pylist()}
+    assert out["O"]["mode_priority"] == "1-URGENT"  # tie 2-2 → asc value
+    assert out["O"]["n"] == 2
+    assert out["F"]["mode_priority"] == "3-LOW" and out["F"]["n"] == 1
+
+
+def test_zscore_doc_length_planted(ray_session, tmp_path):
+    """z-scores from exact integer moments match the population formula
+    digit for digit."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_zscore_doc_length
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n_chars": pa.array([10, 20, 30], pa.int64())}),
+        sf / "documents.parquet")
+    out = q_zscore_doc_length(str(sf))
+    zs = dict(zip(out["doc_id"].to_pylist(), out["z"].to_pylist()))
+    import math
+    sd = math.sqrt((100 + 400 + 900) / 3 - 20.0 * 20.0)
+    assert zs[1] == round((10 - 20.0) / sd, 6)
+    assert zs[2] == 0.0
+    assert zs[3] == round((30 - 20.0) / sd, 6)
+
+
+def test_gapfill_daily_events_planted(ray_session, tmp_path):
+    """Missing days inside [min, max] appear with n = 0."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_gapfill_daily_events
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    days = [dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 1, 9),
+            dt.datetime(2024, 1, 4, 0)]
+    pq.write_table(pa.table({"ts": pa.array(days, pa.timestamp("us"))}),
+                   sf / "events.parquet")
+    out = q_gapfill_daily_events(str(sf))
+    assert [str(d) for d in out["day"].to_pylist()] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert out["n"].to_pylist() == [2, 0, 0, 1]
+
+
+def test_funnel_strict_ordering_planted(ray_session, tmp_path):
+    """Stages require strictly increasing timestamps: a click before the
+    first view doesn't count, nor a purchase before the first qualifying
+    click."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.temporal import q_funnel_view_click_purchase
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [  # (user, minute, type)
+        (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+        (2, 3, "click"), (2, 5, "view"),             # click precedes view
+        (3, 0, "view"), (3, 2, "click"), (3, 1, "purchase")]  # p < click
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows])}),
+        sf / "events.parquet")
+    out = {r["stage"]: r["n_users"]
+           for r in q_funnel_view_click_purchase(str(sf)).to_pylist()}
+    assert out == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_q3_top_unshipped_planted(ray_session, tmp_path):
+    """Q3 composite: segment, order-date and ship-date predicates all
+    bite; revenue sums only qualifying lineitems."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_q3_top_unshipped
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"])}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1998, 1, 1),
+                                 dt.datetime(1999, 1, 1),   # too late
+                                 dt.datetime(1998, 1, 1)],  # wrong segment
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-LOW"])}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 12], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 40.0, 70.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.0]),
+        "l_shipdate": pa.array([dt.datetime(1998, 7, 1),
+                                dt.datetime(1998, 1, 5),   # shipped early
+                                dt.datetime(1998, 7, 1)],
+                               pa.timestamp("us"))}),
+        sf / "lineitem.parquet")
+    out = q_q3_top_unshipped(str(sf)).to_pylist()
+    assert len(out) == 1
+    assert out[0]["o_orderkey"] == 10 and out[0]["revenue"] == 90.0
+    assert out[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_q5_nation_volume_planted(ray_session, tmp_path):
+    """Q5 composite: only rows where customer and supplier share an
+    in-region nation contribute; revenue aggregates per nation name."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_q5_nation_volume
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE"])}), sf / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["N0", "N1", "N2"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32())}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], pa.int32())}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([0, 1, 2], pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64())}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        # (order, supp, price, disc): o10+s1 matches N0; o10+s2 is a
+        # cust/supp nation MISMATCH; o20+s2 matches N1; o30+s3 matches
+        # N2 but EUROPE
+        "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 200.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.5, 0.0])}),
+        sf / "lineitem.parquet")
+    out = q_q5_nation_volume(str(sf)).to_pylist()
+    assert [(r["n_name"], r["revenue"]) for r in out] == [
+        ("N0", 100.0), ("N1", 100.0)]

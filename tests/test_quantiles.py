@@ -152,3 +152,58 @@ def test_grouped_quantiles_two_oversized_buckets_same_group(ray_session):
     pcts = [10, 90]
     got = _grouped_run(ray_session, gs, vals, pcts, K=8, collect_cap=500)
     assert got == _grouped_expected(gs, vals, pcts)
+
+
+def test_values_at_ranks_exact(ray_session):
+    """The rank-selection core returns exactly the sorted-column values
+    at arbitrary ranks (callable form receives the true n), out-of-range
+    ranks clamp."""
+    import ray.data
+
+    from sjot_ray.pipelines.quantiles import values_at_ranks
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 50, 20_000)
+    s = np.sort(vals)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
+    seen = {}
+
+    def ranks_fn(m: int):
+        seen["n"] = m
+        return [1, 7, 9_999, 20_000, 25_000]
+
+    res, n = values_at_ranks(ds, "x", ranks_fn)
+    assert n == 20_000 and seen["n"] == 20_000
+    assert res[1] == float(s[0])
+    assert res[7] == float(s[6])
+    assert res[9_999] == float(s[9_998])
+    assert res[20_000] == float(s[-1])  # 25_000 clamped onto n too
+
+
+def test_quantile_cont_planted(ray_session, tmp_path):
+    """Interpolated percentile_cont against a numpy respecification of
+    the SAME integer-exact frac formula (and numpy.percentile linear
+    interpolation, which it equals for these inputs)."""
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.quantiles import q_quantile_cont_price
+
+    rng = np.random.default_rng(12)
+    vals = rng.uniform(900.0, 105_000.0, 5_003)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"l_extendedprice": pa.array(vals,
+                                                         pa.float64())}),
+                   sf / "lineitem.parquet")
+    out = q_quantile_cont_price(str(sf))
+    got = dict(zip(out["pct"].to_pylist(), out["value"].to_pylist()))
+    s = np.sort(vals)
+    n = len(s)
+    for p in (10, 25, 50, 75, 90):
+        lo0 = (p * (n - 1)) // 100
+        frac = ((p * (n - 1)) % 100) / 100.0
+        exp = round(float(s[lo0] + frac * (s[min(lo0 + 1, n - 1)]
+                                           - s[lo0])), 6)
+        assert got[p] == exp
+        assert abs(got[p] - np.percentile(vals, p)) < 1e-6
