@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         d["asof_purchase_click"] = T.q_asof_purchase_click
         d["events_window"] = T.q_events_window
+        d["events_rank"] = T.q_events_rank
         d["order_shipments_window"] = T.q_order_shipments_window
         d["latest_event_per_user"] = T.q_latest_event_per_user
         d["funnel_view_click_purchase"] = T.q_funnel_view_click_purchase

@@ -3128,3 +3128,592 @@ ORACLE_SQL["q5_nation_volume"] = """
       AND r_name = 'ASIA'
     GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H closure batch 2: Q6 / Q4 / Q14 / Q18 / Q10 shapes
+# (reference has no SQL engine; these exercise the same Ray-Data-first
+# building blocks — pruned scan-aggregate, EXISTS semi-join, broadcast
+# dimension ratio, HAVING over a partitioned aggregate, and a two-stage
+# keyed shuffle with per-partition top-k — against DuckDB oracles.)
+
+Q6_LO = __import__("datetime").datetime(1996, 1, 1)
+Q6_HI = __import__("datetime").datetime(1997, 1, 1)
+
+
+def q_q6_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape — the canonical pruned scan-aggregate: read ONLY
+    the four needed columns, apply the (date, discount, quantity)
+    filter per batch, pre-reduce each batch to ONE (sum, count) partial
+    row, and fold the ≤n_blocks partials on the driver. Nothing
+    shuffles; at 100 TB the wall-time is the column scan."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"], split=False)
+    lo = pa.scalar(Q6_LO, pa.timestamp("us"))
+    hi = pa.scalar(Q6_HI, pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.and_(
+                        pc.greater_equal(t["l_discount"], pa.scalar(0.04)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.06))),
+                        pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"rev": pa.array([rev.as_py() or 0.0],
+                                         pa.float64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    return pa.table({
+        "revenue": _round(pa.array([pc.sum(parts["rev"]).as_py() or 0.0],
+                                   pa.float64()), 2),
+        "n_lines": pa.array([pc.sum(parts["n"]).as_py() or 0],
+                            pa.int64())})
+
+
+ORACLE_SQL["q6_revenue_forecast"] = """
+    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q_q4_late_orders(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS(correlated predicate) as a partitioned
+    semi-join: lineitem pre-reduces to ONE (orderkey, max shipdate)
+    partial per batch (max is the exact witness for 'any line shipped
+    after the order date'), both sides co-locate by orderkey, and each
+    partition joins + tests the predicate + reduces to ≤|priorities|
+    rows. The driver folds ≤5·B partial rows."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"], split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_shipdate"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"], "odate": t["o_orderdate"],
+            "prio": t["o_orderpriority"],
+            "maxship": pa.nulls(n, pa.timestamp("us")),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        n = g.num_rows
+        return pa.table({
+            "key": g["l_orderkey"],
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "prio": pa.nulls(n, pa.string()),
+            "maxship": g["l_shipdate_max"],
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)) \
+            .select(["key", "odate", "prio"])
+        right = g.filter(pa.array(side == 1)).select(["key", "maxship"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        agg = right.group_by("key").aggregate([("maxship", "max")])
+        j = left.join(agg, keys="key", join_type="inner")
+        j = j.filter(pc.greater(j["maxship_max"], j["odate"]))
+        g2 = j.group_by("prio").aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g2["prio"],
+                         "n": pc.cast(g2["count_all"], pa.int64())})
+
+    out = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    if out.num_rows == 0:
+        return empty
+    final = out.group_by("o_orderpriority").aggregate([("n", "sum")])
+    final = final.rename_columns(["o_orderpriority", "n"]) \
+        .sort_by("o_orderpriority")
+    return final.set_column(1, "n", pc.cast(final["n"], pa.int64()))
+
+
+ORACLE_SQL["q4_late_orders"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+Q14_LO = __import__("datetime").datetime(1996, 3, 1)
+Q14_HI = __import__("datetime").datetime(1996, 4, 1)
+
+
+def q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — broadcast dimension ratio: part's
+    (partkey → is-PROMO) map ships once via ray.put, every lineitem
+    batch probes it vectorized (index_in + take), pre-reduces to one
+    (promo_rev, total_rev) partial row, and the driver folds partials.
+    Inner-join semantics: lineitem rows whose partkey misses the part
+    table drop (the testdata plants dangling keys)."""
+    partt = _t(_read(sf_dir, "part", columns=["p_partkey", "p_type"]))
+    lookup_ref = ray.put((
+        partt["p_partkey"].combine_chunks(),
+        pc.equal(partt["p_type"], pa.scalar("PROMO")).combine_chunks()))
+    lo = pa.scalar(Q14_LO, pa.timestamp("us"))
+    hi = pa.scalar(Q14_HI, pa.timestamp("us"))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"], split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(lookup_ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        idx = pc.index_in(t["l_partkey"], value_set=keys)
+        valid = pc.is_valid(idx)
+        t = t.filter(valid)
+        promo = pc.take(is_promo, idx.filter(valid))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        prev = pc.sum(pc.if_else(promo, rev, pa.scalar(0.0)))
+        return pa.table({
+            "promo": pa.array([prev.as_py() or 0.0], pa.float64()),
+            "total": pa.array([pc.sum(rev).as_py() or 0.0],
+                              pa.float64())})
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    promo = pc.sum(parts["promo"]).as_py() or 0.0
+    total = pc.sum(parts["total"]).as_py() or 0.0
+    pct = 100.0 * promo / total if total else 0.0
+    return pa.table({
+        "promo_revenue": _round(pa.array([promo], pa.float64()), 2),
+        "total_revenue": _round(pa.array([total], pa.float64()), 2),
+        "promo_pct": _round(pa.array([pct], pa.float64()), 4)})
+
+
+ORACLE_SQL["q14_promo_revenue"] = """
+    SELECT round(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END), 0), 2) AS promo_revenue,
+           round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2)
+               AS total_revenue,
+           round(coalesce(100.0 *
+                 sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)),
+                 0), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+Q18_MIN_QTY = 300.0
+
+
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — HAVING over a partitioned aggregate: lineitem
+    pre-reduces per batch, co-locates with its order row by orderkey,
+    each partition finalizes the per-order quantity sum, applies the
+    HAVING cut (> 300), inner-joins the surviving handful to the
+    partition's order rows and resolves c_name from the broadcast
+    customer map. Only rows past the cut leave the partition, so the
+    driver's final top-100 sort sees a few hundred rows at any scale.
+    (Orders with a dangling custkey drop — inner-join semantics.)"""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    cust = _t(_read(sf_dir, "customer", columns=["c_custkey", "c_name"]))
+    cust_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                        cust["c_name"].combine_chunks()))
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                   split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_quantity"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"],
+            "ck": pc.cast(t["o_custkey"], pa.int64()),
+            "tp": pc.cast(t["o_totalprice"], pa.float64()),
+            "qty": pa.nulls(n, pa.float64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        n = g.num_rows
+        return pa.table({
+            "key": g["l_orderkey"], "ck": pa.nulls(n, pa.int64()),
+            "tp": pa.nulls(n, pa.float64()),
+            "qty": pc.cast(g["l_quantity_sum"], pa.float64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"c_name": pa.array([], pa.string()),
+                      "o_custkey": pa.array([], pa.int64()),
+                      "o_orderkey": pa.array([], pa.int64()),
+                      "o_totalprice": pa.array([], pa.float64()),
+                      "sum_qty": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "ck", "tp"])
+        right = g.filter(pa.array(side == 1)).select(["key", "qty"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        agg = right.group_by("key").aggregate([("qty", "sum")])
+        agg = agg.filter(pc.greater(agg["qty_sum"],
+                                    pa.scalar(Q18_MIN_QTY)))
+        if agg.num_rows == 0:
+            return empty
+        j = left.join(agg, keys="key", join_type="inner")
+        if j.num_rows == 0:
+            return empty
+        ckeys, cnames = ray.get(cust_ref)
+        idx = pc.index_in(j["ck"], value_set=ckeys)
+        valid = pc.is_valid(idx)
+        j = j.filter(valid)
+        name = pc.take(cnames, idx.filter(valid))
+        return pa.table({
+            "c_name": name,
+            "o_custkey": pc.cast(j["ck"], pa.int64()),
+            "o_orderkey": pc.cast(j["key"], pa.int64()),
+            "o_totalprice": j["tp"],
+            "sum_qty": pc.cast(j["qty_sum"], pa.float64())})
+
+    out = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    if out.num_rows == 0:
+        return empty
+    idx = pc.select_k_unstable(
+        out, k=100, sort_keys=[("o_totalprice", "descending"),
+                               ("o_orderkey", "ascending")])
+    final = out.take(idx)
+    final = final.set_column(3, "o_totalprice",
+                             _round(final["o_totalprice"], 2))
+    return final.set_column(4, "sum_qty", _round(final["sum_qty"], 2))
+
+
+ORACLE_SQL["q18_large_orders"] = """
+    SELECT c_name, o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) q
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+Q10_LO = __import__("datetime").datetime(1996, 1, 1)
+Q10_HI = __import__("datetime").datetime(1996, 4, 1)
+
+
+def q_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue in a
+    quarter: stage 1 co-locates date-filtered orders with
+    returnflag-filtered lineitem revenue partials by ORDERKEY and emits
+    per-partition (custkey, rev) partials; stage 2 re-keys by CUSTKEY,
+    finalizes each customer's sum, resolves the broadcast customer
+    attributes, and emits its partition's top-20; the driver merges
+    ≤20·B rows. Two bounded keyed shuffles, no broadcast of either
+    large side. (Top-20 cut ranks an order-of-summation-sensitive
+    double — same documented caveat as q3.)"""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_name", "c_acctbal"]))
+    cust_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                        cust["c_name"].combine_chunks(),
+                        cust["c_acctbal"].combine_chunks()))
+
+    total = _parquet_rows(sf_dir, "lineitem") + _parquet_rows(sf_dir,
+                                                              "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    lo = pa.scalar(Q10_LO, pa.timestamp("us"))
+    hi = pa.scalar(Q10_HI, pa.timestamp("us"))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   split=False)
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_returnflag",
+                              "l_extendedprice", "l_discount"],
+                     split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"],
+            "ck": pc.cast(t["o_custkey"], pa.int64()),
+            "rev": pa.nulls(n, pa.float64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev}) \
+            .group_by("key").aggregate([("rev", "sum")])
+        n = g.num_rows
+        return pa.table({
+            "key": g["key"], "ck": pa.nulls(n, pa.int64()),
+            "rev": pc.cast(g["rev_sum"], pa.float64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty1 = pa.table({"ck": pa.array([], pa.int64()),
+                       "rev": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "ck"])
+        right = g.filter(pa.array(side == 1)).select(["key", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty1
+        agg = right.group_by("key").aggregate([("rev", "sum")])
+        j = left.join(agg, keys="key", join_type="inner")
+        g2 = pa.table({"ck": j["ck"], "rev": j["rev_sum"]}) \
+            .group_by("ck").aggregate([("rev", "sum")])
+        return g2.rename_columns(["ck", "rev"])
+
+    parts = hash_shuffle_apply(tagged, "key", B, join_part, empty1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        from ..state.sketches import rehash
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column("hkey", pa.array(
+            rehash(ck.view(np.uint64), 17).astype(np.int64)))
+
+    empty2 = pa.table({"c_custkey": pa.array([], pa.int64()),
+                       "c_name": pa.array([], pa.string()),
+                       "revenue": pa.array([], pa.float64()),
+                       "c_acctbal": pa.array([], pa.float64())})
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        agg = g.group_by("ck").aggregate([("rev", "sum")])
+        ckeys, cnames, cbal = ray.get(cust_ref)
+        idx = pc.index_in(agg["ck"], value_set=ckeys)
+        valid = pc.is_valid(idx)
+        agg = agg.filter(valid)
+        idx = idx.filter(valid)
+        t = pa.table({
+            "c_custkey": pc.cast(agg["ck"], pa.int64()),
+            "c_name": pc.take(cnames, idx),
+            "revenue": pc.cast(agg["rev_sum"], pa.float64()),
+            "c_acctbal": pc.take(cbal, idx)})
+        take = pc.select_k_unstable(
+            t, k=20, sort_keys=[("revenue", "descending"),
+                                ("c_custkey", "ascending")])
+        return t.take(take)
+
+    B2 = coarse_buckets(_parquet_rows(sf_dir, "customer"),
+                        rows_per_part=800_000, cap=256)
+    out = _t(hash_shuffle_apply(
+        parts.map_batches(rekey, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "hkey", B2, topk_part, empty2))
+    if out.num_rows == 0:
+        return empty2
+    idx = pc.select_k_unstable(
+        out, k=20, sort_keys=[("revenue", "descending"),
+                              ("c_custkey", "ascending")])
+    final = out.take(idx)
+    final = final.set_column(2, "revenue", _round(final["revenue"], 2))
+    return final.set_column(3, "c_acctbal", _round(final["c_acctbal"], 2))
+
+
+ORACLE_SQL["q10_returned_revenue"] = """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped ordered string-agg + partitioned FULL OUTER join
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (SQL ``string_agg(... ORDER BY
+    ts, event_id)``): one keyed shuffle co-locates each user's rows,
+    then the partition kernel is three vectorized Arrow calls — sort by
+    (user, ts, id), ``hash_list`` group_by (which preserves within-group
+    encounter order), and ``binary_join`` to collapse each list to one
+    delimited string. No per-group Python. Partitioning contract: one
+    user's events fit one reduce task (same as sessionization)."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+    from ..state.sketches import rehash
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("hkey", pa.array(
+            rehash(uid.view(np.uint64), 17).astype(np.int64)))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def paths(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        g = g.take(idx)
+        agg = g.group_by("user_id", use_threads=False).aggregate(
+            [("event_type", "list"), ([], "count_all")])
+        path = pc.binary_join(agg["event_type_list"], pa.scalar(">"))
+        return pa.table({
+            "user_id": pc.cast(agg["user_id"], pa.int64()),
+            "path": path,
+            "n": pc.cast(agg["count_all"], pa.int64())})
+
+    out = hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, paths, empty)
+    return _t(out).sort_by("user_id")
+
+
+ORACLE_SQL["user_event_paths"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_customer_order_full(sf_dir: str):
+    """Partitioned FULL OUTER join — customers with no orders keep NULL
+    order aggregates, order rows with a dangling custkey (the testdata
+    plants some) keep NULL customer attributes. Same tagged-union keyed
+    shuffle as the left join; each partition pre-finalizes the order
+    aggregate and runs ONE Arrow full-outer join, so null extension on
+    BOTH sides costs nothing beyond the inner plan and no side
+    broadcasts."""
+    from .shuffle import coarse_buckets, hash_shuffle_apply
+    from ..state.sketches import rehash
+
+    total = _parquet_rows(sf_dir, "orders") + _parquet_rows(sf_dir,
+                                                            "customer")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_acctbal"], split=False)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"], split=False)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "bal": pc.cast(t["c_acctbal"], pa.float64()),
+            "n_ord": pa.nulls(n, pa.int64()),
+            "price": pa.nulls(n, pa.float64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        n = g.num_rows
+        return pa.table({
+            "key": pc.cast(g["o_custkey"], pa.int64()),
+            "bal": pa.nulls(n, pa.float64()),
+            "n_ord": pc.cast(g["count_all"], pa.int64()),
+            "price": pc.cast(g["o_totalprice_sum"], pa.float64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def add_key(t: pa.Table) -> pa.Table:
+        k = t["key"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("hkey", pa.array(
+            rehash(k.view(np.uint64), 17).astype(np.int64)))
+
+    tagged = customer.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_rows, batch_format="pyarrow")) \
+        .map_batches(add_key, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    empty = pa.table({"custkey": pa.array([], pa.int64()),
+                      "acctbal": pa.array([], pa.float64()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "sum_price": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "bal"])
+        right = g.filter(pa.array(side == 1)) \
+            .select(["key", "n_ord", "price"])
+        agg = right.group_by("key").aggregate(
+            [("n_ord", "sum"), ("price", "sum")])
+        j = left.join(agg, keys="key", join_type="full outer")
+        return pa.table({
+            "custkey": pc.cast(j["key"], pa.int64()),
+            "acctbal": j["bal"],
+            "n_orders": pc.cast(
+                pc.coalesce(j["n_ord_sum"], pa.scalar(0, pa.int64())),
+                pa.int64()),
+            "sum_price": pc.cast(j["price_sum"], pa.float64())})
+
+    out = _t(hash_shuffle_apply(tagged, "hkey", B, join_part, empty))
+    if out.num_rows == 0:
+        return empty
+    out = out.sort_by("custkey")
+    out = out.set_column(1, "acctbal", _round(out["acctbal"], 2))
+    return out.set_column(3, "sum_price", _round(out["sum_price"], 2))
+
+
+ORACLE_SQL["customer_order_full"] = """
+    WITH og AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                       sum(o_totalprice) AS sum_price
+                FROM orders GROUP BY o_custkey)
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           round(sum_price, 2) AS sum_price
+    FROM customer c FULL JOIN og ON c_custkey = o_custkey
+    ORDER BY custkey
+"""

@@ -586,3 +586,148 @@ TEMPORAL_ORACLE_SQL["funnel_view_click_purchase"] = """
         SELECT 'view>click>purchase', count(*) FROM s3)
     ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# ranking window-function family (rank / dense_rank / lead / ntile)
+
+def _ntile(rn: np.ndarray, cnt: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE(n): the first ``cnt % n`` buckets get ``cnt // n + 1``
+    rows, the rest ``cnt // n`` — vectorized over rows (``rn`` is the
+    1-based row_number, ``cnt`` the row's partition size)."""
+    q, r = cnt // n, cnt % n
+    big = r * (q + 1)            # rows covered by the oversized buckets
+    in_big = rn <= big
+    # q == 0 only when cnt < n, and then every row is in a 'big' bucket
+    safe_q = np.maximum(q, 1)
+    return np.where(in_big, (rn - 1) // (q + 1) + 1,
+                    r + (rn - big - 1) // safe_q + 1).astype(np.int64)
+
+
+def rank_window_funcs(ds: "ray.data.Dataset", key_col: str, ts_col: str,
+                      tie_col: str, val_col: str, lab_col: str,
+                      n_rows: int | None = None,
+                      n_tiles: int = 4) -> "ray.data.Dataset":
+    """Per-key ranking window functions in ONE keyed shuffle:
+
+    * ``rnk`` / ``drnk`` — RANK / DENSE_RANK over ``val_col`` DESC
+      (ties share a rank; equality on the raw stored doubles, no
+      arithmetic, so it is engine-stable);
+    * ``lead_label`` — LEAD(``lab_col``) over (ts, tie);
+    * ``tile`` — NTILE(``n_tiles``) over (ts, tie).
+
+    Per partition: one sort by (key, ts, tie) for the sequential
+    functions, one lexsort by (key, -val) for the rank pair, and pure
+    numpy segment arithmetic in between — no per-row Python. Same
+    partitioning contract as ``window_funcs``: one key's rows fit one
+    reduce task."""
+    if n_rows is None:
+        n_rows = ds.count()
+    B = coarse_buckets(n_rows, cap=1024)
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t[key_col])))
+
+    def within(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                          (tie_col, "ascending")])
+        g = g.take(idx)
+        key = _i64(g[key_col])
+        val = g[val_col].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(g[val_col], pa.ChunkedArray) \
+            else g[val_col].to_numpy(zero_copy_only=False)
+        n = len(key)
+        if n == 0:
+            return pa.table({
+                key_col: pa.nulls(0, schema.field(key_col).type),
+                tie_col: pa.nulls(0, schema.field(tie_col).type),
+                "rnk": pa.array([], pa.int64()),
+                "drnk": pa.array([], pa.int64()),
+                "lead_label": pa.nulls(0, schema.field(lab_col).type),
+                "tile": pa.array([], pa.int64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        run = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.r_[starts, n])
+        rn = np.arange(n, dtype=np.int64) - starts[run] + 1
+        cnt = sizes[run]
+        tile = _ntile(rn, cnt, n_tiles)
+        # LEAD(label): next row's label unless it starts a new key
+        ends = np.zeros(n, dtype=bool)
+        ends[:-1] = new[1:]
+        ends[-1] = True
+        lab = g[lab_col].combine_chunks() \
+            if isinstance(g[lab_col], pa.ChunkedArray) else g[lab_col]
+        nxt = np.minimum(np.arange(n, dtype=np.int64) + 1, n - 1)
+        lead = pc.if_else(pa.array(~ends), lab.take(pa.array(nxt)),
+                          pa.nulls(n, lab.type))
+        # RANK / DENSE_RANK over val DESC: lexsort puts each key's rows
+        # in descending-value order; ties copy the first equal's position
+        order2 = np.lexsort((-val, key))
+        v2, r2 = val[order2], run[order2]
+        pos2 = np.arange(n, dtype=np.int64) - starts[r2] + 1
+        newv = np.ones(n, dtype=bool)
+        newv[1:] = (r2[1:] != r2[:-1]) | (v2[1:] != v2[:-1])
+        first_eq = np.maximum.accumulate(
+            np.where(newv, np.arange(n, dtype=np.int64), 0))
+        rnk2 = pos2[first_eq]
+        dc = np.cumsum(newv)
+        drnk2 = dc - dc[starts[r2]] + 1
+        rnk = np.empty(n, dtype=np.int64)
+        drnk = np.empty(n, dtype=np.int64)
+        rnk[order2] = rnk2
+        drnk[order2] = drnk2
+        return pa.table({
+            key_col: g[key_col],
+            tie_col: g[tie_col],
+            "rnk": pa.array(rnk),
+            "drnk": pa.array(drnk),
+            "lead_label": lead,
+            "tile": pa.array(tile)})
+
+    empty = pa.table({
+        key_col: pa.nulls(0, schema.field(key_col).type),
+        tie_col: pa.nulls(0, schema.field(tie_col).type),
+        "rnk": pa.array([], pa.int64()),
+        "drnk": pa.array([], pa.int64()),
+        "lead_label": pa.nulls(0, schema.field(lab_col).type),
+        "tile": pa.array([], pa.int64())})
+    return hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, within, empty)
+
+
+def q_events_rank(sf_dir: str):
+    """Per-user ranking windows over the events stream: RANK and
+    DENSE_RANK by value DESC, LEAD(event_type) and NTILE(4) by
+    (ts, event_id)."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value",
+                        "event_type"])
+    out = rank_window_funcs(ds, key_col="user_id", ts_col="ts",
+                            tie_col="event_id", val_col="value",
+                            lab_col="event_type",
+                            n_rows=_parquet_rows(sf_dir, "events"))
+    return _t(out).sort_by("event_id")
+
+
+TEMPORAL_ORACLE_SQL["events_rank"] = """
+    SELECT user_id, event_id,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+                AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC)
+                AS BIGINT) AS drnk,
+           lead(event_type) OVER win AS lead_label,
+           CAST(ntile(4) OVER win AS BIGINT) AS tile
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""

@@ -1657,3 +1657,235 @@ def test_q5_nation_volume_planted(ray_session, tmp_path):
     out = q_q5_nation_volume(str(sf)).to_pylist()
     assert [(r["n_name"], r["revenue"]) for r in out] == [
         ("N0", 100.0), ("N1", 100.0)]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H closure batch 2 (Q6 / Q4 / Q14 / Q18 / Q10) — planted specs
+
+
+def _write_mini_orders_lineitem(sf, orders_rows, line_rows):
+    """orders_rows: (okey, ck, status, price, odate, prio);
+    line_rows: (okey, qty, price, disc, rflag, shipdate)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders_rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders_rows]),
+        "o_totalprice": pa.array([r[3] for r in orders_rows],
+                                 pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders_rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders_rows])}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in line_rows], pa.int64()),
+        "l_quantity": pa.array([r[1] for r in line_rows], pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in line_rows],
+                                    pa.float64()),
+        "l_discount": pa.array([r[3] for r in line_rows], pa.float64()),
+        "l_returnflag": pa.array([r[4] for r in line_rows]),
+        "l_shipdate": pa.array([r[5] for r in line_rows],
+                               pa.timestamp("us"))}),
+        sf / "lineitem.parquet")
+
+
+def test_q6_revenue_forecast_planted(ray_session, tmp_path):
+    """Every predicate bites: date window, discount band, quantity cap;
+    revenue is price*discount over qualifying rows only."""
+    import datetime as dt
+
+    from sjot_ray.pipelines.queries import q_q6_revenue_forecast
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d96 = dt.datetime(1996, 6, 1)
+    _write_mini_orders_lineitem(
+        sf, [(1, 1, "O", 0.0, d96, "1-URGENT")],
+        [  # (okey, qty, price, disc, rflag, ship)
+            (1, 10.0, 100.0, 0.05, "N", d96),           # qualifies: 5.0
+            (1, 30.0, 100.0, 0.05, "N", d96),           # qty >= 24
+            (1, 10.0, 100.0, 0.08, "N", d96),           # discount high
+            (1, 10.0, 100.0, 0.05, "N",
+             dt.datetime(1995, 6, 1)),                  # date out
+            (1, 20.0, 200.0, 0.04, "N", d96)])          # qualifies: 8.0
+    out = q_q6_revenue_forecast(str(sf)).to_pylist()
+    assert out == [{"revenue": 13.0, "n_lines": 2}]
+
+
+def test_q4_late_orders_planted(ray_session, tmp_path):
+    """EXISTS semantics: one late line is enough, all-early orders and
+    lineless orders don't count; counts group by priority."""
+    import datetime as dt
+
+    from sjot_ray.pipelines.queries import q_q4_late_orders
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    d = dt.datetime(1997, 1, 1)
+    early, late = dt.datetime(1996, 12, 1), dt.datetime(1997, 2, 1)
+    _write_mini_orders_lineitem(
+        sf,
+        [(1, 1, "O", 0.0, d, "1-URGENT"),   # late line → counts
+         (2, 1, "O", 0.0, d, "1-URGENT"),   # early lines only
+         (3, 1, "O", 0.0, d, "2-HIGH"),     # late among early → counts
+         (4, 1, "O", 0.0, d, "2-HIGH")],    # no lines at all
+        [(1, 1.0, 1.0, 0.0, "N", late),
+         (2, 1.0, 1.0, 0.0, "N", early), (2, 1.0, 1.0, 0.0, "N", early),
+         (3, 1.0, 1.0, 0.0, "N", early), (3, 1.0, 1.0, 0.0, "N", late)])
+    out = q_q4_late_orders(str(sf)).to_pylist()
+    assert out == [{"o_orderpriority": "1-URGENT", "n": 1},
+                   {"o_orderpriority": "2-HIGH", "n": 1}]
+
+
+def test_q14_promo_revenue_planted(ray_session, tmp_path):
+    """Inner-join semantics (dangling partkey drops), PROMO
+    classification and the date window all verified on known sums."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_q14_promo_revenue
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"])}), sf / "part.parquet")
+    d = dt.datetime(1996, 3, 15)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            [d, d, d, dt.datetime(1996, 5, 1)],  # last: date out
+            pa.timestamp("us"))}), sf / "lineitem.parquet")
+    out = q_q14_promo_revenue(str(sf)).to_pylist()
+    # qualifying: part1 100.0 (promo), part2 100.0; part3 dangling drops
+    assert out == [{"promo_revenue": 100.0, "total_revenue": 200.0,
+                    "promo_pct": 50.0}]
+
+
+def test_q18_large_orders_planted(ray_session, tmp_path):
+    """HAVING cut on the partitioned per-order quantity sum; customer
+    name resolves via broadcast; dangling custkey drops; output ranked
+    by totalprice desc."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_q18_large_orders
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["Customer#1", "Customer#2"])}),
+        sf / "customer.parquet")
+    d = dt.datetime(1997, 1, 1)
+    _write_mini_orders_lineitem(
+        sf,
+        [(10, 1, "O", 500.0, d, "x"),    # qty 320 → passes
+         (11, 2, "O", 900.0, d, "x"),    # qty 301 → passes, higher price
+         (12, 1, "O", 100.0, d, "x"),    # qty 300 → NOT > 300
+         (13, 99, "O", 50.0, d, "x")],   # dangling custkey
+        [(10, 160.0, 0.0, 0.0, "N", d), (10, 160.0, 0.0, 0.0, "N", d),
+         (11, 301.0, 0.0, 0.0, "N", d),
+         (12, 300.0, 0.0, 0.0, "N", d),
+         (13, 400.0, 0.0, 0.0, "N", d)])
+    out = q_q18_large_orders(str(sf)).to_pylist()
+    assert [(r["o_orderkey"], r["c_name"], r["sum_qty"]) for r in out] \
+        == [(11, "Customer#2", 301.0), (10, "Customer#1", 320.0)]
+
+
+def test_q10_returned_revenue_planted(ray_session, tmp_path):
+    """Only R-flag lines inside the order-date quarter contribute;
+    revenue aggregates per customer across orders; top-k orders by
+    revenue desc."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_q10_returned_revenue
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["Customer#1", "Customer#2"]),
+        "c_acctbal": pa.array([10.0, 20.0])}), sf / "customer.parquet")
+    q1 = dt.datetime(1996, 2, 1)
+    out_q = dt.datetime(1996, 6, 1)
+    _write_mini_orders_lineitem(
+        sf,
+        [(10, 1, "O", 0.0, q1, "x"), (11, 1, "O", 0.0, q1, "x"),
+         (12, 2, "O", 0.0, q1, "x"), (13, 2, "O", 0.0, out_q, "x")],
+        [(10, 1.0, 100.0, 0.0, "R", q1),   # cust1 +100
+         (11, 1.0, 50.0, 0.5, "R", q1),    # cust1 +25
+         (11, 1.0, 999.0, 0.0, "N", q1),   # wrong flag
+         (12, 1.0, 80.0, 0.0, "R", q1),    # cust2 +80
+         (13, 1.0, 999.0, 0.0, "R", q1)])  # order date out of quarter
+    out = q_q10_returned_revenue(str(sf)).to_pylist()
+    assert [(r["c_custkey"], r["c_name"], r["revenue"], r["c_acctbal"])
+            for r in out] == [(1, "Customer#1", 125.0, 10.0),
+                              (2, "Customer#2", 80.0, 20.0)]
+
+
+def test_user_event_paths_planted(ray_session, tmp_path):
+    """Paths concatenate in strict (ts, event_id) order per user — the
+    event_id tiebreak is exercised by two equal timestamps."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_user_event_paths
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([5, 2, 9, 1, 3], pa.int64()),
+        "ts": pa.array([ts(1), ts(1), ts(0), ts(4), ts(2)],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["click", "view", "land", "buy",
+                                "view"])}), sf / "events.parquet")
+    out = q_user_event_paths(str(sf)).to_pylist()
+    # user1: ts0 land, then ts1 ties broken by id (2=view before 5=click)
+    assert out == [
+        {"user_id": 1, "path": "land>view>click", "n": 3},
+        {"user_id": 2, "path": "view>buy", "n": 2}]
+
+
+def test_customer_order_full_planted(ray_session, tmp_path):
+    """FULL OUTER semantics: customer with no orders keeps NULL sums and
+    zero count; dangling order custkey keeps NULL acctbal."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sjot_ray.pipelines.queries import q_customer_order_full
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_acctbal": pa.array([10.0, 20.0])}), sf / "customer.parquet")
+    d = dt.datetime(1997, 1, 1)
+    _write_mini_orders_lineitem(
+        sf,
+        [(10, 1, "O", 100.0, d, "x"), (11, 1, "O", 50.0, d, "x"),
+         (12, 99, "O", 7.0, d, "x")],   # custkey 99 dangles
+        [(10, 1.0, 1.0, 0.0, "N", d)])
+    out = q_customer_order_full(str(sf)).to_pylist()
+    assert out == [
+        {"custkey": 1, "acctbal": 10.0, "n_orders": 2,
+         "sum_price": 150.0},
+        {"custkey": 2, "acctbal": 20.0, "n_orders": 0,
+         "sum_price": None},
+        {"custkey": 99, "acctbal": None, "n_orders": 1,
+         "sum_price": 7.0}]

@@ -148,3 +148,56 @@ def test_range_join_window_cap():
     with pytest.raises(ValueError):
         range_join_count(ds, "t", ds, "t", "t",
                          window_days=BUCKET_DAYS + 1, n_rows=1)
+
+
+def test_ntile_matches_sql_spec():
+    """NTILE(n): first cnt%n buckets get cnt//n+1 rows — property-check
+    the vectorized formula against the per-partition loop spec."""
+    from sjot_ray.pipelines.temporal import _ntile
+
+    for cnt in range(1, 30):
+        for n in (1, 2, 3, 4, 7, 40):
+            rn = np.arange(1, cnt + 1, dtype=np.int64)
+            got = _ntile(rn, np.full(cnt, cnt, np.int64), n)
+            q, r = divmod(cnt, n)
+            expect = []
+            b = 1
+            left = q + 1 if r >= 1 else q
+            for _ in range(cnt):
+                if left == 0:
+                    b += 1
+                    left = q + 1 if b <= r else q
+                expect.append(b)
+                left -= 1
+            assert got.tolist() == expect, (cnt, n)
+
+
+def test_rank_window_funcs_planted(ray_session):
+    """Planted per-key spec: value ties share RANK and compress under
+    DENSE_RANK; LEAD is null on each key's last row; NTILE follows the
+    (ts, tie) order."""
+    import ray.data
+
+    from sjot_ray.pipelines.temporal import rank_window_funcs
+
+    # user 1: values 5, 5, 3, 1 in ts order → rnk 1,1,3,4 / drnk 1,1,2,3
+    # user 2: single row
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+        "ts": _ts([10, 20, 30, 40, 5]),
+        "value": pa.array([5.0, 5.0, 3.0, 1.0, 2.0]),
+        "event_type": pa.array(["a", "b", "c", "d", "z"])})
+    out = rank_window_funcs(ray.data.from_arrow(t), "user_id", "ts",
+                            "event_id", "value", "event_type",
+                            n_rows=5, n_tiles=2)
+    rows = {r["event_id"]: r for r in
+            pa.concat_tables(out.iter_batches(
+                batch_format="pyarrow", batch_size=None)).to_pylist()}
+    assert [rows[i]["rnk"] for i in (1, 2, 3, 4)] == [1, 1, 3, 4]
+    assert [rows[i]["drnk"] for i in (1, 2, 3, 4)] == [1, 1, 2, 3]
+    assert [rows[i]["lead_label"] for i in (1, 2, 3, 4)] == \
+        ["b", "c", "d", None]
+    assert [rows[i]["tile"] for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
+    assert rows[9]["rnk"] == 1 and rows[9]["drnk"] == 1
+    assert rows[9]["lead_label"] is None and rows[9]["tile"] == 1
