@@ -120,6 +120,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     try:
+        from sjot_ray.pipelines import textsim as TS
+
+        d["edit_distance_pairs"] = TS.q_edit_distance_pairs
+        d["heavy_hitter_tokens"] = TS.q_heavy_hitter_tokens
+    except ImportError:
+        pass
+    try:
         from sjot_ray.pipelines import infer as I
 
         d["infer_schema_events"] = I.q_infer_events_props
@@ -207,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
     d = dict(ORACLE_SQL)
     d.update(TEMPORAL_ORACLE_SQL)
     d.update(QUANTILES_ORACLE_SQL)
+    from sjot_ray.pipelines.textsim import TEXTSIM_ORACLE_SQL
+
+    d.update(TEXTSIM_ORACLE_SQL)
     # full-probe IVF must reproduce the exact brute-force ranking, so it
     # shares the ann_cosine_topk oracle (full-probe ≡ exact, tests/test_ivf.py)
     d["ann_ivf_fullprobe"] = d["ann_cosine_topk"]

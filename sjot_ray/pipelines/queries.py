@@ -3717,3 +3717,63 @@ ORACLE_SQL["customer_order_full"] = """
     FROM customer c FULL JOIN og ON c_custkey = o_custkey
     ORDER BY custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# similarity RANGE search (all neighbors above a cosine threshold)
+
+ANN_RANGE_TAU = 0.25
+ANN_RANGE_NQ = 3
+
+
+def q_ann_range_search(sf_dir: str):
+    """Cosine RANGE search — every vector within cosine ≥ τ of each
+    probe (top-k's sibling: fixed radius, unbounded result count). The
+    probe matrix broadcasts once via ray.put; each batch computes one
+    normalized (batch × probes) GEMM and emits only threshold-passing
+    rows, so the scan streams with no shuffle at any scale. The
+    selection compares the 5-decimal ROUNDED score (same convention as
+    the oracle) — raw doubles differ from DuckDB's in the last ulp
+    (summation order), rounded scores don't."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                split=False)
+    probes = _t(emb.filter(
+        lambda r: r["vec_id"] < ANN_RANGE_NQ))
+    pm = _emb_matrix(probes["embedding"])
+    pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    pids = probes["vec_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    probes_ref = ray.put((pids, pm))
+
+    def scan(t: pa.Table) -> pa.Table:
+        pids_, pm_ = ray.get(probes_ref)
+        m = _emb_matrix(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ pm_.T, 5)           # (batch, n_probes)
+        vid = t["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (sims >= ANN_RANGE_TAU) & (vid[:, None] != pids_[None, :])
+        rows, cols = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(pids_[cols]),
+            "neighbor_id": pa.array(vid[rows]),
+            "score_r": pa.array(sims[rows, cols])})
+
+    out = _t(emb.map_batches(scan, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return out.sort_by([("query_id", "ascending"),
+                        ("neighbor_id", "ascending")])
+
+
+ORACLE_SQL["ann_range_search"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qe
+               FROM embeddings WHERE vec_id < {ANN_RANGE_NQ})
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(
+               q.qe, CAST(e.embedding AS DOUBLE[])), 5) AS score_r
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id != q.query_id
+      AND ROUND(list_cosine_similarity(
+              q.qe, CAST(e.embedding AS DOUBLE[])), 5) >= {ANN_RANGE_TAU}
+    ORDER BY query_id, neighbor_id
+"""
