@@ -163,6 +163,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d["multimodal_media_meta"] = MM.q_media_meta
     except ImportError:
         pass
+    try:
+        from sjot_ray.pipelines import analytics as AN
+
+        for name in AN.ANALYTICS_ORACLE_SQL:
+            d[name] = getattr(AN, f"q_{name}")
+    except ImportError:
+        pass
     return d
 
 
@@ -217,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
     from sjot_ray.pipelines.textsim import TEXTSIM_ORACLE_SQL
 
     d.update(TEXTSIM_ORACLE_SQL)
+    from sjot_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL
+
+    d.update(ANALYTICS_ORACLE_SQL)
     # full-probe IVF must reproduce the exact brute-force ranking, so it
     # shares the ann_cosine_topk oracle (full-probe ≡ exact, tests/test_ivf.py)
     d["ann_ivf_fullprobe"] = d["ann_cosine_topk"]

@@ -1,0 +1,1197 @@
+"""Distributed-analytics operators: higher-moment statistics (skewness /
+kurtosis), per-group linear regression, Shannon entropy, behavioral
+sequence mining (event transitions, weekly retention cohorts), a
+C4-style document quality filter, co-purchase graph mining (pair counts
+and triangle counting), and four more TPC-H query shapes (Q7 / Q8 /
+Q13 / Q17 / Q22) adapted to the driver's reduced schema.
+
+Every operator follows the repo's scale rules:
+
+* per-batch PARTIAL aggregation (one row per key per batch) before any
+  keyed exchange — the only shuffles are the bounded
+  ``hash_shuffle_apply`` partitions, never a whole-table sort;
+* higher moments are computed from SHIFTED power sums (shift = the
+  column midpoint from the parquet footer statistics — deterministic,
+  zero data passes) so the raw-moment cancellation that plagues
+  Σx³/Σx⁴ at 10^9 rows stays harmless; central moments are
+  shift-invariant, so the conversion is exact algebra;
+* float thresholds that SELECT rows are integer-exact on both the Ray
+  and the DuckDB side (Q22 compares balance cents × count against the
+  cents sum; Q17's threshold is derived from integer-valued quantity
+  sums that every summation order reproduces bit-for-bit) — per the
+  repo rule that a hash oracle must never depend on last-ulp float
+  agreement of a selection predicate;
+* broadcast sides (part keys, nation lookups, per-part thresholds) ship
+  once via ``ray.put`` and are key-capped dimension tables, documented
+  where their cardinality grows with scale.
+
+Partitioning assumptions (documented per the brief):
+
+* ``q_event_transitions`` / ``q_retention_weekly``: one user's rows fit
+  one reduce task (same contract as sessionize / window_funcs).
+* ``q_copurchase_*``: one ORDER's distinct parts fit one reduce task
+  (basket sizes are bounded); the pair-count shuffle is keyed by the
+  mixed pair hash, so pair skew is collision-bounded. The triangle
+  count runs on the ≥ ``COP_MIN_ORDERS``-support subgraph, which the
+  distributed count stage prunes to a driver-trivial size; the heavy
+  all-pairs mass never leaves the reduce tasks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..state.sketches import rehash
+from .shuffle import coarse_buckets, hash_shuffle_apply
+from .temporal import _hkey, _i64
+
+ANALYTICS_ORACLE_SQL: dict[str, str] = {}
+
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+def _col_midpoint(sf_dir: str, table: str, column: str) -> float:
+    """Deterministic moment shift from parquet FOOTER statistics (no
+    data pass): the midpoint of the column's global min/max."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    names = md.schema.names
+    ci = names.index(column)
+    lo = min(md.row_group(i).column(ci).statistics.min
+             for i in range(md.num_row_groups))
+    hi = max(md.row_group(i).column(ci).statistics.max
+             for i in range(md.num_row_groups))
+    return float(lo + hi) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# skewness / kurtosis per group from shifted power-sum partials
+
+
+def q_skew_kurt_price_by_flag(sf_dir: str):
+    """Bias-corrected sample skewness and excess kurtosis of
+    ``l_extendedprice`` per return flag, from mergeable shifted power
+    sums (n, Σy, Σy², Σy³, Σy⁴ with y = x − shift): one partial row per
+    flag per batch, a driver fold over ≤ flags × batches rows. The
+    formulas mirror DuckDB's ``skewness`` / ``kurtosis`` (verified to
+    1e-9 on 10⁴ random values before landing)."""
+    from .queries import _read, _round, _t
+
+    shift = _col_midpoint(sf_dir, "lineitem", "l_extendedprice")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"], split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.subtract(t["l_extendedprice"], pa.scalar(shift))
+        y2 = pc.multiply(y, y)
+        tb = pa.table({"l_returnflag": t["l_returnflag"], "y": y,
+                       "y2": y2, "y3": pc.multiply(y2, y),
+                       "y4": pc.multiply(y2, y2)})
+        g = tb.group_by("l_returnflag").aggregate(
+            [("y", "count"), ("y", "sum"), ("y2", "sum"),
+             ("y3", "sum"), ("y4", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "s1", "s2",
+                                 "s3", "s4"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("l_returnflag").aggregate(
+        [("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"),
+         ("s4", "sum")])
+    n = tot["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = tot["s1_sum"].to_numpy(zero_copy_only=False)
+    s2 = tot["s2_sum"].to_numpy(zero_copy_only=False)
+    s3 = tot["s3_sum"].to_numpy(zero_copy_only=False)
+    s4 = tot["s4_sum"].to_numpy(zero_copy_only=False)
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1 ** 3
+    m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1 * m1 * s2 / n - 3 * m1 ** 4
+    g1 = m3 / m2 ** 1.5
+    skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / (m2 * m2) - 3.0
+    kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    out = pa.table({
+        "l_returnflag": tot["l_returnflag"],
+        "skew": _round(pa.array(skew, pa.float64()), 6),
+        "kurt": _round(pa.array(kurt, pa.float64()), 6),
+    })
+    return out.sort_by("l_returnflag")
+
+
+ANALYTICS_ORACLE_SQL["skew_kurt_price_by_flag"] = """
+    SELECT l_returnflag,
+           round(skewness(l_extendedprice), 6) AS skew,
+           round(kurtosis(l_extendedprice), 6) AS kurt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group ordinary least squares from moment partials
+
+
+def q_regr_price_on_qty_by_flag(sf_dir: str):
+    """OLS of ``l_extendedprice`` on ``l_quantity`` per return flag —
+    slope / intercept / R² from the six mergeable moment sums
+    (n, Σx, Σy, Σxx, Σyy, Σxy), price shifted by the footer midpoint
+    for conditioning (slope / R² are shift-invariant; the intercept
+    adds the shift back)."""
+    from .queries import _read, _round, _t
+
+    shift = _col_midpoint(sf_dir, "lineitem", "l_extendedprice")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"]
+        y = pc.subtract(t["l_extendedprice"], pa.scalar(shift))
+        tb = pa.table({"l_returnflag": t["l_returnflag"], "x": x, "y": y,
+                       "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+                       "xy": pc.multiply(x, y)})
+        g = tb.group_by("l_returnflag").aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"), ("xx", "sum"),
+             ("yy", "sum"), ("xy", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("l_returnflag").aggregate(
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+         ("syy", "sum"), ("sxy", "sum")])
+    n = tot["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = tot["sx_sum"].to_numpy(zero_copy_only=False)
+    sy = tot["sy_sum"].to_numpy(zero_copy_only=False)
+    sxx = tot["sxx_sum"].to_numpy(zero_copy_only=False)
+    syy = tot["syy_sum"].to_numpy(zero_copy_only=False)
+    sxy = tot["sxy_sum"].to_numpy(zero_copy_only=False)
+    mx, my = sx / n, sy / n
+    cov = sxy / n - mx * my
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    slope = cov / vx
+    intercept = (my + shift) - slope * mx
+    r2 = (cov * cov) / (vx * vy)
+    out = pa.table({
+        "l_returnflag": tot["l_returnflag"],
+        "slope": _round(pa.array(slope, pa.float64()), 6),
+        "intercept": _round(pa.array(intercept, pa.float64()), 6),
+        "r2": _round(pa.array(r2, pa.float64()), 6),
+    })
+    return out.sort_by("l_returnflag")
+
+
+ANALYTICS_ORACLE_SQL["regr_price_on_qty_by_flag"] = """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the user distribution per event type
+
+
+def q_entropy_user_by_type(sf_dir: str):
+    """log2 entropy of the user-id frequency distribution within each
+    event type. Per-batch (type, user) partial counts → shuffle keyed
+    by USER (so each user's partials co-locate and finalize exactly) →
+    per-partition Σc and Σ c·log2(c) per type → driver merges the tiny
+    per-type partials: H = log2(N) − (Σ c·log2 c)/N. Distribution
+    cardinality never reaches the driver."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"],
+               split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["event_type", "user_id", "n"])
+        return g.append_column("hkey", _hkey(_i64(g["user_id"])))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "cn": pa.array([], pa.float64()),
+                      "clog": pa.array([], pa.float64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        tot = g.group_by(["event_type", "user_id"]).aggregate(
+            [("n", "sum")])
+        c = tot["n_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tb = pa.table({"event_type": tot["event_type"],
+                       "cn": pa.array(c),
+                       "clog": pa.array(c * np.log2(c))})
+        out = tb.group_by("event_type").aggregate(
+            [("cn", "sum"), ("clog", "sum")])
+        return out.rename_columns(["event_type", "cn", "clog"])
+
+    parts = hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty)
+    tot = _t(parts).group_by("event_type").aggregate(
+        [("cn", "sum"), ("clog", "sum")])
+    n = tot["cn_sum"].to_numpy(zero_copy_only=False)
+    clog = tot["clog_sum"].to_numpy(zero_copy_only=False)
+    h = np.log2(n) - clog / n
+    out = pa.table({"event_type": tot["event_type"],
+                    "user_entropy": _round(pa.array(h, pa.float64()), 6)})
+    return out.sort_by("event_type")
+
+
+ANALYTICS_ORACLE_SQL["entropy_user_by_type"] = """
+    SELECT event_type, round(entropy(user_id), 6) AS user_entropy
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts over per-user event sequences
+
+
+def q_event_transitions(sf_dir: str):
+    """(previous event type → event type) transition counts across all
+    users, ordered per user by (ts, event_id): hash-partition by user,
+    one vectorized sort + shift per partition, per-partition partial
+    counts, driver merge of ≤ |types|² rows."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t["user_id"])))
+
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        uid = _i64(g["user_id"])
+        et = g["event_type"].combine_chunks()
+        n = len(uid)
+        same = pa.array(uid[1:] == uid[:-1])
+        tb = pa.table({"prev_type": et.slice(0, n - 1),
+                       "next_type": et.slice(1)}).filter(same)
+        if tb.num_rows == 0:
+            return empty
+        out = tb.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["prev_type", "next_type", "n"])
+
+    parts = hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty)
+    tot = _t(parts)
+    if tot.num_rows == 0:
+        return empty
+    out = tot.group_by(["prev_type", "next_type"]).aggregate(
+        [("n", "sum")])
+    return out.rename_columns(["prev_type", "next_type", "n"]) \
+        .sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
+ANALYTICS_ORACLE_SQL["event_transitions"] = """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohorts
+
+
+def _week_trunc_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-00:00 truncation in epoch µs (DuckDB ``date_trunc('week')``
+    semantics; 1970-01-01 was a Thursday, so Monday offset is
+    (day + 3) mod 7)."""
+    day = ts_us // _US_PER_DAY
+    return (day - (day + 3) % 7) * _US_PER_DAY
+
+
+def q_retention_weekly(sf_dir: str):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; retained = active in the immediately following week.
+    Per-batch partials are distinct (user, week, min-ts) rows, shuffled
+    by user so each user finalizes in one task; per-partition output is
+    (cohort, n_users, n_retained) partials the driver sums."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _i64(t["ts"])
+        tb = pa.table({"user_id": t["user_id"],
+                       "wk": pa.array(_week_trunc_us(ts)),
+                       "mn": pa.array(ts)})
+        g = tb.group_by(["user_id", "wk"]).aggregate([("mn", "min")])
+        g = g.rename_columns(["user_id", "wk", "mn"])
+        return g.append_column("hkey", _hkey(_i64(g["user_id"])))
+
+    empty = pa.table({"cohort": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64()),
+                      "n_retained": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        tot = g.group_by(["user_id", "wk"]).aggregate([("mn", "min")])
+        first = tot.group_by("user_id").aggregate([("mn_min", "min")])
+        cohort = _week_trunc_us(
+            first["mn_min_min"].to_numpy(zero_copy_only=False))
+        first = pa.table({"user_id": first["user_id"],
+                          "cohort": pa.array(cohort)})
+        j = tot.join(first, keys="user_id", join_type="inner")
+        ret = pc.equal(j["wk"], pc.add(j["cohort"],
+                                       pa.scalar(int(_US_PER_DAY * 7))))
+        per_user = pa.table({
+            "user_id": j["user_id"], "cohort": j["cohort"],
+            "ret": pc.cast(ret, pa.int64())}) \
+            .group_by(["user_id", "cohort"]).aggregate([("ret", "max")])
+        out = pa.table({"cohort": per_user["cohort"],
+                        "one": pa.array(
+                            np.ones(per_user.num_rows, np.int64)),
+                        "ret": per_user["ret_max"]}) \
+            .group_by("cohort").aggregate([("one", "sum"), ("ret", "sum")])
+        return out.rename_columns(["cohort", "n_users", "n_retained"])
+
+    parts = hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty)
+    tot = _t(parts)
+    if tot.num_rows == 0:
+        return pa.table({"cohort": pa.array([], pa.timestamp("us")),
+                         "n_users": pa.array([], pa.int64()),
+                         "n_retained": pa.array([], pa.int64())})
+    out = tot.group_by("cohort").aggregate(
+        [("n_users", "sum"), ("n_retained", "sum")])
+    out = pa.table({
+        "cohort": pc.cast(out["cohort"], pa.timestamp("us")),
+        "n_users": out["n_users_sum"],
+        "n_retained": out["n_retained_sum"]})
+    return out.sort_by("cohort")
+
+
+ANALYTICS_ORACLE_SQL["retention_weekly"] = """
+    WITH u AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+         w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+               FROM events)
+    SELECT CAST(u.cohort AS TIMESTAMP) AS cohort,
+           count(DISTINCT u.user_id) AS n_users,
+           count(DISTINCT CASE WHEN w.wk = u.cohort + INTERVAL 7 DAY
+                               THEN w.user_id END) AS n_retained
+    FROM u JOIN w ON u.user_id = w.user_id
+    GROUP BY u.cohort ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style document quality filter
+
+
+def q_quality_filter_docs(sf_dir: str):
+    """Rule-based quality gate over documents (the C4/Gopher filter
+    shape adapted to this corpus): length bounds, minimum word count,
+    mean-word-length band, and a stopword-presence check — all
+    integer-exact Arrow kernels, so the SQL twin is bit-identical."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        length = pc.cast(pc.utf8_length(txt), pa.int64())
+        spaces = pc.cast(pc.count_substring(txt, " "), pa.int64())
+        words = pc.add(spaces, 1)
+        letters = pc.subtract(length, spaces)
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(length, 100),
+                        pc.less_equal(length, 500)),
+                pc.greater_equal(words, 30)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(letters, pc.multiply(words, 3)),
+                    pc.less_equal(letters, pc.multiply(words, 6))),
+                pc.match_substring(txt, " the ")))
+        out = pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                        "n_words": words})
+        return out.filter(mask)
+
+    from .queries import _t
+
+    return _t(ds.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True)).sort_by("doc_id")
+
+
+ANALYTICS_ORACLE_SQL["quality_filter_docs"] = """
+    SELECT doc_id, lang,
+           (length(text) - length(replace(text, ' ', '')) + 1) AS n_words
+    FROM documents
+    WHERE length(text) BETWEEN 100 AND 500
+      AND (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+      AND (length(replace(text, ' ', '')))
+          >= 3 * (length(text) - length(replace(text, ' ', '')) + 1)
+      AND (length(replace(text, ' ', '')))
+          <= 6 * (length(text) - length(replace(text, ' ', '')) + 1)
+      AND contains(text, ' the ')
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution over customers
+
+
+def q_q13_order_distribution(sf_dir: str):
+    """How many customers placed exactly k (non-urgent) orders, for
+    every k including 0 — the LEFT-JOIN + double-aggregate TPC-H Q13
+    shape. Orders pre-reduce to per-batch (custkey, count) partials;
+    customers ship as bare keys; one shuffle co-locates each custkey;
+    the k-histogram is a per-partition partial the driver sums."""
+    from .queries import _parquet_rows, _read, _t
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"], split=False)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"], split=False)
+    total = _parquet_rows(sf_dir, "customer") \
+        + _parquet_rows(sf_dir, "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"],
+                                  pa.scalar("1-URGENT")))
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        g = g.rename_columns(["ck", "cnt"])
+        return pa.table({
+            "ck": pc.cast(g["ck"], pa.int64()),
+            "cnt": pc.cast(g["cnt"], pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int8))})
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ck": pc.cast(t["c_custkey"], pa.int64()),
+            "cnt": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8))})
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"c_count": pa.array([], pa.int64()),
+                      "custdist": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["ck"])
+        if left.num_rows == 0:
+            return empty
+        right = g.filter(pa.array(side == 1)).select(["ck", "cnt"])
+        agg = right.group_by("ck").aggregate([("cnt", "sum")])
+        j = left.join(agg, keys="ck", join_type="left outer")
+        counts = pc.fill_null(j["cnt_sum"], 0)
+        out = pa.table({"c_count": counts}) \
+            .group_by("c_count").aggregate([([], "count_all")])
+        return out.rename_columns(["c_count", "custdist"])
+
+    parts = _t(hash_shuffle_apply(tagged, "ck", B, within, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by("c_count").aggregate([("custdist", "sum")])
+    return out.rename_columns(["c_count", "custdist"]).sort_by([
+        ("custdist", "descending"), ("c_count", "descending")])
+
+
+ANALYTICS_ORACLE_SQL["q13_order_distribution"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_custkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue against a per-part mean
+
+
+Q17_BRAND = "Brand#7"
+
+
+def q_q17_small_quantity(sf_dir: str):
+    """Average yearly revenue lost if small-quantity orders (below 20%
+    of the part's mean quantity) stopped shipping, for one brand. Two
+    streaming passes over lineitem: pass 1 builds per-part (n, Σqty)
+    partials for the brand's parts (quantities are integer-valued, so
+    every summation order yields the same exact Σ — the 0.2·avg
+    threshold is bit-identical to DuckDB's); pass 2 broadcasts the
+    per-part thresholds and sums the masked revenue. The broadcast is
+    |brand parts|-sized — a filtered dimension table."""
+    from .queries import _read, _round, _t
+
+    part = _t(_read(sf_dir, "part", columns=["p_partkey", "p_brand"],
+                    split=False))
+    keys = part.filter(
+        pc.equal(part["p_brand"], pa.scalar(Q17_BRAND)))["p_partkey"]
+    keys = pc.cast(keys.combine_chunks(), pa.int64())
+    keys_ref = ray.put(keys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"],
+               split=False)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = pc.is_in(pc.cast(t["l_partkey"], pa.int64()), value_set=ks)
+        t = t.filter(m)
+        g = t.group_by("l_partkey").aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")])
+        return g.rename_columns(["pk", "n", "s"])
+
+    parts = _t(li.map_batches(qty_partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("pk").aggregate([("n", "sum"), ("s", "sum")])
+    n = tot["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = tot["s_sum"].to_numpy(zero_copy_only=False)
+    thr = 0.2 * (s / n)
+    thr_ref = ray.put((pc.cast(tot["pk"], pa.int64()).combine_chunks(),
+                       thr))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        pks, thr_ = ray.get(thr_ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pks)
+        posn = pc.fill_null(pos, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hit = posn >= 0
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        idx = np.where(hit, posn, 0)
+        m = hit & (qty < thr_[idx])
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(rev[m].sum())]),
+                         "n": pa.array([int(m.sum())])})
+
+    rp = _t(li.map_batches(rev_partial, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    total = float(pc.sum(rp["s"]).as_py() or 0.0)
+    out = pa.table({"avg_yearly": _round(
+        pa.array([total / 7.0], pa.float64()), 2)})
+    return out
+
+
+ANALYTICS_ORACLE_SQL["q17_small_quantity"] = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#7'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: idle above-average customers per segment
+
+
+def q_q22_idle_customers(sf_dir: str):
+    """Customers whose balance exceeds the positive-balance mean and who
+    never placed an URGENT order, counted per market segment (the
+    TPC-H Q22 shape; the urgency restriction keeps the anti-join result
+    non-trivial on this corpus, where every customer has some order).
+    The mean threshold is
+    evaluated in integer CENTS (balance·100 as int64: Σ and n are
+    exact, the comparison is cents·n > Σcents) so the selection is
+    immune to float summation order — the repo rule for hash-oracled
+    float thresholds. The no-orders test is the partitioned anti-join:
+    customers and per-batch-distinct order custkeys co-locate via one
+    keyed shuffle."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+                 split=False)
+
+    def cents_col(t: pa.Table) -> pa.ChunkedArray | pa.Array:
+        return pc.cast(_round(pc.multiply(t["c_acctbal"], 100.0), 0),
+                       pa.int64())
+
+    def gpart(t: pa.Table) -> pa.Table:
+        c = cents_col(t)
+        pos = pc.greater(c, 0)
+        cp = c.filter(pos) if isinstance(c, pa.ChunkedArray) \
+            else c.filter(pos)
+        return pa.table({"s": pa.array([pc.sum(cp).as_py() or 0]),
+                         "n": pa.array([len(cp)])})
+
+    g = _t(cust.map_batches(gpart, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    s = int(pc.sum(g["s"]).as_py() or 0)
+    n = int(pc.sum(g["n"]).as_py() or 0)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"], split=False)
+    total = _parquet_rows(sf_dir, "customer") \
+        + _parquet_rows(sf_dir, "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        c = cents_col(t)
+        nr = t.num_rows
+        return pa.table({
+            "ck": pc.cast(t["c_custkey"], pa.int64()),
+            "cents": c,
+            "seg": t["c_mktsegment"],
+            "bal": t["c_acctbal"],
+            "side": pa.array(np.zeros(nr, np.int8))})
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"],
+                              pa.scalar("1-URGENT")))
+        d = t.group_by("o_custkey").aggregate([])
+        nr = d.num_rows
+        return pa.table({
+            "ck": pc.cast(d["o_custkey"], pa.int64()),
+            "cents": pa.nulls(nr, pa.int64()),
+            "seg": pa.nulls(nr, pa.string()),
+            "bal": pa.nulls(nr, pa.float64()),
+            "side": pa.array(np.ones(nr, np.int8))})
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal": pa.array([], pa.float64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        if left.num_rows == 0:
+            return empty
+        have = g.filter(pa.array(side == 1))["ck"].combine_chunks()
+        rich = pc.greater(
+            pc.multiply(left["cents"], pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))
+        idle = pc.is_null(pc.index_in(left["ck"], value_set=have))
+        sel = left.filter(pc.and_(rich, idle))
+        if sel.num_rows == 0:
+            return empty
+        out = pa.table({"seg": sel["seg"], "bal": sel["bal"]}) \
+            .group_by("seg").aggregate([([], "count_all"),
+                                        ("bal", "sum")])
+        return out.rename_columns(["c_mktsegment", "numcust",
+                                   "totacctbal"])
+
+    parts = _t(hash_shuffle_apply(tagged, "ck", B, within, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by("c_mktsegment").aggregate(
+        [("numcust", "sum"), ("totacctbal", "sum")])
+    out = pa.table({"c_mktsegment": out["c_mktsegment"],
+                    "numcust": out["numcust_sum"],
+                    "totacctbal": _round(out["totacctbal_sum"], 2)})
+    return out.sort_by("c_mktsegment")
+
+
+ANALYTICS_ORACLE_SQL["q22_idle_customers"] = """
+    WITH t AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+         g AS (SELECT sum(cents) AS s, count(*) AS n
+               FROM t WHERE cents > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM t, g
+    WHERE t.cents * g.n > g.s
+      AND t.c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def _nation_lookup(sf_dir: str):
+    """(names ndarray indexed by nationkey, name→key dict)."""
+    from .queries import _read, _t
+
+    nat = _t(_read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"],
+                   split=False))
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    names = np.empty(int(nk.max()) + 1, dtype=object)
+    names[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    by_name = {nm: int(k) for k, nm in zip(
+        nk.tolist(), nat["n_name"].to_pylist())}
+    region_of = np.full(int(nk.max()) + 1, -1, dtype=np.int64)
+    region_of[nk] = nat["n_regionkey"].to_numpy(zero_copy_only=False)
+    return names, by_name, region_of
+
+
+def _year_of_us(ts_us: np.ndarray) -> np.ndarray:
+    return ts_us.astype("datetime64[us]").astype("datetime64[Y]") \
+        .astype(np.int64) + 1970
+
+
+def q_q7_volume_shipping(sf_dir: str):
+    """Revenue shipped between two nations per (supplier nation,
+    customer nation, ship year) — the TPC-H Q7 shape: ONE partitioned
+    lineitem⋈orders exchange (the only big-big edge) with broadcast
+    customer→nation / supplier→nation lookups; the nation-pair mask and
+    the year extraction are post-join vectorized kernels, and each
+    partition pre-reduces to ≤ 2 × years rows."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    names, by_name, _ = _nation_lookup(sf_dir)
+    ka, kb = by_name[Q7_NATION_A], by_name[Q7_NATION_B]
+
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"], split=False))
+    supp = _t(_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"], split=False))
+    lookups_ref = ray.put((
+        pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(),
+        pc.cast(cust["c_nationkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_nationkey"], pa.int64()).combine_chunks(),
+        names))
+
+    total = _parquet_rows(sf_dir, "lineitem") \
+        + _parquet_rows(sf_dir, "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   split=False)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "ck": pc.cast(t["o_custkey"], pa.int64()),
+            "sk": pa.nulls(nr, pa.int64()),
+            "yr": pa.nulls(nr, pa.int64()),
+            "rev": pa.nulls(nr, pa.float64()),
+            "side": pa.array(np.zeros(nr, np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        yr = _year_of_us(_i64(t["l_shipdate"]))
+        return pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "ck": pa.nulls(nr, pa.int64()),
+            "sk": pc.cast(t["l_suppkey"], pa.int64()),
+            "yr": pa.array(yr),
+            "rev": pc.cast(rev, pa.float64()),
+            "side": pa.array(np.ones(nr, np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(li.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        ckeys, cnat, skeys, snat, names_ = ray.get(lookups_ref)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "ck"])
+        right = g.filter(pa.array(side == 1)) \
+            .select(["key", "sk", "yr", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        j = right.join(left, keys="key", join_type="inner")
+        cn = pc.fill_null(pc.take(
+            cnat, pc.index_in(j["ck"], value_set=ckeys)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = pc.fill_null(pc.take(
+            snat, pc.index_in(j["sk"], value_set=skeys)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ((cn == ka) & (sn == kb)) | ((cn == kb) & (sn == ka))
+        if not m.any():
+            return empty
+        take = pa.array(np.nonzero(m)[0], pa.int64())
+        sub = pa.table({
+            "supp_nation": pa.array(names_[sn[m]].tolist(), pa.string()),
+            "cust_nation": pa.array(names_[cn[m]].tolist(), pa.string()),
+            "l_year": j["yr"].combine_chunks().take(take),
+            "rev": j["rev"].combine_chunks().take(take)})
+        out = sub.group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return out.rename_columns(["supp_nation", "cust_nation",
+                                   "l_year", "revenue"])
+
+    parts = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate([("revenue", "sum")])
+    out = out.rename_columns(["supp_nation", "cust_nation", "l_year",
+                              "revenue"]).sort_by([
+        ("supp_nation", "ascending"), ("cust_nation", "ascending"),
+        ("l_year", "ascending")])
+    return out.set_column(3, "revenue", _round(out["revenue"], 2))
+
+
+ANALYTICS_ORACLE_SQL["q7_volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "AMERICA"
+Q8_PTYPE = "PROMO"
+
+
+def q_q8_market_share(sf_dir: str):
+    """One nation's share of regional order volume for one part type,
+    per order year. Part keys for the type broadcast as a filter BEFORE
+    the shuffle (so non-matching lineitems never enter the exchange);
+    customer-region and supplier-nation masks apply post-join; each
+    partition emits ≤ years rows of (year, volume, nation volume)
+    partials and the share divides once on the driver."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    names, by_name, region_of = _nation_lookup(sf_dir)
+    kn = by_name[Q8_NATION]
+    reg = _t(_read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"], split=False))
+    want = {int(k) for k, nm in zip(reg["r_regionkey"].to_pylist(),
+                                    reg["r_name"].to_pylist())
+            if nm == Q8_REGION}
+    in_region = np.isin(region_of, list(want))
+
+    part = _t(_read(sf_dir, "part", columns=["p_partkey", "p_type"],
+                    split=False))
+    pkeys = pc.cast(part.filter(pc.equal(
+        part["p_type"], pa.scalar(Q8_PTYPE)))["p_partkey"]
+        .combine_chunks(), pa.int64())
+    pkeys_ref = ray.put(pkeys)
+
+    cust = _t(_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"], split=False))
+    supp = _t(_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"], split=False))
+    lookups_ref = ray.put((
+        pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(),
+        pc.cast(cust["c_nationkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_nationkey"], pa.int64()).combine_chunks(),
+        in_region))
+
+    total = _parquet_rows(sf_dir, "lineitem") \
+        + _parquet_rows(sf_dir, "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   split=False)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        yr = _year_of_us(_i64(t["o_orderdate"]))
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "ck": pc.cast(t["o_custkey"], pa.int64()),
+            "sk": pa.nulls(nr, pa.int64()),
+            "yr": pa.array(yr),
+            "rev": pa.nulls(nr, pa.float64()),
+            "side": pa.array(np.zeros(nr, np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(pkeys_ref)
+        t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=ks))
+        nr = t.num_rows
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "ck": pa.nulls(nr, pa.int64()),
+            "sk": pc.cast(t["l_suppkey"], pa.int64()),
+            "yr": pa.nulls(nr, pa.int64()),
+            "rev": pc.cast(rev, pa.float64()),
+            "side": pa.array(np.ones(nr, np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(li.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "vol": pa.array([], pa.float64()),
+                      "voln": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        ckeys, cnat, skeys, snat, in_region_ = ray.get(lookups_ref)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "ck", "yr"])
+        right = g.filter(pa.array(side == 1)).select(["key", "sk", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        j = right.join(left, keys="key", join_type="inner")
+        cn = pc.fill_null(pc.take(
+            cnat, pc.index_in(j["ck"], value_set=ckeys)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = pc.fill_null(pc.take(
+            snat, pc.index_in(j["sk"], value_set=skeys)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (cn >= 0) & in_region_[np.clip(cn, 0, len(in_region_) - 1)] \
+            & (sn >= 0)
+        if not m.any():
+            return empty
+        take = pa.array(np.nonzero(m)[0], pa.int64())
+        rev = j["rev"].combine_chunks().take(take)
+        isn = (sn[m] == kn)
+        sub = pa.table({
+            "o_year": j["yr"].combine_chunks().take(take),
+            "vol": rev,
+            "voln": pc.if_else(pa.array(isn), rev,
+                               pa.scalar(0.0, pa.float64()))})
+        out = sub.group_by("o_year").aggregate(
+            [("vol", "sum"), ("voln", "sum")])
+        return out.rename_columns(["o_year", "vol", "voln"])
+
+    parts = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    if parts.num_rows == 0:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "mkt_share": pa.array([], pa.float64())})
+    tot = parts.group_by("o_year").aggregate(
+        [("vol", "sum"), ("voln", "sum")])
+    share = tot["voln_sum"].to_numpy(zero_copy_only=False) \
+        / tot["vol_sum"].to_numpy(zero_copy_only=False)
+    out = pa.table({"o_year": tot["o_year"],
+                    "mkt_share": _round(
+                        pa.array(share, pa.float64()), 6)})
+    return out.sort_by("o_year")
+
+
+ANALYTICS_ORACLE_SQL["q8_market_share"] = """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO')
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# co-purchase graph: supported pair counts and triangle census
+
+
+COP_MIN_ORDERS = 2
+
+
+def _pair_indices(runs: np.ndarray):
+    """All (i, j) index pairs with i < j inside each contiguous run.
+    ``runs`` is the sorted run id per row. Fully vectorized: for row i,
+    the pair fan-out is (run_end(i) − i − 1)."""
+    n = len(runs)
+    if n == 0:
+        return (np.empty(0, np.int64),) * 2
+    new = np.ones(n, dtype=bool)
+    new[1:] = runs[1:] != runs[:-1]
+    starts = np.nonzero(new)[0]
+    run_id = np.cumsum(new) - 1
+    ends = np.empty(len(starts), np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    rep = ends[run_id] - np.arange(n) - 1
+    total = int(rep.sum())
+    if total == 0:
+        return (np.empty(0, np.int64),) * 2
+    lefts = np.repeat(np.arange(n, dtype=np.int64), rep)
+    off = np.concatenate(([0], np.cumsum(rep)))
+    rights = np.arange(total, dtype=np.int64) \
+        - np.repeat(off[:-1], rep) \
+        + np.repeat(np.arange(n, dtype=np.int64) + 1, rep)
+    return lefts, rights
+
+
+def copurchase_pairs_ds(sf_dir: str,
+                        min_orders: int = COP_MIN_ORDERS):
+    """Distributed co-purchase pair mining: shuffle lineitem by order
+    key (all of one order's rows co-locate), generate each order's
+    distinct-part pairs with one vectorized kernel, pre-count pairs per
+    partition, then a second shuffle keyed by the mixed pair hash sums
+    supports and keeps pairs in ≥ ``min_orders`` orders. The random-
+    collision mass (support 1) dies in the reduce tasks — only the
+    supported skeleton survives."""
+    from .queries import _parquet_rows, _read
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"], split=False)
+    nrows = _parquet_rows(sf_dir, "lineitem")
+    B1 = coarse_buckets(nrows, rows_per_part=400_000)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "ok": pc.cast(t["l_orderkey"], pa.int64()),
+            "pk": pc.cast(t["l_partkey"], pa.int64())})
+        return t.append_column("hkey", _hkey(_i64(t["ok"])))
+
+    pair_empty = pa.table({"pa_": pa.array([], pa.int64()),
+                           "pb_": pa.array([], pa.int64()),
+                           "cnt": pa.array([], pa.int64()),
+                           "hkey": pa.array([], pa.int64())})
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        d = g.group_by(["ok", "pk"]).aggregate([])
+        d = d.sort_by([("ok", "ascending"), ("pk", "ascending")])
+        ok = d["ok"].to_numpy(zero_copy_only=False)
+        pk = d["pk"].to_numpy(zero_copy_only=False)
+        li_, ri_ = _pair_indices(ok)
+        if len(li_) == 0:
+            return pair_empty
+        tb = pa.table({"pa_": pa.array(pk[li_]),
+                       "pb_": pa.array(pk[ri_])})
+        c = tb.group_by(["pa_", "pb_"]).aggregate([([], "count_all")])
+        c = c.rename_columns(["pa_", "pb_", "cnt"])
+        mixed = rehash(
+            (c["pa_"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             << np.uint64(21))
+            ^ c["pb_"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            29).astype(np.int64)
+        return c.append_column("hkey", pa.array(mixed))
+
+    stage1 = hash_shuffle_apply(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B1, pairs_part, pair_empty)
+
+    out_empty = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+    B2 = coarse_buckets(nrows, rows_per_part=400_000)
+
+    def count_part(g: pa.Table) -> pa.Table:
+        tot = g.group_by(["pa_", "pb_"]).aggregate([("cnt", "sum")])
+        tot = tot.filter(pc.greater_equal(tot["cnt_sum"],
+                                          pa.scalar(min_orders)))
+        return tot.rename_columns(["part_a", "part_b", "n_orders"])
+
+    return hash_shuffle_apply(stage1, "hkey", B2, count_part, out_empty)
+
+
+def q_copurchase_pairs(sf_dir: str):
+    from .queries import _t
+
+    t = _t(copurchase_pairs_ds(sf_dir))
+    if t.num_rows == 0:
+        return t
+    return t.sort_by([("part_a", "ascending"), ("part_b", "ascending")])
+
+
+ANALYTICS_ORACLE_SQL["copurchase_pairs"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b HAVING count(*) >= 2
+    ORDER BY part_a, part_b
+"""
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle census of the supported co-purchase graph. The heavy
+    stages (per-order pair generation, support counting) are the
+    distributed pipeline above; the surviving ≥ COP_MIN_ORDERS skeleton
+    is collision-pruned to driver-trivial size by construction, so the
+    final intersection-count runs locally over sorted adjacency
+    arrays (oriented low→high, each triangle counted exactly once)."""
+    from .queries import _t
+
+    t = _t(copurchase_pairs_ds(sf_dir))
+    a = t["part_a"].to_numpy(zero_copy_only=False) if t.num_rows else \
+        np.empty(0, np.int64)
+    b = t["part_b"].to_numpy(zero_copy_only=False) if t.num_rows else \
+        np.empty(0, np.int64)
+    adj: dict[int, np.ndarray] = {}
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    uniq, starts = np.unique(a, return_index=True)
+    bounds = np.append(starts, len(a))
+    for i, u in enumerate(uniq.tolist()):
+        adj[u] = b[bounds[i]:bounds[i + 1]]
+    tri = 0
+    for x, y in zip(a.tolist(), b.tolist()):
+        ny = adj.get(y)
+        if ny is None:
+            continue
+        common = np.intersect1d(adj[x], ny, assume_unique=True)
+        tri += int((common > y).sum())
+    return pa.table({"n_triangles": pa.array([tri], pa.int64())})
+
+
+ANALYTICS_ORACLE_SQL["copurchase_triangles"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+              JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+"""

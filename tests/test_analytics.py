@@ -1,0 +1,320 @@
+"""Planted-data tests for the analytics operator family
+(sjot_ray/pipelines/analytics.py): hand-computed expectations for the
+behavioral / quality / graph operators, and DuckDB differentials on
+planted tables for the statistics and TPC-H shapes (engine-independent:
+DuckDB computes its own skewness/kurtosis/regr_* aggregates)."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sjot_ray.pipelines.analytics import (
+    ANALYTICS_ORACLE_SQL, _pair_indices, q_copurchase_pairs,
+    q_copurchase_triangles, q_entropy_user_by_type, q_event_transitions,
+    q_q7_volume_shipping, q_q8_market_share, q_q13_order_distribution,
+    q_q17_small_quantity, q_q22_idle_customers, q_quality_filter_docs,
+    q_regr_price_on_qty_by_flag, q_retention_weekly,
+    q_skew_kurt_price_by_flag)
+
+_TABLES = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _duck(sf: str, sql: str) -> pa.Table:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetch_arrow_table()
+
+
+def _ts(*dates):
+    return pa.array(np.array(list(dates), dtype="datetime64[us]"))
+
+
+def test_pair_indices_unit():
+    li, ri = _pair_indices(np.array([7, 7, 7, 9, 9, 11]))
+    got = sorted(zip(li.tolist(), ri.tolist()))
+    assert got == [(0, 1), (0, 2), (1, 2), (3, 4)]
+    li, ri = _pair_indices(np.array([], dtype=np.int64))
+    assert len(li) == 0 and len(ri) == 0
+    li, ri = _pair_indices(np.array([5]))
+    assert len(li) == 0
+
+
+def test_copurchase_planted(ray_session, tmp_path):
+    """Known baskets: three pairs at support 2 forming one triangle;
+    support-1 pairs die; duplicate (order, part) rows dedup first."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3),       # basket {1,2,3}
+            (2, 1), (2, 2), (2, 3),               # basket {1,2,3} again
+            (3, 4), (3, 5),                       # support-1 pair
+            (4, 1), (4, 4)]                       # support-1 pair
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        sf / "lineitem.parquet")
+
+    pairs = q_copurchase_pairs(str(sf))
+    got = sorted(zip(pairs["part_a"].to_pylist(),
+                     pairs["part_b"].to_pylist(),
+                     pairs["n_orders"].to_pylist()))
+    assert got == [(1, 2, 2), (1, 3, 2), (2, 3, 2)]
+    tri = q_copurchase_triangles(str(sf))
+    assert tri["n_triangles"].to_pylist() == [1]
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    """Per-user ordered bigrams, (ts, event_id) tie-break, no
+    cross-user leakage."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": _ts("2024-01-01T00:00:01", "2024-01-01T00:00:02",
+                  "2024-01-01T00:00:03", "2024-01-01T00:00:01",
+                  "2024-01-01T00:00:02", "2024-01-01T00:00:05",
+                  "2024-01-01T00:00:05"),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["A", "B", "A", "B", "B", "C", "D"])}),
+        sf / "events.parquet")
+
+    out = q_event_transitions(str(sf))
+    got = sorted(zip(out["prev_type"].to_pylist(),
+                     out["next_type"].to_pylist(),
+                     out["n"].to_pylist()))
+    # user 3's two events share a ts: event_id orders C before D
+    assert got == [("A", "B", 1), ("B", "A", 1), ("B", "B", 1),
+                   ("C", "D", 1)]
+
+
+def test_retention_weekly_planted(ray_session, tmp_path):
+    """Two cohorts (2024-01-01 was a Monday), one retained user each;
+    a gap week does NOT count as retained."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        (1, "2024-01-02"), (1, "2024-01-09"),    # cohort 1/1, retained
+        (2, "2024-01-03"),                       # cohort 1/1, not
+        (3, "2024-01-10"), (3, "2024-01-16"),    # cohort 1/8, retained
+        (4, "2024-01-08"), (4, "2024-01-22"),    # cohort 1/8, gap week
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": _ts(*[r[1] + "T12:00:00" for r in rows])}),
+        sf / "events.parquet")
+
+    out = q_retention_weekly(str(sf))
+    got = {str(c): (u, r) for c, u, r in zip(
+        out["cohort"].to_pylist(), out["n_users"].to_pylist(),
+        out["n_retained"].to_pylist())}
+    assert got == {"2024-01-01 00:00:00": (2, 1),
+                   "2024-01-08 00:00:00": (2, 1)}
+
+
+def test_entropy_planted(ray_session, tmp_path):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_type": pa.array(["X", "X", "X", "Y"]),
+        "user_id": pa.array([1, 1, 2, 5], pa.int64())}),
+        sf / "events.parquet")
+
+    out = q_entropy_user_by_type(str(sf))
+    got = dict(zip(out["event_type"].to_pylist(),
+                   out["user_entropy"].to_pylist()))
+    expect_x = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert got["Y"] == 0.0
+    assert abs(got["X"] - expect_x) < 1e-6
+
+
+def test_quality_filter_planted(ray_session, tmp_path):
+    """One doc passes every rule; each other doc fails exactly one."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    good = "abcd " * 20 + "the " + "abcd " * 18 + "abcd"
+    assert 100 <= len(good) <= 500 and " the " in good
+    too_short = "abcd the abcd"
+    no_stop = "abcd " * 39 + "abcd"
+    long_words = ("abcdefghij " * 30 + "the " + "abcdefghij " * 9
+                  + "abcdefghij")          # mean word length > 6
+    few_words = "abcdefgh " * 12 + "the abcdefgh"   # < 30 words
+    docs = [good, too_short, no_stop, long_words, few_words]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * len(docs))}),
+        sf / "documents.parquet")
+
+    out = q_quality_filter_docs(str(sf))
+    assert out["doc_id"].to_pylist() == [1]
+    assert out["n_words"].to_pylist() == [good.count(" ") + 1]
+
+
+def test_skew_kurt_regr_match_duckdb_planted(ray_session, tmp_path):
+    """DuckDB computes its own skewness/kurtosis/regr_* on a planted
+    lineitem — an engine-independent check of the shifted-moment
+    algebra (formulas, bias corrections, and the shift-invariance)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(11)
+    n = 400
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(
+            np.where(rng.random(n) < 0.5, "A", "B").tolist()),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, n).astype(np.float64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.lognormal(9.5, 0.8, n), 2))}),
+        sf / "lineitem.parquet")
+
+    got = q_skew_kurt_price_by_flag(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["skew_kurt_price_by_flag"])
+    assert got.to_pylist() == want.to_pylist()
+
+    got = q_regr_price_on_qty_by_flag(str(sf))
+    want = _duck(str(sf),
+                 ANALYTICS_ORACLE_SQL["regr_price_on_qty_by_flag"])
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_q13_planted(ray_session, tmp_path):
+    """Zero-order customers count at k=0; urgent orders excluded;
+    dangling order custkeys dropped (LEFT join from customer)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 99], pa.int64()),
+        "o_orderpriority": pa.array([
+            "5-LOW", "5-LOW", "1-URGENT", "2-HIGH", "5-LOW"])}),
+        sf / "orders.parquet")
+
+    out = q_q13_order_distribution(str(sf))
+    got = dict(zip(out["c_count"].to_pylist(),
+                   out["custdist"].to_pylist()))
+    assert got == {2: 1, 1: 1, 0: 2}
+
+
+def test_q22_planted(ray_session, tmp_path):
+    """Integer-cents mean threshold over positive balances; urgent-order
+    anti-join; negative balances excluded from the mean but eligible
+    rows must still exceed it."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_mktsegment": pa.array(["A", "A", "B", "B", "B"]),
+        "c_acctbal": pa.array([150.0, 50.0, -10.0, 80.0, 200.0])}),
+        sf / "customer.parquet")
+    # positive cents: 15000+5000+8000+20000 = 48000, n=4 → mean 120.00
+    # rich: c1 (150) and c5 (200); c1 has an URGENT order → excluded
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 5, 4], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "1-URGENT"])}),
+        sf / "orders.parquet")
+
+    out = q_q22_idle_customers(str(sf))
+    assert out.to_pylist() == [{"c_mktsegment": "B", "numcust": 1,
+                                "totacctbal": 200.0}]
+
+
+def test_q17_planted(ray_session, tmp_path):
+    """Per-part 0.2·avg(qty) threshold: only the one below-threshold
+    row of the brand's parts contributes; other brands ignored."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#7", "Brand#9", "Brand#7"])}),
+        sf / "part.parquet")
+    # part 1: qtys [10,10,10,1] → avg 7.75, thr 1.55 → the qty-1 row
+    # part 3: qtys [2,2] → thr 0.8 → none; part 2: not the brand
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 3, 3, 2], pa.int64()),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 1.0, 2.0, 2.0, 1.0]),
+        "l_extendedprice": pa.array(
+            [5.0, 5.0, 5.0, 700.0, 9.0, 9.0, 11.0])}),
+        sf / "lineitem.parquet")
+
+    out = q_q17_small_quantity(str(sf))
+    assert out["avg_yearly"].to_pylist() == [100.0]
+
+
+def test_q7_q8_match_duckdb_planted(ray_session, tmp_path):
+    """Planted five-table joins vs DuckDB running the oracle SQL —
+    covers the nation-pair mask, the region mask, the pre-shuffle part
+    filter, year extraction, and dangling keys falling out."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA"])}),
+        sf / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3, 4], pa.int32()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3",
+                            "NATION_4"]),
+        "n_regionkey": pa.array([0, 0, 0, 1], pa.int32())}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64()),
+        "c_nationkey": pa.array([1, 2, 4], pa.int32())}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([20, 21, 22], pa.int64()),
+        "s_nationkey": pa.array([2, 1, 3], pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([30, 31], pa.int64()),
+        "p_type": pa.array(["PROMO", "LARGE"])}),
+        sf / "part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103], pa.int64()),
+        "o_custkey": pa.array([10, 11, 12, 999], pa.int64()),
+        "o_orderdate": _ts("1995-03-01", "1996-07-01", "1995-05-01",
+                           "1996-01-01")}),
+        sf / "orders.parquet")
+    rng = np.random.default_rng(5)
+    ok = pa.array([100, 100, 101, 101, 102, 103, 555], pa.int64())
+    pq.write_table(pa.table({
+        "l_orderkey": ok,
+        "l_partkey": pa.array([30, 31, 30, 30, 30, 30, 30], pa.int64()),
+        "l_suppkey": pa.array([20, 20, 21, 22, 20, 21, 20], pa.int64()),
+        "l_shipdate": _ts("1995-04-01", "1995-04-02", "1996-08-01",
+                          "1996-08-02", "1995-06-01", "1996-02-01",
+                          "1996-02-02"),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(100, 1000, 7), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, 7), 2))}),
+        sf / "lineitem.parquet")
+
+    got = q_q7_volume_shipping(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["q7_volume_shipping"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.num_rows >= 2            # both directions present
+
+    got = q_q8_market_share(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["q8_market_share"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.num_rows >= 2            # both years present
+
+
+def test_oracle_keys_registered():
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    for name in ANALYTICS_ORACLE_SQL:
+        assert name in q and name in o
