@@ -1195,3 +1195,481 @@ ANALYTICS_ORACLE_SQL["copurchase_triangles"] = """
     FROM e e1 JOIN e e2 ON e1.pb = e2.pa
               JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
 """
+
+
+# ---------------------------------------------------------------------------
+# exact median absolute deviation (two chained exact selections)
+
+
+def q_mad_lineitem_price(sf_dir: str):
+    """Exact rank-based median and MAD of ``l_extendedprice``: the
+    histogram-refinement selector (pipelines/quantiles.py) finds the
+    median in O(passes) without a sort, then runs AGAIN over the
+    derived |x − median| column — the deviation is computed identically
+    on both engines (same float subtraction of the same exact element),
+    so the second selection stays hash-exact."""
+    from .quantiles import values_at_ranks
+    from .queries import _read
+
+    # the selector makes several streaming passes (min/max, histogram,
+    # collect); pin the ONE pruned float column in the object store so
+    # each pass re-reads a column, not the table (spills past memory —
+    # the documented trade vs re-reading the source per pass at scale)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice"]).materialize()
+
+    def ranks_fn(n: int) -> list[int]:
+        return [max(1, (50 * n + 99) // 100)]
+
+    res, n = values_at_ranks(ds, "l_extendedprice", ranks_fn)
+    if n == 0:
+        return pa.table({"median": pa.array([], pa.float64()),
+                         "mad": pa.array([], pa.float64())})
+    med = res[max(1, (50 * n + 99) // 100)]
+
+    def dev(t: pa.Table) -> pa.Table:
+        return pa.table({"dv": pc.abs(pc.subtract(
+            t["l_extendedprice"], pa.scalar(med)))})
+
+    dvs = ds.map_batches(dev, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    res2, n2 = values_at_ranks(dvs, "dv", ranks_fn)
+    mad = res2[max(1, (50 * n2 + 99) // 100)]
+    return pa.table({"median": pa.array([med], pa.float64()),
+                     "mad": pa.array([mad], pa.float64())})
+
+
+ANALYTICS_ORACLE_SQL["mad_lineitem_price"] = """
+    WITH r AS (SELECT l_extendedprice AS v,
+                      row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                      count(*) OVER () AS n
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         m AS (SELECT v AS med FROM r
+               WHERE rn = greatest(1, (50 * n + 99) // 100)),
+         d AS (SELECT abs(r.v - m.med) AS dv FROM r, m),
+         r2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn,
+                       count(*) OVER () AS n FROM d)
+    SELECT (SELECT med FROM m) AS median, dv AS mad
+    FROM r2 WHERE rn = greatest(1, (50 * n + 99) // 100)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product profit per supplier nation and year
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q_q9_product_profit(sf_dir: str):
+    """Revenue per (supplier nation, order year) for parts whose name
+    matches a substring — the Q9 shape on the reduced schema (no
+    partsupp cost table). Matching part keys broadcast as a PRE-shuffle
+    lineitem filter; one partitioned lineitem⋈orders exchange; nation
+    names resolve post-join from the broadcast supplier lookup."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    names, _, _ = _nation_lookup(sf_dir)
+    part = _t(_read(sf_dir, "part", columns=["p_partkey", "p_name"],
+                    split=False))
+    pkeys = pc.cast(part.filter(pc.match_substring(
+        part["p_name"], Q9_NAME_SUBSTR))["p_partkey"]
+        .combine_chunks(), pa.int64())
+    pkeys_ref = ray.put(pkeys)
+
+    supp = _t(_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"], split=False))
+    lookups_ref = ray.put((
+        pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(supp["s_nationkey"], pa.int64()).combine_chunks(),
+        names))
+
+    total = _parquet_rows(sf_dir, "lineitem") \
+        + _parquet_rows(sf_dir, "orders")
+    B = coarse_buckets(total, rows_per_part=500_000)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"], split=False)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"], split=False)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "sk": pa.nulls(nr, pa.int64()),
+            "yr": pa.array(_year_of_us(_i64(t["o_orderdate"]))),
+            "rev": pa.nulls(nr, pa.float64()),
+            "side": pa.array(np.zeros(nr, np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(pkeys_ref)
+        t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=ks))
+        nr = t.num_rows
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "sk": pc.cast(t["l_suppkey"], pa.int64()),
+            "yr": pa.nulls(nr, pa.int64()),
+            "rev": pc.cast(rev, pa.float64()),
+            "side": pa.array(np.ones(nr, np.int8))})
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(li.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"nation": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "profit": pa.array([], pa.float64())})
+
+    def join_part(g: pa.Table) -> pa.Table:
+        skeys, snat, names_ = ray.get(lookups_ref)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "yr"])
+        right = g.filter(pa.array(side == 1)).select(["key", "sk", "rev"])
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        j = right.join(left, keys="key", join_type="inner")
+        sn = pc.fill_null(pc.take(
+            snat, pc.index_in(j["sk"], value_set=skeys)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = sn >= 0
+        if not m.any():
+            return empty
+        take = pa.array(np.nonzero(m)[0], pa.int64())
+        sub = pa.table({
+            "nation": pa.array(names_[sn[m]].tolist(), pa.string()),
+            "o_year": j["yr"].combine_chunks().take(take),
+            "rev": j["rev"].combine_chunks().take(take)})
+        out = sub.group_by(["nation", "o_year"]).aggregate(
+            [("rev", "sum")])
+        return out.rename_columns(["nation", "o_year", "profit"])
+
+    parts = _t(hash_shuffle_apply(tagged, "key", B, join_part, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by(["nation", "o_year"]).aggregate(
+        [("profit", "sum")])
+    out = out.rename_columns(["nation", "o_year", "profit"]).sort_by([
+        ("nation", "ascending"), ("o_year", "ascending")])
+    return out.set_column(2, "profit", _round(out["profit"], 2))
+
+
+ANALYTICS_ORACLE_SQL["q9_product_profit"] = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND contains(p_name, 'red')
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: part value concentration (integer-cents threshold)
+
+
+def q_q11_part_value_concentration(sf_dir: str):
+    """Parts whose lineitem value exceeds the mean per-part value (a
+    scale-invariant concentration cut — a fixed share-of-total would
+    select everything at small part counts and nothing at large, and
+    this corpus's uniform per-part values never reach a 2× mean cut).
+    Value is summed in integer CENTS (round(price·100) per row is the
+    same int on both engines; integer sums are order-independent), so
+    the `value·n_parts > 2·total` selection is exact. Per-part totals
+    come from one keyed shuffle over per-batch partials; the aggregated
+    table is materialized ONCE (bounded by part cardinality, the
+    aggregate — never the input), the global total streams off it, and
+    the filter is a broadcast-scalar second pass."""
+    from ray.data.aggregate import Sum
+
+    from .queries import _parquet_rows, _read
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=500_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .queries import _round
+
+        cents = pc.cast(_round(pc.multiply(
+            t["l_extendedprice"], 100.0), 0), pa.int64())
+        g = pa.table({"pk": pc.cast(t["l_partkey"], pa.int64()),
+                      "cents": cents}) \
+            .group_by("pk").aggregate([("cents", "sum")])
+        return g.rename_columns(["pk", "cents"])
+
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "value_cents": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        out = g.group_by("pk").aggregate([("cents", "sum")])
+        return out.rename_columns(["p_partkey", "value_cents"])
+
+    vals = hash_shuffle_apply(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "pk", B, within, empty).materialize()
+    total = int(vals.aggregate(Sum("value_cents"))["sum(value_cents)"]
+                or 0)
+    n_parts = int(vals.count())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(
+            pc.multiply(t["value_cents"],
+                        pa.scalar(n_parts, pa.int64())),
+            pa.scalar(total, pa.int64())))
+
+    from .queries import _t
+
+    out = _t(vals.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    if out.num_rows == 0:
+        return empty
+    return out.sort_by("p_partkey")
+
+
+ANALYTICS_ORACLE_SQL["q11_part_value_concentration"] = """
+    WITH v AS (SELECT l_partkey AS p_partkey,
+                      sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS value_cents
+               FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
+    WHERE value_cents * (SELECT count(*) FROM v)
+          > (SELECT sum(value_cents) FROM v)
+    ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by windowed revenue (exact argmax)
+
+
+Q15_LO = "1996-01-01"
+Q15_HI = "1996-04-01"
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """Supplier(s) with the maximum revenue in a three-month ship
+    window. Per-row revenue cents = round(price·(1−disc)·100) — the
+    same two float ops then one round on both engines, so per-supplier
+    totals are exact integers and the argmax selection cannot be
+    perturbed by summation order (ties all surface). Partials shuffle
+    by supplier; the winners (a handful of rows) resolve on the
+    driver against a filtered supplier read."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    lo = np.datetime64(Q15_LO, "us").astype(np.int64)
+    hi = np.datetime64(Q15_HI, "us").astype(np.int64)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=500_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _i64(t["l_shipdate"])
+        t = t.filter(pa.array((ts >= lo) & (ts < hi)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(_round(pc.multiply(rev, 100.0), 0), pa.int64())
+        g = pa.table({"sk": pc.cast(t["l_suppkey"], pa.int64()),
+                      "cents": cents}) \
+            .group_by("sk").aggregate([("cents", "sum")])
+        return g.rename_columns(["sk", "cents"])
+
+    empty = pa.table({"sk": pa.array([], pa.int64()),
+                      "total_cents": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        out = g.group_by("sk").aggregate([("cents", "sum")])
+        out = out.rename_columns(["sk", "total_cents"])
+        # per-partition argmax candidates only — the global max is the
+        # max over partition maxima, so non-candidates can drop early
+        mx = pc.max(out["total_cents"])
+        return out.filter(pc.equal(out["total_cents"], mx))
+
+    cand = _t(hash_shuffle_apply(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "sk", B, within, empty))
+    if cand.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_cents": pa.array([], pa.int64())})
+    mx = pc.max(cand["total_cents"])
+    win = cand.filter(pc.equal(cand["total_cents"], mx))
+    supp = _t(_read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name"], split=False))
+    supp = supp.filter(pc.is_in(
+        pc.cast(supp["s_suppkey"], pa.int64()),
+        value_set=pc.cast(win["sk"], pa.int64()).combine_chunks()))
+    j = supp.join(win.rename_columns(["s_suppkey", "total_cents"]),
+                  keys="s_suppkey", join_type="inner")
+    return pa.table({
+        "s_suppkey": pc.cast(j["s_suppkey"], pa.int64()),
+        "s_name": j["s_name"],
+        "total_cents": j["total_cents"]}).sort_by("s_suppkey")
+
+
+ANALYTICS_ORACLE_SQL["q15_top_supplier"] = """
+    WITH rev AS (SELECT l_suppkey,
+                        sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS total_cents
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
+    FROM supplier, rev
+    WHERE s_suppkey = l_suppkey
+      AND total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier variety per part attribute
+
+
+Q16_EXCL_BRAND = "Brand#4"
+
+
+def q_q16_supplier_variety(sf_dir: str):
+    """COUNT(DISTINCT supplier) per (brand, size), excluding one brand:
+    part attributes broadcast and joined per batch, distinct
+    (brand, size, supplier) partials shuffle keyed by SUPPLIER (the
+    same triple always lands in the same partition, so per-partition
+    distinct is globally distinct), then tiny per-partition counts
+    merge on the driver."""
+    from .queries import _parquet_rows, _read, _t
+
+    part = _t(_read(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_size"],
+                    split=False))
+    part = part.filter(pc.not_equal(part["p_brand"],
+                                    pa.scalar(Q16_EXCL_BRAND)))
+    attrs_ref = ray.put((
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+        part["p_brand"].combine_chunks(),
+        pc.cast(part["p_size"], pa.int64()).combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=500_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, brand, size = ray.get(attrs_ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pk)
+        keep = pc.is_valid(pos)
+        t = t.filter(keep)
+        pos = pos.filter(keep)
+        d = pa.table({
+            "p_brand": pc.take(brand, pos),
+            "p_size": pc.take(size, pos),
+            "sk": pc.cast(t["l_suppkey"], pa.int64())}) \
+            .group_by(["p_brand", "p_size", "sk"]).aggregate([])
+        return d.append_column("hkey", _hkey(_i64(d["sk"])))
+
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int64()),
+                      "supplier_cnt": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        d = g.group_by(["p_brand", "p_size", "sk"]).aggregate([])
+        out = d.group_by(["p_brand", "p_size"]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["p_brand", "p_size", "supplier_cnt"])
+
+    parts = _t(hash_shuffle_apply(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by(["p_brand", "p_size"]).aggregate(
+        [("supplier_cnt", "sum")])
+    return out.rename_columns(["p_brand", "p_size", "supplier_cnt"]) \
+        .sort_by([("p_brand", "ascending"), ("p_size", "ascending")])
+
+
+ANALYTICS_ORACLE_SQL["q16_supplier_variety"] = """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand <> 'Brand#4'
+    GROUP BY p_brand, p_size ORDER BY p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive predicate revenue
+
+
+def q_q19_disjunctive_revenue(sf_dir: str):
+    """Revenue under a 3-way disjunction of (brand, size band, quantity
+    band) predicates — the pushdown-hostile Q19 shape: part attributes
+    broadcast once, the whole disjunction evaluates as vectorized masks
+    per batch, one scalar partial per batch."""
+    from .queries import _read, _round, _t
+
+    part = _t(_read(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_size"],
+                    split=False))
+    attrs_ref = ray.put((
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+        part["p_brand"].combine_chunks(),
+        pc.cast(part["p_size"], pa.int64()).combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"], split=False)
+
+    arms = (("Brand#1", 1, 5, 1.0, 11.0),
+            ("Brand#2", 1, 10, 10.0, 20.0),
+            ("Brand#3", 1, 15, 20.0, 30.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, brand, size = ray.get(attrs_ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pk)
+        keep = pc.is_valid(pos)
+        t = t.filter(keep)
+        pos = pos.filter(keep)
+        b = pc.take(brand, pos).to_numpy(zero_copy_only=False)
+        s = pc.take(size, pos).to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = np.zeros(t.num_rows, dtype=bool)
+        for br, slo, shi, qlo, qhi in arms:
+            m |= (b == br) & (s >= slo) & (s <= shi) \
+                & (q >= qlo) & (q <= qhi)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"])) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(rev[m].sum())]),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    parts = _t(li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    total = float(pc.sum(parts["s"]).as_py() or 0.0)
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    return pa.table({
+        "revenue": _round(pa.array([total], pa.float64()), 2),
+        "n_lines": pa.array([n], pa.int64())})
+
+
+ANALYTICS_ORACLE_SQL["q19_disjunctive_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+"""

@@ -318,3 +318,148 @@ def test_oracle_keys_registered():
     o = entry.oracle_sql()
     for name in ANALYTICS_ORACLE_SQL:
         assert name in q and name in o
+
+
+def test_mad_planted(ray_session, tmp_path):
+    """Odd-count column with a hand-checkable rank-50 median and MAD."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = [10.0, 20.0, 30.0, 100.0, 1000.0]
+    pq.write_table(pa.table({"l_extendedprice": pa.array(vals)}),
+                   sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_mad_lineitem_price
+
+    out = q_mad_lineitem_price(str(sf))
+    # rank ceil(50*5/100)=3 → median 30; deviations sorted:
+    # [0, 10, 20, 70, 970] → rank 3 → MAD 20
+    assert out.to_pylist() == [{"median": 30.0, "mad": 20.0}]
+
+
+def test_q15_ties_planted(ray_session, tmp_path):
+    """Two suppliers tied at the max window revenue both surface;
+    out-of-window rows are excluded."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"])}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "l_shipdate": _ts("1996-01-10", "1996-02-10", "1996-03-10",
+                          "1996-01-20", "1996-06-01"),
+        "l_extendedprice": pa.array([100.0, 100.0, 200.0, 200.0,
+                                     9999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_q15_top_supplier
+
+    out = q_q15_top_supplier(str(sf))
+    assert out.to_pylist() == [
+        {"s_suppkey": 1, "s_name": "s1", "total_cents": 20000},
+        {"s_suppkey": 2, "s_name": "s2", "total_cents": 20000},
+        {"s_suppkey": 3, "s_name": "s3", "total_cents": 20000}]
+
+
+def test_q16_distinct_planted(ray_session, tmp_path):
+    """Repeat (part, supplier) rows count once; the excluded brand
+    vanishes; distinct supplier counts are per (brand, size)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#4"]),
+        "p_size": pa.array([5, 5, 5], pa.int32())}),
+        sf / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 7, 8, 9], pa.int64())}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_q16_supplier_variety
+
+    out = q_q16_supplier_variety(str(sf))
+    # brand1/size5 sees suppliers {7, 8}; Brand#4 excluded entirely
+    assert out.to_pylist() == [
+        {"p_brand": "Brand#1", "p_size": 5, "supplier_cnt": 2}]
+
+
+def test_q11_above_mean_planted(ray_session, tmp_path):
+    """Strictly-above-mean selection in integer cents: values 10, 20,
+    30 → mean 20 → only part 3 survives (strict >)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 2, 3, 3, 3], pa.int64()),
+        "l_extendedprice": pa.array(
+            [10.0, 10.0, 10.0, 10.0, 10.0, 10.0])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import (
+        q_q11_part_value_concentration)
+
+    out = q_q11_part_value_concentration(str(sf))
+    assert out.to_pylist() == [{"p_partkey": 3, "value_cents": 3000}]
+
+
+def test_q19_arms_planted(ray_session, tmp_path):
+    """Each disjunction arm admits its own rows; a row failing all
+    arms (right brand, wrong quantity) is excluded."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#3"]),
+        "p_size": pa.array([5, 10, 15], pa.int32())}),
+        sf / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_quantity": pa.array([11.0, 10.0, 30.0, 50.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_q19_disjunctive_revenue
+
+    out = q_q19_disjunctive_revenue(str(sf))
+    assert out.to_pylist() == [{"revenue": 500.0, "n_lines": 3}]
+
+
+def test_q9_matches_duckdb_planted(ray_session, tmp_path):
+    """Q9 on planted tables vs DuckDB: name-substring part filter,
+    supplier-nation grouping, order-year extraction."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], pa.int32()),
+        "n_name": pa.array(["NATION_1", "NATION_2"]),
+        "n_regionkey": pa.array([0, 0], pa.int32())}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([20, 21], pa.int64()),
+        "s_nationkey": pa.array([1, 2], pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([30, 31], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"])}),
+        sf / "part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101], pa.int64()),
+        "o_orderdate": _ts("1995-03-01", "1996-07-01")}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 100, 101], pa.int64()),
+        "l_partkey": pa.array([30, 31, 30], pa.int64()),
+        "l_suppkey": pa.array([20, 20, 21], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.2])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_q9_product_profit
+
+    got = q_q9_product_profit(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["q9_product_profit"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.num_rows == 2      # one (nation, year) row per supplier
