@@ -1673,3 +1673,334 @@ ANALYTICS_ORACLE_SQL["q19_disjunctive_revenue"] = """
         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
             AND l_quantity BETWEEN 20 AND 30))
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest supplier per part (grouped exact argmin)
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """For every part, the minimum lineitem price and the lowest-keyed
+    supplier offering it — the Q2 correlated-min shape. Prices compare
+    in integer cents (bit-identical on both engines), so the argmin and
+    its deterministic min-suppkey tie-break are exact. Per-batch
+    partials carry one candidate row per (part) — the batch's min-cents
+    suppliers reduced to min suppkey — then a part-keyed shuffle
+    finishes the argmin; merging partial argmins is sound because the
+    global min is achieved by some batch's min."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+               split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=500_000)
+
+    def argmin_rows(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_round(pc.multiply(
+            t["l_extendedprice"], 100.0), 0), pa.int64())
+        tb = pa.table({"pk": pc.cast(t["l_partkey"], pa.int64()),
+                       "sk": pc.cast(t["l_suppkey"], pa.int64()),
+                       "cents": cents})
+        mins = tb.group_by("pk").aggregate([("cents", "min")])
+        j = tb.join(mins, keys="pk", join_type="inner")
+        j = j.filter(pc.equal(j["cents"], j["cents_min"]))
+        out = j.group_by(["pk", "cents"]).aggregate([("sk", "min")])
+        return out.rename_columns(["pk", "cents", "sk"])
+
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "s_suppkey": pa.array([], pa.int64()),
+                      "min_cents": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        return argmin_rows(pa.table({
+            "l_partkey": g["pk"], "l_suppkey": g["sk"],
+            "l_extendedprice": pc.divide(
+                pc.cast(g["cents"], pa.float64()), 100.0)})) \
+            .rename_columns(["p_partkey", "min_cents", "s_suppkey"]) \
+            .select(["p_partkey", "s_suppkey", "min_cents"])
+
+    parts = li.map_batches(argmin_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = _t(hash_shuffle_apply(parts, "pk", B, within, empty))
+    if out.num_rows == 0:
+        return empty
+    return out.sort_by("p_partkey")
+
+
+ANALYTICS_ORACLE_SQL["q2_min_cost_supplier"] = """
+    WITH c AS (SELECT l_partkey, l_suppkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        AS cents
+               FROM lineitem),
+         m AS (SELECT l_partkey, min(cents) AS mn
+               FROM c GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey, min(c.l_suppkey) AS s_suppkey,
+           CAST(m.mn AS BIGINT) AS min_cents
+    FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cents = m.mn
+    GROUP BY 1, m.mn ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# solo-supplier orders (single-supplier basket census)
+
+
+def q_solo_supplier_orders(sf_dir: str):
+    """Per supplier, how many orders they supplied ALONE (the Q21
+    single-supplier-basket essence on the reduced schema): per-batch
+    distinct (order, supplier) partials co-locate by ORDER, each
+    partition keeps orders whose global distinct-supplier count is 1,
+    and the tiny per-supplier counts merge on the driver."""
+    from .queries import _parquet_rows, _read, _t
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=500_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"ok": pc.cast(t["l_orderkey"], pa.int64()),
+                      "sk": pc.cast(t["l_suppkey"], pa.int64())}) \
+            .group_by(["ok", "sk"]).aggregate([])
+        return d
+
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "n_solo_orders": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        d = g.group_by(["ok", "sk"]).aggregate([])
+        per = d.group_by("ok").aggregate([([], "count_all"),
+                                          ("sk", "min")])
+        per = per.rename_columns(["ok", "nsupp", "sk"])
+        solo = per.filter(pc.equal(per["nsupp"], 1))
+        out = solo.group_by("sk").aggregate([([], "count_all")])
+        return out.rename_columns(["s_suppkey", "n_solo_orders"])
+
+    parts = _t(hash_shuffle_apply(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "ok", B, within, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by("s_suppkey").aggregate(
+        [("n_solo_orders", "sum")])
+    return out.rename_columns(["s_suppkey", "n_solo_orders"]) \
+        .sort_by("s_suppkey")
+
+
+ANALYTICS_ORACLE_SQL["solo_supplier_orders"] = """
+    WITH o AS (SELECT l_orderkey, min(l_suppkey) AS sk,
+                      count(DISTINCT l_suppkey) AS c
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT sk AS s_suppkey, count(*) AS n_solo_orders
+    FROM o WHERE c = 1 GROUP BY sk ORDER BY sk
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct users per day
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    """For every day with events, the distinct users active in the
+    trailing 7 days — the rolling-unique-visitors operator. Each
+    per-batch distinct (event-day, user) pair expands to its ≤7 target
+    days (membership-filtered against the broadcast set of real event
+    days), pairs co-locate by USER so the global distinct is exact,
+    and per-day count partials merge on the driver. The event-day set
+    is a bounded broadcast (days, not rows)."""
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"], split=False)
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = (_i64(t["ts"]) // _US_PER_DAY).astype(np.int64)
+        return pa.table({"d": pa.array(np.unique(day))})
+
+    days_t = _t(ds.map_batches(day_partial, batch_format="pyarrow",
+                               zero_copy_batch=True))
+    days = np.unique(days_t["d"].to_numpy(zero_copy_only=False))
+    days_ref = ray.put(pa.array(days, pa.int64()))
+
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def expand(t: pa.Table) -> pa.Table:
+        dset = ray.get(days_ref)
+        day = (_i64(t["ts"]) // _US_PER_DAY).astype(np.int64)
+        uid = _i64(t["user_id"])
+        d = pa.table({"day": pa.array(day), "u": pa.array(uid)}) \
+            .group_by(["day", "u"]).aggregate([])
+        dv = d["day"].to_numpy(zero_copy_only=False)
+        uv = d["u"].to_numpy(zero_copy_only=False)
+        tgt = (dv[:, None] + np.arange(7)[None, :]).ravel()
+        uu = np.repeat(uv, 7)
+        keep = pc.is_in(pa.array(tgt, pa.int64()), value_set=dset) \
+            .to_numpy(zero_copy_only=False)
+        out = pa.table({"d": pa.array(tgt[keep]),
+                        "u": pa.array(uu[keep])}) \
+            .group_by(["d", "u"]).aggregate([])
+        return out.append_column("hkey", _hkey(_i64(out["u"])))
+
+    empty = pa.table({"d": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        d = g.group_by(["d", "u"]).aggregate([])
+        out = d.group_by("d").aggregate([([], "count_all")])
+        return out.rename_columns(["d", "n"])
+
+    parts = _t(hash_shuffle_apply(
+        ds.map_batches(expand, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty))
+    if parts.num_rows == 0:
+        return pa.table({"d": pa.array([], pa.timestamp("us")),
+                         "users_7d": pa.array([], pa.int64())})
+    out = parts.group_by("d").aggregate([("n", "sum")])
+    return pa.table({
+        "d": pc.cast(pc.multiply(out["d"], pa.scalar(
+            int(_US_PER_DAY), pa.int64())), pa.timestamp("us")),
+        "users_7d": out["n_sum"]}).sort_by("d")
+
+
+ANALYTICS_ORACLE_SQL["rolling_distinct_users"] = """
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d
+                  FROM events)
+    SELECT CAST(d AS TIMESTAMP) AS d,
+           count(DISTINCT user_id) AS users_7d
+    FROM days JOIN events e
+      ON date_trunc('day', e.ts) >= d - INTERVAL 6 DAY
+     AND date_trunc('day', e.ts) <= d
+    GROUP BY d ORDER BY d
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroid inertia (the k-means E-step cost)
+
+
+def q_label_centroid_inertia(sf_dir: str):
+    """Within-cluster sum of squares per label from mergeable VECTOR
+    moments: each batch emits per-label (n, Σx, Σx²) over all dims as
+    per-(label, dim) partial rows; inertia folds on the driver as
+    Σ_d (Σx² − (Σx)²/n) — label cardinality × dim rows, never the
+    vectors."""
+    from .queries import _emb_matrix, _read, _round, _t
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t["embedding"])
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        dim = x.shape[1] if x.size else 0
+        labs, inv = np.unique(lab, return_inverse=True)
+        k = len(labs)
+        n = np.bincount(inv, minlength=k)
+        s = np.zeros((k, dim))
+        ss = np.zeros((k, dim))
+        np.add.at(s, inv, x)
+        np.add.at(ss, inv, x * x)
+        return pa.table({
+            "label": pa.array(np.repeat(labs, dim), pa.int32()),
+            "d": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "n": pa.array(np.repeat(n, dim).astype(np.int64)),
+            "s": pa.array(s.ravel()),
+            "ss": pa.array(ss.ravel())})
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by(["label", "d"]).aggregate(
+        [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+    n = tot["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = tot["s_sum"].to_numpy(zero_copy_only=False)
+    ss = tot["ss_sum"].to_numpy(zero_copy_only=False)
+    contrib = ss - s * s / n
+    per = pa.table({"label": tot["label"],
+                    "nv": tot["n_sum"],
+                    "c": pa.array(contrib)}) \
+        .group_by("label").aggregate([("nv", "max"), ("c", "sum")])
+    out = pa.table({
+        "label": per["label"],
+        "n_vectors": per["nv_max"],
+        "inertia": _round(per["c_sum"], 4)})
+    return out.sort_by("label")
+
+
+ANALYTICS_ORACLE_SQL["label_centroid_inertia"] = """
+    WITH u AS (SELECT label,
+                      unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS d
+               FROM embeddings),
+         dim AS (SELECT label, d, count(*) AS n,
+                        sum(CAST(v AS DOUBLE)) AS s,
+                        sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ss
+                 FROM u GROUP BY label, d)
+    SELECT label, CAST(min(n) AS BIGINT) AS n_vectors,
+           round(sum(ss - s * s / n), 4) AS inertia
+    FROM dim GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: event type × ISO weekday
+
+
+def q_chi2_event_weekday(sf_dir: str):
+    """Pearson chi-square statistic for independence of event type and
+    ISO weekday: per-batch (type, weekday) count partials (≤ types×7
+    rows each), then the full-grid expected-count formula on the
+    driver — zero-observed cells included, expected counts computed as
+    double(row)·double(col)/double(N) exactly as the SQL twin spells
+    it."""
+    from .queries import _read, _round, _t
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _i64(t["ts"]) // _US_PER_DAY
+        dow = ((day + 3) % 7 + 1).astype(np.int64)    # ISO: Monday=1
+        g = pa.table({"t": t["event_type"], "w": pa.array(dow)}) \
+            .group_by(["t", "w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t", "w", "n"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    c = parts.group_by(["t", "w"]).aggregate([("n", "sum")])
+    ts = c["t"].to_pylist()
+    ws = c["w"].to_numpy(zero_copy_only=False)
+    ns = c["n_sum"].to_numpy(zero_copy_only=False)
+    types = sorted(set(ts))
+    weekdays = sorted(set(ws.tolist()))
+    ti = {v: i for i, v in enumerate(types)}
+    wi = {v: i for i, v in enumerate(weekdays)}
+    obs = np.zeros((len(types), len(weekdays)))
+    for tt, ww, nn in zip(ts, ws.tolist(), ns.tolist()):
+        obs[ti[tt], wi[ww]] = nn
+    rn = obs.sum(axis=1)
+    cn = obs.sum(axis=0)
+    N = obs.sum()
+    e = rn[:, None] * cn[None, :] / N
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    dof = (len(types) - 1) * (len(weekdays) - 1)
+    return pa.table({
+        "chi2": _round(pa.array([chi2], pa.float64()), 6),
+        "dof": pa.array([dof], pa.int64())})
+
+
+ANALYTICS_ORACLE_SQL["chi2_event_weekday"] = """
+    WITH c AS (SELECT event_type AS t, isodow(ts) AS w, count(*) AS n
+               FROM events GROUP BY 1, 2),
+         r AS (SELECT t, CAST(sum(n) AS DOUBLE) AS rn FROM c GROUP BY t),
+         k AS (SELECT w, CAST(sum(n) AS DOUBLE) AS cn FROM c GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+         cells AS (SELECT coalesce(c.n, 0) AS o,
+                          r.rn * k.cn / tot.nn AS e
+                   FROM r CROSS JOIN k CROSS JOIN tot
+                   LEFT JOIN c ON c.t = r.t AND c.w = k.w)
+    SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof
+    FROM cells
+"""

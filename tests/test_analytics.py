@@ -463,3 +463,107 @@ def test_q9_matches_duckdb_planted(ray_session, tmp_path):
     want = _duck(str(sf), ANALYTICS_ORACLE_SQL["q9_product_profit"])
     assert got.to_pylist() == want.to_pylist()
     assert got.num_rows == 2      # one (nation, year) row per supplier
+
+
+def test_q2_argmin_ties_planted(ray_session, tmp_path):
+    """Min-cents ties resolve to the lowest suppkey; per-part argmins
+    are independent."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([9, 3, 5, 7, 8], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 6.0, 2.0, 1.5])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_q2_min_cost_supplier
+
+    out = q_q2_min_cost_supplier(str(sf))
+    assert out.to_pylist() == [
+        {"p_partkey": 1, "s_suppkey": 3, "min_cents": 500},
+        {"p_partkey": 2, "s_suppkey": 8, "min_cents": 150}]
+
+
+def test_solo_supplier_planted(ray_session, tmp_path):
+    """Single-supplier orders count per supplier; multi-supplier
+    orders and duplicate rows don't."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 7, 7, 8, 9], pa.int64())}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_solo_supplier_orders
+
+    out = q_solo_supplier_orders(str(sf))
+    assert out.to_pylist() == [
+        {"s_suppkey": 7, "n_solo_orders": 1},
+        {"s_suppkey": 9, "n_solo_orders": 1}]
+
+
+def test_rolling_distinct_planted(ray_session, tmp_path):
+    """Trailing-7-day distinct users: only real event days appear;
+    a user active twice in the window counts once; day 8 sees only
+    the day-8 user (day 1 is outside its window)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [(1, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-03"),
+            (3, "2024-01-08")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": _ts(*[r[1] + "T09:00:00" for r in rows])}),
+        sf / "events.parquet")
+
+    from sjot_ray.pipelines.analytics import q_rolling_distinct_users
+
+    out = q_rolling_distinct_users(str(sf))
+    got = {str(d): n for d, n in zip(out["d"].to_pylist(),
+                                     out["users_7d"].to_pylist())}
+    # 1/1: {u1}; 1/3: {u1,u2}; 1/8: {u2 (1/3 in window), u3} — u1 aged out
+    assert got == {"2024-01-01 00:00:00": 1,
+                   "2024-01-03 00:00:00": 2,
+                   "2024-01-08 00:00:00": 2}
+
+
+def test_label_inertia_planted(ray_session, tmp_path):
+    """Hand-computed WCSS: label 0 = {(0,0),(2,2)} → centroid (1,1),
+    inertia 4; label 1 = one vector → inertia 0."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "embedding": pa.array([[0.0, 0.0], [2.0, 2.0], [5.0, 5.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32())}),
+        sf / "embeddings.parquet")
+
+    from sjot_ray.pipelines.analytics import q_label_centroid_inertia
+
+    out = q_label_centroid_inertia(str(sf))
+    assert out.to_pylist() == [
+        {"label": 0, "n_vectors": 2, "inertia": 4.0},
+        {"label": 1, "n_vectors": 1, "inertia": 0.0}]
+
+
+def test_chi2_matches_duckdb_planted(ray_session, tmp_path):
+    """Chi-square vs DuckDB on skewed planted events — includes a
+    zero-observed (type, weekday) cell, which the full-grid expected
+    formula must still count."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(3)
+    n = 300
+    days = rng.integers(0, 14, n)          # two weeks
+    types = np.where(days % 7 < 2, "A", rng.choice(["A", "B"], n))
+    base = np.datetime64("2024-01-01T10:00:00", "us")
+    pq.write_table(pa.table({
+        "ts": pa.array(base + days * np.timedelta64(86400_000_000, "us")),
+        "event_type": pa.array(types.tolist())}),
+        sf / "events.parquet")
+
+    from sjot_ray.pipelines.analytics import q_chi2_event_weekday
+
+    got = q_chi2_event_weekday(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["chi2_event_weekday"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got["dof"].to_pylist() == [6]
