@@ -2004,3 +2004,178 @@ ANALYTICS_ORACLE_SQL["chi2_event_weekday"] = """
                 * ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof
     FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted deterministic sample (probability ∝ document length)
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Length-weighted content-keyed sample: keep a document when
+    ``knuth(doc_id) mod 10000 < min(10000, n_chars // 10)`` — longer
+    documents sample proportionally more often, short ones rarely.
+    Like ``sample_documents`` (queries.py), the decision is pure
+    integer arithmetic on the row's own content, so it is reproducible
+    across engines, reruns and block layouts — the property a
+    resumable curation pipeline needs — and DuckDB-expressible."""
+    from .queries import _read, _t
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            % np.uint64(10_000)
+        w = np.minimum(
+            10_000,
+            t["n_chars"].to_numpy(zero_copy_only=False) // 10)
+        return t.filter(pa.array(h.astype(np.int64) < w))
+
+    out = _t(ds.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    if out.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "n_chars": pa.array([], pa.int64())})
+    return out.sort_by("doc_id")
+
+
+ANALYTICS_ORACLE_SQL["weighted_sample_docs"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 10000
+          < least(10000, n_chars // 10)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# window-frame aggregate: per-user moving sum over the 3 preceding rows
+
+
+def q_events_moving_sum(sf_dir: str):
+    """SQL frame semantics ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``
+    per user ordered by (ts, event_id), summing value in integer CENTS
+    so the 4-term window sums are exact whatever the accumulation
+    order: hash-partition by user, one vectorized segmented
+    cumsum-difference per partition."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"), cap=1024)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t["user_id"])))
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "moving_cents": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        uid = _i64(g["user_id"])
+        cents = pc.cast(_round(pc.multiply(
+            g["value"], 100.0), 0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new)[0]
+        run = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[run]          # row index within key
+        csum = np.cumsum(cents)
+        base = np.where(starts[run] > 0, csum[starts[run] - 1], 0)
+        seg = csum - base                          # segmented cumsum
+        lag = pos - np.minimum(pos, 3) - 1         # frame start − 1
+        lag_idx = starts[run] + np.maximum(lag, 0)
+        frame_base = np.where(lag >= 0, seg[lag_idx], 0)
+        mov = seg - frame_base
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "moving_cents": pa.array(mov)})
+
+    out = _t(hash_shuffle_apply(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, within, empty))
+    if out.num_rows == 0:
+        return empty
+    return out.sort_by("event_id")
+
+
+ANALYTICS_ORACLE_SQL["events_moving_sum"] = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS moving_cents
+    FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram from exact quantile edges
+
+
+def q_equidepth_histogram_price(sf_dir: str):
+    """Four equal-population buckets of l_extendedprice: edges are the
+    EXACT rank-based quartiles (the histogram-refinement selector),
+    then one counting pass with half-open intervals on those exact
+    edge values — both engines compare against the same doubles, so
+    bucket membership is bit-identical."""
+    from .quantiles import values_at_ranks
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice"]).materialize()
+
+    def ranks_fn(n: int) -> list[int]:
+        return [max(1, (p * n + 99) // 100) for p in (25, 50, 75)]
+
+    res, n = values_at_ranks(ds, "l_extendedprice", ranks_fn)
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+    edges = [res[max(1, (p * n + 99) // 100)] for p in (25, 50, 75)]
+
+    def count_part(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        b = np.zeros(len(v), dtype=np.int64)
+        for e in edges:
+            b += v > e
+        tb = pa.table({"bucket": pa.array(b)}) \
+            .group_by("bucket").aggregate([([], "count_all")])
+        return tb.rename_columns(["bucket", "n_rows"])
+
+    parts = _t(ds.map_batches(count_part, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    out = parts.group_by("bucket").aggregate([("n_rows", "sum")])
+    return out.rename_columns(["bucket", "n_rows"]).sort_by("bucket")
+
+
+ANALYTICS_ORACLE_SQL["equidepth_histogram_price"] = """
+    WITH r AS (SELECT l_extendedprice AS v,
+                      row_number() OVER (ORDER BY l_extendedprice)
+                        AS rn,
+                      count(*) OVER () AS n
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         e AS (SELECT max(CASE WHEN rn = greatest(1, (25 * n + 99) // 100)
+                               THEN v END) AS q1,
+                      max(CASE WHEN rn = greatest(1, (50 * n + 99) // 100)
+                               THEN v END) AS q2,
+                      max(CASE WHEN rn = greatest(1, (75 * n + 99) // 100)
+                               THEN v END) AS q3
+               FROM r)
+    SELECT (CASE WHEN v > q1 THEN 1 ELSE 0 END
+          + CASE WHEN v > q2 THEN 1 ELSE 0 END
+          + CASE WHEN v > q3 THEN 1 ELSE 0 END) AS bucket,
+           count(*) AS n_rows
+    FROM r, e GROUP BY 1 ORDER BY 1
+"""

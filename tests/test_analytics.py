@@ -567,3 +567,68 @@ def test_chi2_matches_duckdb_planted(ray_session, tmp_path):
     want = _duck(str(sf), ANALYTICS_ORACLE_SQL["chi2_event_weekday"])
     assert got.to_pylist() == want.to_pylist()
     assert got["dof"].to_pylist() == [6]
+
+
+def test_weighted_sample_matches_duckdb_planted(ray_session, tmp_path):
+    """Weighted membership is the documented integer formula — longer
+    docs sample more often; zero-length docs never."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 500
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "n_chars": pa.array([(i * 37) % 120000 for i in range(n)],
+                            pa.int64()),
+        "text": pa.array(["x"] * n)}),
+        sf / "documents.parquet")
+
+    from sjot_ray.pipelines.analytics import q_weighted_sample_docs
+
+    got = q_weighted_sample_docs(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["weighted_sample_docs"])
+    assert got.to_pylist() == want.to_pylist()
+    # the formula, replayed in plain python
+    expect = [i for i in range(1, n + 1)
+              if ((i * 2654435761) % (1 << 32)) % 10000
+              < min(10000, (((i - 1) * 37) % 120000) // 10)]
+    assert got["doc_id"].to_pylist() == expect
+    assert 0 < len(expect) < n
+
+
+def test_moving_sum_planted(ray_session, tmp_path):
+    """ROWS BETWEEN 3 PRECEDING AND CURRENT ROW: the frame truncates at
+    each key's start and slides off the 4th-oldest row."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": _ts(*[f"2024-01-01T00:00:0{i}" for i in range(1, 7)]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 9.0])}),
+        sf / "events.parquet")
+
+    from sjot_ray.pipelines.analytics import q_events_moving_sum
+
+    out = q_events_moving_sum(str(sf))
+    assert out["moving_cents"].to_pylist() == [
+        100, 300, 600, 1000, 1400, 900]
+    # row 5: 2+3+4+5 (row 1 slid out); row 6: new key
+
+
+def test_equidepth_histogram_planted(ray_session, tmp_path):
+    """Eight distinct values → exact quartile edges at ranks 2/4/6 and
+    half-open buckets of sizes 2/2/2/2."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_extendedprice": pa.array(
+            [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_equidepth_histogram_price
+
+    out = q_equidepth_histogram_price(str(sf))
+    assert out.to_pylist() == [
+        {"bucket": 0, "n_rows": 2}, {"bucket": 1, "n_rows": 2},
+        {"bucket": 2, "n_rows": 2}, {"bucket": 3, "n_rows": 2}]
