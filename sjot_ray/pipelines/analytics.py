@@ -2179,3 +2179,242 @@ ANALYTICS_ORACLE_SQL["equidepth_histogram_price"] = """
            count(*) AS n_rows
     FROM r, e GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier fence (Tukey) per return flag
+
+
+def q_outlier_fence_price(sf_dir: str):
+    """Tukey outlier census: global exact quartiles of l_extendedprice
+    (rank-based, the shared selector), fences q1 − 1.5·IQR and
+    q3 + 1.5·IQR computed with the same float expression on both
+    engines, then one counting pass per return flag. The data-cleaning
+    shape: quantile edges → vectorized fence filter → grouped count."""
+    from .quantiles import values_at_ranks
+    from .queries import _read, _t
+
+    base = _read(sf_dir, "lineitem",
+                 columns=["l_returnflag", "l_extendedprice"]) \
+        .materialize()
+
+    def ranks_fn(n: int) -> list[int]:
+        return [max(1, (p * n + 99) // 100) for p in (25, 75)]
+
+    res, n = values_at_ranks(base, "l_extendedprice", ranks_fn)
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "n_rows": pa.array([], pa.int64()),
+                      "n_outliers": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    q1 = res[max(1, (25 * n + 99) // 100)]
+    q3 = res[max(1, (75 * n + 99) // 100)]
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+
+    def count_part(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        out = ((v < lo) | (v > hi)).astype(np.int64)
+        g = pa.table({"l_returnflag": t["l_returnflag"],
+                      "one": pa.array(np.ones(len(v), np.int64)),
+                      "out": pa.array(out)}) \
+            .group_by("l_returnflag").aggregate(
+                [("one", "sum"), ("out", "sum")])
+        return g.rename_columns(["l_returnflag", "n_rows", "n_outliers"])
+
+    parts = _t(base.map_batches(count_part, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    out = parts.group_by("l_returnflag").aggregate(
+        [("n_rows", "sum"), ("n_outliers", "sum")])
+    return out.rename_columns(["l_returnflag", "n_rows",
+                               "n_outliers"]).sort_by("l_returnflag")
+
+
+ANALYTICS_ORACLE_SQL["outlier_fence_price"] = """
+    WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+                      row_number() OVER (ORDER BY l_extendedprice)
+                        AS rn,
+                      count(*) OVER () AS n
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         e AS (SELECT max(CASE WHEN rn = greatest(1, (25 * n + 99) // 100)
+                               THEN v END) AS q1,
+                      max(CASE WHEN rn = greatest(1, (75 * n + 99) // 100)
+                               THEN v END) AS q3
+               FROM r)
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CASE WHEN v < q1 - 1.5 * (q3 - q1)
+                           OR v > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM r, e GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-total reconciliation (cross-table data-quality audit)
+
+
+def q_order_total_reconciliation(sf_dir: str):
+    """Does ``o_totalprice`` equal the order's lineitem revenue? The
+    reconciliation audit every warehouse runs: per-order lineitem cents
+    partials and order-header cents co-locate via ONE keyed shuffle;
+    each partition classifies its orders (match within a 1-dollar
+    tolerance / mismatch / no lineitems) in integer cents, and the
+    three counts merge on the driver."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"], split=False)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               split=False)
+    total = _parquet_rows(sf_dir, "orders") \
+        + _parquet_rows(sf_dir, "lineitem")
+    B = coarse_buckets(total, rows_per_part=500_000)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_round(pc.multiply(
+            t["o_totalprice"], 100.0), 0), pa.int64())
+        return pa.table({
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
+            "cents": cents,
+            "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(_round(pc.multiply(rev, 100.0), 0), pa.int64())
+        g = pa.table({"key": pc.cast(t["l_orderkey"], pa.int64()),
+                      "cents": cents}) \
+            .group_by("key").aggregate([("cents", "sum")])
+        g = g.rename_columns(["key", "cents"])
+        return g.append_column(
+            "side", pa.array(np.ones(g.num_rows, np.int8)))
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(li.map_batches(line_rows, batch_format="pyarrow"))
+
+    empty = pa.table({"status": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0)).select(["key", "cents"])
+        if left.num_rows == 0:
+            return empty
+        right = g.filter(pa.array(side == 1)).select(["key", "cents"])
+        agg = right.group_by("key").aggregate([("cents", "sum")])
+        j = left.join(agg, keys="key", join_type="left outer")
+        head = j["cents"].to_numpy(zero_copy_only=False)
+        lsum = pc.fill_null(j["cents_sum"], -1) \
+            .to_numpy(zero_copy_only=False)
+        status = np.where(
+            lsum < 0, "no_lines",
+            np.where(np.abs(head - lsum) <= 100, "match", "mismatch"))
+        out = pa.table({"status": pa.array(status.tolist(),
+                                           pa.string())}) \
+            .group_by("status").aggregate([([], "count_all")])
+        return out.rename_columns(["status", "n_orders"])
+
+    parts = _t(hash_shuffle_apply(tagged, "key", B, within, empty))
+    if parts.num_rows == 0:
+        return empty
+    out = parts.group_by("status").aggregate([("n_orders", "sum")])
+    return out.rename_columns(["status", "n_orders"]).sort_by("status")
+
+
+ANALYTICS_ORACLE_SQL["order_total_reconciliation"] = """
+    WITH l AS (SELECT l_orderkey,
+                      sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)) AS lsum
+               FROM lineitem GROUP BY l_orderkey),
+         c AS (SELECT CASE
+                 WHEN l.lsum IS NULL THEN 'no_lines'
+                 WHEN abs(CAST(round(o_totalprice * 100) AS BIGINT)
+                          - l.lsum) <= 100 THEN 'match'
+                 ELSE 'mismatch' END AS status
+               FROM orders LEFT JOIN l ON o_orderkey = l.l_orderkey)
+    SELECT status, count(*) AS n_orders
+    FROM c GROUP BY status ORDER BY status
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON field extraction + aggregate over the props column
+
+
+def q_props_k_stats(sf_dir: str):
+    """Extract the integer ``k`` field from the JSON ``props`` column
+    and aggregate per event type — the schema-on-read extraction op.
+    The Ray side parses with ONE vectorized RE2 kernel
+    (`extract_regex`); the oracle parses with DuckDB's real JSON
+    reader, so the regex extraction is certified against an actual
+    JSON parser on every gate run."""
+    from .queries import _read, _t
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, 0), pa.int64())
+        tb = pa.table({"event_type": t["event_type"], "k": k})
+        tb = tb.filter(pc.is_valid(k))
+        g = tb.group_by("event_type").aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "sum_k", "max_k"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    out = parts.group_by("event_type").aggregate(
+        [("n", "sum"), ("sum_k", "sum"), ("max_k", "max")])
+    return out.rename_columns(["event_type", "n", "sum_k", "max_k"]) \
+        .sort_by("event_type")
+
+
+ANALYTICS_ORACLE_SQL["props_k_stats"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic pagination: page 2 of documents by length
+
+
+PAGE_SIZE = 10
+
+
+def q_docs_page2(sf_dir: str):
+    """Rows 11–20 of documents ordered by (n_chars DESC, doc_id ASC) —
+    deterministic OFFSET pagination: every batch keeps its local
+    top-(offset+limit) candidates (a superset of the global page), the
+    driver sorts the ≤ batches·20 survivors once."""
+    from .queries import _read, _t
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang",
+                                             "n_chars"])
+    k = 2 * PAGE_SIZE
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=k, sort_keys=[("n_chars", "descending"),
+                               ("doc_id", "ascending")])
+        return t.take(idx)
+
+    cand = _t(ds.map_batches(topk, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    cand = cand.sort_by([("n_chars", "descending"),
+                         ("doc_id", "ascending")])
+    return cand.slice(PAGE_SIZE, PAGE_SIZE)
+
+
+ANALYTICS_ORACLE_SQL["docs_page2"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 10 OFFSET 10
+"""

@@ -632,3 +632,95 @@ def test_equidepth_histogram_planted(ray_session, tmp_path):
     assert out.to_pylist() == [
         {"bucket": 0, "n_rows": 2}, {"bucket": 1, "n_rows": 2},
         {"bucket": 2, "n_rows": 2}, {"bucket": 3, "n_rows": 2}]
+
+
+def test_outlier_fence_planted(ray_session, tmp_path):
+    """Nine tight values + one far point: exact quartiles at ranks
+    3/8, only the planted extreme crosses the Tukey fence."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0,
+            1000.0]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * 9 + ["B"]),
+        "l_extendedprice": pa.array(vals)}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_outlier_fence_price
+
+    out = q_outlier_fence_price(str(sf))
+    got = {r["l_returnflag"]: (r["n_rows"], r["n_outliers"])
+           for r in out.to_pylist()}
+    # q1 = rank ceil(25*10/100)=3 → 12; q3 = rank 8 → 17; IQR 5
+    # fences [4.5, 24.5] → only 1000.0 (flag B) is outside
+    assert got == {"A": (9, 0), "B": (1, 1)}
+
+
+def test_reconciliation_planted(ray_session, tmp_path):
+    """Exact-match, within-tolerance, mismatch and childless orders
+    classify correctly in integer cents."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([100.00, 200.50, 300.00, 50.0])}),
+        sf / "orders.parquet")
+    # order 1: lines sum exactly 100.00 → match
+    # order 2: lines sum 200.00 (off by 0.50 ≤ 1.00) → match
+    # order 3: lines sum 100.00 (off by 200) → mismatch
+    # order 4: no lines → no_lines
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([60.0, 40.0, 200.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import (
+        q_order_total_reconciliation)
+
+    out = q_order_total_reconciliation(str(sf))
+    got = {r["status"]: r["n_orders"] for r in out.to_pylist()}
+    assert got == {"match": 2, "mismatch": 1, "no_lines": 1}
+
+
+def test_props_extraction_planted(ray_session, tmp_path):
+    """Regex extraction handles negatives, whitespace and malformed
+    JSON rows (dropped) — certified against DuckDB's JSON parser."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "b", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k":  -7}', '{"k": 100}',
+                           '{"other": 1}'])}),
+        sf / "events.parquet")
+
+    from sjot_ray.pipelines.analytics import q_props_k_stats
+
+    got = q_props_k_stats(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["props_k_stats"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.to_pylist() == [
+        {"event_type": "a", "n": 2, "sum_k": -2, "max_k": 5},
+        {"event_type": "b", "n": 1, "sum_k": 100, "max_k": 100}]
+
+
+def test_docs_page2_planted(ray_session, tmp_path):
+    """OFFSET pagination returns exactly rows 11-20 of the global
+    order with deterministic doc_id ties."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    n = 40
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "n_chars": pa.array([(i % 4) * 100 for i in range(n)],
+                            pa.int64()),
+        "text": pa.array(["x"] * n)}),
+        sf / "documents.parquet")
+
+    from sjot_ray.pipelines.analytics import q_docs_page2
+
+    got = q_docs_page2(str(sf))
+    want = _duck(str(sf), ANALYTICS_ORACLE_SQL["docs_page2"])
+    assert got.to_pylist() == want.to_pylist()
+    assert got.num_rows == 10
