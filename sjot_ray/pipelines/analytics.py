@@ -2418,3 +2418,150 @@ ANALYTICS_ORACLE_SQL["docs_page2"] = """
     ORDER BY n_chars DESC, doc_id
     LIMIT 10 OFFSET 10
 """
+
+
+# ---------------------------------------------------------------------------
+# top terms by document frequency
+
+
+def q_top_terms_df(sf_dir: str, k: int = 20):
+    """Top-k vocabulary terms by DOCUMENT frequency (distinct docs
+    containing the term — the IDF numerator): per-batch distinct
+    (doc, term) pairs collapse to per-term partial counts (docs never
+    span batches, so batch-distinct is globally correct), a term-keyed
+    shuffle sums them, each partition emits its local top-k, and the
+    driver merges B×k candidates. Ties (df DESC, term ASC)."""
+    from ..state.sketches import hash64
+    from .queries import _parquet_rows, _read, _t
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "documents") * 30)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat = toks.flatten()
+        doc_of = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), lengths)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        d = pa.table({"term": flat.filter(pa.array(nonempty)),
+                      "doc": pa.array(doc_of[nonempty])}) \
+            .group_by(["term", "doc"]).aggregate([])
+        g = d.group_by("term").aggregate([([], "count_all")])
+        g = g.rename_columns(["term", "df"])
+        return g.append_column(
+            "hkey", pa.array(hash64(g["term"]).astype(np.int64)))
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        agg = g.group_by("term").aggregate([("df", "sum")])
+        agg = agg.rename_columns(["term", "df"])
+        idx = pc.sort_indices(agg, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return agg.take(idx.slice(0, k))
+
+    t = _t(hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "hkey", B, topk_part,
+        empty))
+    if t.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                        ("term", "ascending")])
+    return t.take(idx.slice(0, k))
+
+
+ANALYTICS_ORACLE_SQL["top_terms_df"] = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents),
+         d AS (SELECT tok, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY tok)
+    SELECT tok AS term, df FROM d ORDER BY df DESC, tok LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer lifetime-value buckets (equi-width over aggregated spend)
+
+
+def q_customer_value_buckets(sf_dir: str):
+    """Customers bucketed into ten equal-WIDTH spend bands: per-customer
+    order totals in integer cents (one keyed shuffle over per-batch
+    partials, materialized — the aggregate, never the input), the max
+    broadcast as a scalar, bucket = total·10 ÷ (max+1) in integer
+    arithmetic, then a tiny per-bucket rollup. The aggregate-then-
+    re-bucket shape (CLV banding, spend segmentation)."""
+    from ray.data.aggregate import Max
+
+    from .queries import _parquet_rows, _read, _round, _t
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "orders"),
+                       rows_per_part=500_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_round(pc.multiply(
+            t["o_totalprice"], 100.0), 0), pa.int64())
+        g = pa.table({"ck": pc.cast(t["o_custkey"], pa.int64()),
+                      "cents": cents}) \
+            .group_by("ck").aggregate([("cents", "sum")])
+        return g.rename_columns(["ck", "cents"])
+
+    empty = pa.table({"ck": pa.array([], pa.int64()),
+                      "total": pa.array([], pa.int64())})
+
+    def within(g: pa.Table) -> pa.Table:
+        out = g.group_by("ck").aggregate([("cents", "sum")])
+        return out.rename_columns(["ck", "total"])
+
+    vals = hash_shuffle_apply(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "ck", B, within, empty).materialize()
+    out_empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n_customers": pa.array([], pa.int64()),
+                          "sum_cents": pa.array([], pa.int64())})
+    agg = vals.aggregate(Max("total"))
+    mx = agg.get("max(total)")
+    if mx is None:
+        return out_empty
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        total = t["total"].to_numpy(zero_copy_only=False)
+        b = (total * 10) // (int(mx) + 1)
+        g = pa.table({"bucket": pa.array(b.astype(np.int64)),
+                      "one": pa.array(np.ones(len(b), np.int64)),
+                      "total": t["total"]}) \
+            .group_by("bucket").aggregate([("one", "sum"),
+                                           ("total", "sum")])
+        return g.rename_columns(["bucket", "n_customers", "sum_cents"])
+
+    parts = _t(vals.map_batches(bucketize, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    if parts.num_rows == 0:
+        return out_empty
+    out = parts.group_by("bucket").aggregate(
+        [("n_customers", "sum"), ("sum_cents", "sum")])
+    return out.rename_columns(["bucket", "n_customers", "sum_cents"]) \
+        .sort_by("bucket")
+
+
+ANALYTICS_ORACLE_SQL["customer_value_buckets"] = """
+    WITH v AS (SELECT o_custkey,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS total
+               FROM orders GROUP BY o_custkey),
+         m AS (SELECT max(total) AS mx FROM v)
+    SELECT CAST((total * 10) // (mx + 1) AS BIGINT) AS bucket,
+           count(*) AS n_customers,
+           CAST(sum(total) AS BIGINT) AS sum_cents
+    FROM v, m GROUP BY 1 ORDER BY 1
+"""

@@ -724,3 +724,43 @@ def test_docs_page2_planted(ray_session, tmp_path):
     want = _duck(str(sf), ANALYTICS_ORACLE_SQL["docs_page2"])
     assert got.to_pylist() == want.to_pylist()
     assert got.num_rows == 10
+
+
+def test_top_terms_df_planted(ray_session, tmp_path):
+    """Document frequency counts distinct DOCS, not occurrences:
+    a term repeated in one doc scores 1; ties order by term."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["apple apple apple zoo",
+                          "apple berry zoo",
+                          "berry cherry"])}),
+        sf / "documents.parquet")
+
+    from sjot_ray.pipelines.analytics import q_top_terms_df
+
+    out = q_top_terms_df(str(sf))
+    got = list(zip(out["term"].to_pylist(), out["df"].to_pylist()))
+    assert got == [("apple", 2), ("berry", 2), ("zoo", 2),
+                   ("cherry", 1)]
+
+
+def test_customer_value_buckets_planted(ray_session, tmp_path):
+    """Equi-width integer banding: max spender lands in bucket 9,
+    spend aggregates per customer before banding."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([60.0, 40.0, 100.0, 9.0])}),
+        sf / "orders.parquet")
+
+    from sjot_ray.pipelines.analytics import q_customer_value_buckets
+
+    out = q_customer_value_buckets(str(sf))
+    # totals: c1 10000, c2 10000, c3 900 cents; max 10000
+    # buckets: 10000*10//10001 = 9 (both), 900*10//10001 = 0
+    assert out.to_pylist() == [
+        {"bucket": 0, "n_customers": 1, "sum_cents": 900},
+        {"bucket": 9, "n_customers": 2, "sum_cents": 20000}]
