@@ -2565,3 +2565,187 @@ ANALYTICS_ORACLE_SQL["customer_value_buckets"] = """
            CAST(sum(total) AS BIGINT) AS sum_cents
     FROM v, m GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed PageRank (3 unrolled iterations, co-purchase graph)
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pr_edges_ds(sf_dir: str):
+    """Directed co-purchase edges (both directions, globally distinct):
+    per-order pair generation colocated by order key, then a pair-hash
+    shuffle dedups. Every node has out-edges by construction (pairs are
+    symmetric), so there is no dangling mass to redistribute."""
+    from .queries import _parquet_rows, _read
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"),
+                       rows_per_part=400_000)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "ok": pc.cast(t["l_orderkey"], pa.int64()),
+            "pk": pc.cast(t["l_partkey"], pa.int64())})
+        return t.append_column("hkey", _hkey(_i64(t["ok"])))
+
+    mid_empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "hkey": pa.array([], pa.int64())})
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        d = g.group_by(["ok", "pk"]).aggregate([])
+        d = d.sort_by([("ok", "ascending"), ("pk", "ascending")])
+        ok = d["ok"].to_numpy(zero_copy_only=False)
+        pk = d["pk"].to_numpy(zero_copy_only=False)
+        li_, ri_ = _pair_indices(ok)
+        if len(li_) == 0:
+            return mid_empty
+        src = np.concatenate([pk[li_], pk[ri_]])
+        dst = np.concatenate([pk[ri_], pk[li_]])
+        c = pa.table({"src": pa.array(src), "dst": pa.array(dst)}) \
+            .group_by(["src", "dst"]).aggregate([])
+        mixed = rehash(
+            (c["src"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) << np.uint64(21))
+            ^ c["dst"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64), 31).astype(np.int64)
+        return c.append_column("hkey", pa.array(mixed))
+
+    stage1 = hash_shuffle_apply(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, pairs_part, mid_empty)
+
+    edge_empty = pa.table({"src": pa.array([], pa.int64()),
+                           "dst": pa.array([], pa.int64())})
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        return g.group_by(["src", "dst"]).aggregate([])
+
+    return hash_shuffle_apply(stage1, "hkey", B, dedup_part,
+                              edge_empty).materialize(), B
+
+
+def q_pagerank_copurchase(sf_dir: str):
+    """PageRank over the co-purchase graph, three synchronous
+    iterations, damping 0.85 — the iterative-algorithm pattern: each
+    iteration is two keyed exchanges (scores join edges by SRC →
+    per-partition pre-summed contributions → summed by DST → blended
+    with the teleport term). Scores are reported for EVERY node scaled
+    by n (≈1.0), never top-k-selected — a float-score selection could
+    flip on last-ulp summation differences, scaled reporting cannot.
+    The oracle unrolls the same three iterations in SQL."""
+    from .queries import _round, _t
+
+    edges, B = _pr_edges_ds(sf_dir)
+
+    # nodes + out-degree (every node has out-edges by symmetry)
+    deg_empty = pa.table({"node": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+
+    def add_src_key(t: pa.Table) -> pa.Table:
+        return t.append_column("hkey", _hkey(_i64(t["src"])))
+
+    def deg_part(g: pa.Table) -> pa.Table:
+        out = g.group_by("src").aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    nodes = _t(hash_shuffle_apply(
+        edges.map_batches(add_src_key, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "hkey", B, deg_part, deg_empty))
+    n = nodes.num_rows
+    if n == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "score_scaled": pa.array([], pa.float64())})
+    # scores live as a driver-held (node, deg, score) table ONLY in
+    # the sense of column refs shipped via ray.put — node cardinality
+    # is the part dimension, the aggregate, never the input
+    score = np.full(n, 1.0 / n)
+    node_arr = pc.cast(nodes["node"], pa.int64()).combine_chunks()
+    deg_arr = nodes["deg"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+
+    contrib_empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "m": pa.array([], pa.float64())})
+
+    for _ in range(PR_ITERS):
+        lookup_ref = ray.put((node_arr, score / deg_arr))
+
+        def spread(t: pa.Table) -> pa.Table:
+            nd, w = ray.get(lookup_ref)
+            pos = pc.index_in(t["src"], value_set=nd)
+            contrib = w[pos.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)]
+            g = pa.table({"dst": t["dst"],
+                          "m": pa.array(contrib)}) \
+                .group_by("dst").aggregate([("m", "sum")])
+            g = g.rename_columns(["dst", "m"])
+            return g.append_column("hkey", _hkey(_i64(g["dst"])))
+
+        def gather(g: pa.Table) -> pa.Table:
+            out = g.group_by("dst").aggregate([("m", "sum")])
+            return out.rename_columns(["dst", "m"])
+
+        summed = _t(hash_shuffle_apply(
+            edges.map_batches(spread, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "hkey", B, gather, contrib_empty))
+        pos = pc.index_in(summed["dst"], value_set=node_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.zeros(n)
+        m[pos] = summed["m"].to_numpy(zero_copy_only=False)
+        score = 0.15 / n + PR_DAMP * m
+
+    out = pa.table({"p_partkey": node_arr,
+                    "score_scaled": _round(
+                        pa.array(score * n, pa.float64()), 6)})
+    return out.sort_by("p_partkey")
+
+
+ANALYTICS_ORACLE_SQL["pagerank_copurchase"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+               FROM lp a JOIN lp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey
+               GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                 FROM e GROUP BY src),
+         p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score
+                FROM nodes),
+         c1 AS (SELECT e.dst AS node, sum(p0.score / deg.d) AS m
+                FROM e JOIN p0 ON e.src = p0.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         p1 AS (SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * coalesce(c1.m, 0) AS score
+                FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+         c2 AS (SELECT e.dst AS node, sum(p1.score / deg.d) AS m
+                FROM e JOIN p1 ON e.src = p1.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         p2 AS (SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * coalesce(c2.m, 0) AS score
+                FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+         c3 AS (SELECT e.dst AS node, sum(p2.score / deg.d) AS m
+                FROM e JOIN p2 ON e.src = p2.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         p3 AS (SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * coalesce(c3.m, 0) AS score
+                FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+    SELECT node AS p_partkey,
+           round(score * (SELECT n FROM nn), 6) AS score_scaled
+    FROM p3 ORDER BY node
+"""

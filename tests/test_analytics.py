@@ -764,3 +764,33 @@ def test_customer_value_buckets_planted(ray_session, tmp_path):
     assert out.to_pylist() == [
         {"bucket": 0, "n_customers": 1, "sum_cents": 900},
         {"bucket": 9, "n_customers": 2, "sum_cents": 20000}]
+
+
+def test_pagerank_planted(ray_session, tmp_path):
+    """Path graph 1–2–3 from two baskets: three iterations replayed
+    with plain scalar arithmetic; the center node dominates and the
+    leaves tie exactly."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2, 3], pa.int64())}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import q_pagerank_copurchase
+
+    out = q_pagerank_copurchase(str(sf))
+    got = dict(zip(out["p_partkey"].to_pylist(),
+                   out["score_scaled"].to_pylist()))
+
+    # scalar replay: nodes 1,2,3; edges 1↔2, 2↔3; deg = {1:1, 2:2, 3:1}
+    score = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    deg = {1: 1.0, 2: 2.0, 3: 1.0}
+    for _ in range(3):
+        m = {1: score[2] / deg[2],
+             2: score[1] / deg[1] + score[3] / deg[3],
+             3: score[2] / deg[2]}
+        score = {k: 0.15 / 3 + 0.85 * m[k] for k in score}
+    want = {k: round(v * 3, 6) for k, v in score.items()}
+    assert got == want
+    assert got[1] == got[3] and got[2] > got[1]
