@@ -111,16 +111,28 @@ def q_skew_kurt_price_by_flag(sf_dir: str):
     s4 = tot["s4_sum"].to_numpy(zero_copy_only=False)
     m1 = s1 / n
     m2 = s2 / n - m1 * m1
-    m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1 ** 3
-    m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1 * m1 * s2 / n - 3 * m1 ** 4
-    g1 = m3 / m2 ** 1.5
-    skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
-    g2 = m4 / (m2 * m2) - 3.0
-    kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    # degenerate-group semantics mirror DuckDB (probed): skewness is
+    # NULL below 3 rows or at zero variance, kurtosis below 4 rows
+    ok_s = (n >= 3) & (m2 > 0)
+    ok_k = (n >= 4) & (m2 > 0)
+    m2s = np.where(m2 > 0, m2, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1 ** 3
+        m4 = s4 / n - 4 * m1 * s3 / n + 6 * m1 * m1 * s2 / n \
+            - 3 * m1 ** 4
+        g1 = m3 / m2s ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / np.where(n > 2, n - 2, 1)
+        g2 = m4 / (m2s * m2s) - 3.0
+        kurt = ((n + 1) * g2 + 6.0) * (n - 1) \
+            / np.where(n > 3, (n - 2) * (n - 3), 1)
     out = pa.table({
         "l_returnflag": tot["l_returnflag"],
-        "skew": _round(pa.array(skew, pa.float64()), 6),
-        "kurt": _round(pa.array(kurt, pa.float64()), 6),
+        "skew": _round(pa.array(
+            [float(v) if k else None
+             for v, k in zip(skew, ok_s)], pa.float64()), 6),
+        "kurt": _round(pa.array(
+            [float(v) if k else None
+             for v, k in zip(kurt, ok_k)], pa.float64()), 6),
     })
     return out.sort_by("l_returnflag")
 
@@ -177,14 +189,26 @@ def q_regr_price_on_qty_by_flag(sf_dir: str):
     cov = sxy / n - mx * my
     vx = sxx / n - mx * mx
     vy = syy / n - my * my
-    slope = cov / vx
+    # degenerate semantics mirror DuckDB (probed): zero x-variance →
+    # all NULL; constant y over varying x → slope 0, r2 = 1.0
+    ok = vx > 0
+    vxs = np.where(ok, vx, 1.0)
+    slope = cov / vxs
     intercept = (my + shift) - slope * mx
-    r2 = (cov * cov) / (vx * vy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = np.where(vy > 0, (cov * cov) / (vxs * np.where(
+            vy > 0, vy, 1.0)), 1.0)
     out = pa.table({
         "l_returnflag": tot["l_returnflag"],
-        "slope": _round(pa.array(slope, pa.float64()), 6),
-        "intercept": _round(pa.array(intercept, pa.float64()), 6),
-        "r2": _round(pa.array(r2, pa.float64()), 6),
+        "slope": _round(pa.array(
+            [float(v) if k else None for v, k in zip(slope, ok)],
+            pa.float64()), 6),
+        "intercept": _round(pa.array(
+            [float(v) if k else None for v, k in zip(intercept, ok)],
+            pa.float64()), 6),
+        "r2": _round(pa.array(
+            [float(v) if k else None for v, k in zip(r2, ok)],
+            pa.float64()), 6),
     })
     return out.sort_by("l_returnflag")
 

@@ -794,3 +794,44 @@ def test_pagerank_planted(ray_session, tmp_path):
     want = {k: round(v * 3, 6) for k, v in score.items()}
     assert got == want
     assert got[1] == got[3] and got[2] > got[1]
+
+
+def test_stats_degenerate_groups_match_duckdb(ray_session, tmp_path):
+    """Degenerate groups (n=1/2/3, zero variance, constant regressand)
+    produce the SAME nulls/values DuckDB does."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    flags, qty, price = [], [], []
+
+    def add(f, rows):
+        for q, p in rows:
+            flags.append(f)
+            qty.append(q)
+            price.append(p)
+
+    add("n1", [(3.0, 10.0)])
+    add("n2", [(1.0, 10.0), (2.0, 20.0)])
+    add("n3", [(1.0, 10.0), (2.0, 20.0), (3.0, 40.0)])
+    add("cp", [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0), (4.0, 7.0),
+               (5.0, 7.0)])                      # constant price
+    add("cq", [(4.0, 1.0), (4.0, 2.0), (4.0, 5.0), (4.0, 9.0)])
+    add("ok", [(1.0, 5.0), (2.0, 9.0), (3.0, 14.0), (4.0, 30.0),
+               (5.0, 31.0)])
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price)}),
+        sf / "lineitem.parquet")
+
+    from sjot_ray.pipelines.analytics import (
+        q_regr_price_on_qty_by_flag, q_skew_kurt_price_by_flag)
+
+    got = q_skew_kurt_price_by_flag(str(sf))
+    want = _duck(str(sf),
+                 ANALYTICS_ORACLE_SQL["skew_kurt_price_by_flag"])
+    assert got.to_pylist() == want.to_pylist()
+
+    got = q_regr_price_on_qty_by_flag(str(sf))
+    want = _duck(str(sf),
+                 ANALYTICS_ORACLE_SQL["regr_price_on_qty_by_flag"])
+    assert got.to_pylist() == want.to_pylist()
