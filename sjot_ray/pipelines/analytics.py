@@ -602,6 +602,9 @@ def q_q17_small_quantity(sf_dir: str):
 
     parts = _t(li.map_batches(qty_partial, batch_format="pyarrow",
                               zero_copy_batch=True))
+    if parts.num_rows == 0:
+        # no lineitem touches the brand's parts: SQL sum() → NULL row
+        return pa.table({"avg_yearly": pa.array([None], pa.float64())})
     tot = parts.group_by("pk").aggregate([("n", "sum"), ("s", "sum")])
     n = tot["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
     s = tot["s_sum"].to_numpy(zero_copy_only=False)
@@ -625,6 +628,10 @@ def q_q17_small_quantity(sf_dir: str):
 
     rp = _t(li.map_batches(rev_partial, batch_format="pyarrow",
                            zero_copy_batch=True))
+    n_hit = int(pc.sum(rp["n"]).as_py() or 0)
+    if n_hit == 0:
+        # SQL sum() over zero rows is NULL, not 0
+        return pa.table({"avg_yearly": pa.array([None], pa.float64())})
     total = float(pc.sum(rp["s"]).as_py() or 0.0)
     out = pa.table({"avg_yearly": _round(
         pa.array([total / 7.0], pa.float64()), 2)})
@@ -1162,7 +1169,9 @@ def q_copurchase_pairs(sf_dir: str):
 
     t = _t(copurchase_pairs_ds(sf_dir))
     if t.num_rows == 0:
-        return t
+        return pa.table({"part_a": pa.array([], pa.int64()),
+                         "part_b": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
     return t.sort_by([("part_a", "ascending"), ("part_b", "ascending")])
 
 
@@ -1678,8 +1687,12 @@ def q_q19_disjunctive_revenue(sf_dir: str):
 
     parts = _t(li.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True))
-    total = float(pc.sum(parts["s"]).as_py() or 0.0)
     n = int(pc.sum(parts["n"]).as_py() or 0)
+    if n == 0:
+        # SQL sum() over zero rows is NULL while count(*) is 0
+        return pa.table({"revenue": pa.array([None], pa.float64()),
+                         "n_lines": pa.array([0], pa.int64())})
+    total = float(pc.sum(parts["s"]).as_py() or 0.0)
     return pa.table({
         "revenue": _round(pa.array([total], pa.float64()), 2),
         "n_lines": pa.array([n], pa.int64())})
@@ -2432,6 +2445,10 @@ def q_docs_page2(sf_dir: str):
 
     cand = _t(ds.map_batches(topk, batch_format="pyarrow",
                              zero_copy_batch=True))
+    if cand.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "n_chars": pa.array([], pa.int64())})
     cand = cand.sort_by([("n_chars", "descending"),
                          ("doc_id", "ascending")])
     return cand.slice(PAGE_SIZE, PAGE_SIZE)
