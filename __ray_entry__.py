@@ -170,6 +170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             d[name] = getattr(AN, f"q_{name}")
     except ImportError:
         pass
+    try:
+        from sjot_ray.pipelines import mining as MN
+
+        for name in MN.MINING_ORACLE_SQL:
+            d[name] = getattr(MN, f"q_{name}")
+    except ImportError:
+        pass
     return d
 
 
@@ -227,6 +234,9 @@ def oracle_sql() -> dict[str, str]:
     from sjot_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL
 
     d.update(ANALYTICS_ORACLE_SQL)
+    from sjot_ray.pipelines.mining import MINING_ORACLE_SQL
+
+    d.update(MINING_ORACLE_SQL)
     # full-probe IVF must reproduce the exact brute-force ranking, so it
     # shares the ann_cosine_topk oracle (full-probe ≡ exact, tests/test_ivf.py)
     d["ann_ivf_fullprobe"] = d["ann_cosine_topk"]

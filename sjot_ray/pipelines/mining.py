@@ -1,0 +1,783 @@
+"""Pattern-mining and storage-layout operators: market-basket
+association rules (confidence / lift over the supported co-purchase
+skeleton), audience-overlap Jaccard between event-type user sets, a
+2-D Pareto-frontier skyline, a Benford first-digit census, mutual
+information of the event-type × weekday grid, BM25 relevance scoring
+against a fixed query, PMI-scored bigram collocations, and a
+hive-partitioned parquet sink whose read path prunes by partition
+directory.
+
+Scale rules (same contract as pipelines/analytics.py):
+
+* per-batch PARTIAL aggregation before any keyed exchange; the only
+  shuffles are the bounded ``hash_shuffle_apply`` partitions;
+* every float the oracle hashes is REPORTED (rounded to 6), never a
+  selection predicate — selections run on integer-exact counts
+  (support ≥ k, tf ≥ 1, month equality);
+* reported floats mirror the DuckDB oracle's expression tree
+  operation-for-operation so both engines perform the identical IEEE
+  double sequence (division and multiplication are deterministic;
+  the only residual is ``ln``'s last ulp and float-sum order, which
+  cannot move a 6-dp rounding off a measure-zero boundary);
+* broadcast sides are dimension-bounded and documented: the per-part
+  basket counts (|part| rows), the per-type-combo user census
+  (≤ 2^|event_type| rows), the query-term DF vector (|query| rows),
+  the unigram vocabulary (|vocab| rows — same contract as
+  ``distinctive_terms``'s DF broadcast).
+
+Partitioning assumptions:
+
+* ``association_rules``: the supported (≥ ``COP_MIN_ORDERS``) pair
+  skeleton is driver-trivial by construction (support-1 collision
+  mass dies in the reduce tasks — measured in the co-purchase census);
+  per-part counts are dimension-sized.
+* ``audience_overlap``: one user's distinct event types fit one reduce
+  row set (|event_type| is a bounded dimension); the per-partition
+  output is a ≤ 2^T-row combo census, never per-user rows.
+* ``skyline_parts``: skyline(union) = skyline(union of per-block
+  skylines) — dominance is transitive and a block's dominated rows
+  are dominated in the union too, so local pruning loses nothing;
+  the merged candidate set is O(expected skyline), tiny for
+  non-degenerate 2-D data.
+* ``monthly_revenue_partitioned``: the sink writes one hive directory
+  per month with no shuffle (each write task appends its block's rows
+  to the partition files it touches); the read opens ONLY the probed
+  month's directory — the pruning is structural, not a filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..state.sketches import hash64
+from .shuffle import coarse_buckets, hash_shuffle_apply
+from .temporal import _hkey, _i64
+
+MINING_ORACLE_SQL: dict[str, str] = {}
+
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules over the co-purchase skeleton
+
+
+def q_association_rules(sf_dir: str):
+    """Association rules a→b / b→a for every supported co-purchase pair:
+    confidence = support(ab)/count(a), lift = support(ab)·N/(count(a)·
+    count(b)) with N = distinct orders. The pair supports reuse the
+    distributed co-purchase census (order-keyed pair generation →
+    pair-keyed support count, support-1 mass dies in reduce tasks); the
+    per-part basket counts and the order total come from ONE extra
+    order-keyed exchange whose reduce emits per-part partial counts plus
+    a single distinct-order marker row — dimension-sized driver state,
+    never per-order rows."""
+    from .analytics import copurchase_pairs_ds
+    from .queries import _parquet_rows, _read, _round, _t
+
+    pairs = _t(copurchase_pairs_ds(sf_dir))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "ok": pc.cast(t["l_orderkey"], pa.int64()),
+            "pk": pc.cast(t["l_partkey"], pa.int64())}) \
+            .group_by(["ok", "pk"]).aggregate([])
+        return d.append_column("hkey", _hkey(_i64(d["ok"])))
+
+    counts_empty = pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+
+    def count_part(g: pa.Table) -> pa.Table:
+        d = g.group_by(["ok", "pk"]).aggregate([])
+        per_pk = d.group_by("pk").aggregate([([], "count_all")])
+        per_pk = per_pk.rename_columns(["pk", "c"])
+        n_orders = len(d.group_by("ok").aggregate([]))
+        marker = pa.table({"pk": pa.array([-1], pa.int64()),
+                           "c": pa.array([n_orders], pa.int64())})
+        return pa.concat_tables([per_pk, marker])
+
+    folded = _t(hash_shuffle_apply(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, count_part, counts_empty))
+    tot = folded.group_by("pk").aggregate([("c", "sum")])
+    pk = tot["pk"].to_numpy(zero_copy_only=False)
+    c = tot["c_sum"].to_numpy(zero_copy_only=False)
+    n_total = int(c[pk == -1].sum())
+    part_count = dict(zip(pk[pk >= 0].tolist(), c[pk >= 0].tolist()))
+
+    cols = {"part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "conf_ab": pa.array([], pa.float64()),
+            "conf_ba": pa.array([], pa.float64()),
+            "lift": pa.array([], pa.float64())}
+    if pairs.num_rows == 0:
+        return pa.table(cols)
+    a = pairs["part_a"].to_numpy(zero_copy_only=False)
+    b = pairs["part_b"].to_numpy(zero_copy_only=False)
+    s = pairs["n_orders"].to_numpy(zero_copy_only=False)
+    na = np.array([part_count[x] for x in a.tolist()], np.int64)
+    nb = np.array([part_count[x] for x in b.tolist()], np.int64)
+    # mirrors the oracle expression tree: s*1.0/c and (s*1.0*N)/(na*nb)
+    conf_ab = s * 1.0 / na
+    conf_ba = s * 1.0 / nb
+    lift = (s * 1.0 * n_total) / (na * nb)
+    out = pa.table({
+        "part_a": pairs["part_a"], "part_b": pairs["part_b"],
+        "n_orders": pairs["n_orders"],
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "conf_ab": _round(pa.array(conf_ab), 6),
+        "conf_ba": _round(pa.array(conf_ba), 6),
+        "lift": _round(pa.array(lift), 6)})
+    return out.sort_by([("part_a", "ascending"), ("part_b", "ascending")])
+
+
+MINING_ORACLE_SQL["association_rules"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+         pcnt AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+         pr AS (SELECT a.l_partkey AS pa_, b.l_partkey AS pb_,
+                       count(*) AS s
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT pa_ AS part_a, pb_ AS part_b, s AS n_orders,
+           ca.c AS n_a, cb.c AS n_b,
+           round(s * 1.0 / ca.c, 6) AS conf_ab,
+           round(s * 1.0 / cb.c, 6) AS conf_ba,
+           round((s * 1.0 * nn.n) / (ca.c * cb.c), 6) AS lift
+    FROM pr JOIN pcnt ca ON ca.l_partkey = pa_
+            JOIN pcnt cb ON cb.l_partkey = pb_
+            CROSS JOIN nn
+    ORDER BY part_a, part_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: pairwise Jaccard between event-type user sets
+
+
+def q_audience_overlap(sf_dir: str):
+    """Jaccard similarity between every pair of event types' distinct
+    user audiences. Per batch: distinct (user, type) partials; a
+    user-keyed exchange then collapses each user to ONE sorted
+    type-combo string and emits the ≤ 2^T-row (combo, n_users) census
+    per partition — per-user rows never reach the driver. The driver
+    folds the census and evaluates all pairs by combo membership
+    (intersection = Σ n over combos containing both, union by
+    inclusion-exclusion)."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"],
+               split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "events"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"u": pc.cast(t["user_id"], pa.int64()),
+                      "t": t["event_type"]}) \
+            .group_by(["u", "t"]).aggregate([])
+        return d.append_column("hkey", _hkey(_i64(d["u"])))
+
+    combo_empty = pa.table({"combo": pa.array([], pa.string()),
+                            "n": pa.array([], pa.int64())})
+
+    def combos_part(g: pa.Table) -> pa.Table:
+        d = g.group_by(["u", "t"]).aggregate([])
+        d = d.sort_by([("u", "ascending"), ("t", "ascending")])
+        # hash_list collects in input order; pre-sorted → sorted combos
+        lists = d.group_by("u").aggregate([("t", "list")])
+        combos = pc.binary_join(lists["t_list"], "\x1f")
+        cen = pa.table({"combo": combos}) \
+            .group_by("combo").aggregate([([], "count_all")])
+        return cen.rename_columns(["combo", "n"])
+
+    cen = _t(hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, combos_part, combo_empty))
+    tot = cen.group_by("combo").aggregate([("n", "sum")])
+    combo_sets = [frozenset(cm.split("\x1f"))
+                  for cm in tot["combo"].to_pylist()]
+    counts = tot["n_sum"].to_numpy(zero_copy_only=False).tolist()
+    types = sorted(set().union(*combo_sets)) if combo_sets else []
+
+    per_type = {t: 0 for t in types}
+    for s, n in zip(combo_sets, counts):
+        for t in s:
+            per_type[t] += n
+    rows = {"type_a": [], "type_b": [], "n_inter": [], "n_union": [],
+            "jaccard": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            inter = sum(n for s, n in zip(combo_sets, counts)
+                        if ta in s and tb in s)
+            union = per_type[ta] + per_type[tb] - inter
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["n_inter"].append(inter)
+            rows["n_union"].append(union)
+            rows["jaccard"].append(inter * 1.0 / union)
+    return pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "n_inter": pa.array(rows["n_inter"], pa.int64()),
+        "n_union": pa.array(rows["n_union"], pa.int64()),
+        "jaccard": _round(pa.array(rows["jaccard"], pa.float64()), 6)})
+
+
+MINING_ORACLE_SQL["audience_overlap"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         ty AS (SELECT DISTINCT event_type FROM events),
+         pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+                FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         inter AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                          count(*) AS ni
+                   FROM ut x JOIN ut y
+                     ON x.user_id = y.user_id
+                    AND x.event_type < y.event_type
+                   GROUP BY 1, 2),
+         cnt AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1)
+    SELECT pr.ta AS type_a, pr.tb AS type_b,
+           coalesce(ni, 0) AS n_inter,
+           ca.c + cb.c - coalesce(ni, 0) AS n_union,
+           round(coalesce(ni, 0) * 1.0
+                 / (ca.c + cb.c - coalesce(ni, 0)), 6) AS jaccard
+    FROM pr LEFT JOIN inter ON inter.ta = pr.ta AND inter.tb = pr.tb
+            JOIN cnt ca ON ca.event_type = pr.ta
+            JOIN cnt cb ON cb.event_type = pr.tb
+    ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): cheapest price vs largest size
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (minimize price, maximize
+    size). q dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with
+    at least one strict — exact duplicates do NOT dominate each other,
+    so both survive. One sort + two prefix maxima, no pairwise loop."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, price))     # price asc, size desc
+    p, s = price[order], size[order].astype(np.float64)
+    run_max = np.maximum.accumulate(s)
+    prev_all = np.concatenate(([-np.inf], run_max[:-1]))
+    new_price = np.ones(n, dtype=bool)
+    new_price[1:] = p[1:] != p[:-1]
+    grp = np.cumsum(new_price) - 1
+    prev_cheaper = prev_all[np.nonzero(new_price)[0]][grp]
+    dominated = (prev_cheaper >= s) | (prev_all > s)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def q_skyline_parts(sf_dir: str):
+    """Pareto frontier of the part catalog: no other part is both
+    cheaper-or-equal AND larger-or-equal with one strict. Each block
+    prunes to its LOCAL skyline (skyline(union) = skyline(union of
+    local skylines): a globally undominated row is undominated in its
+    own block, so local pruning never drops a winner); the driver
+    re-runs the same sweep over the tiny candidate union. Prices are
+    compared as the stored doubles — no arithmetic, so both engines
+    compare identical bits."""
+    from .queries import _read, _t
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"],
+               split=False)
+
+    def local(t: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            t["p_retailprice"].to_numpy(zero_copy_only=False),
+            t["p_size"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep))
+
+    cand = _t(ds.map_batches(local, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    if cand.num_rows == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "p_retailprice": pa.array([], pa.float64()),
+                         "p_size": pa.array([], pa.int32())})
+    keep = _skyline_mask(
+        cand["p_retailprice"].to_numpy(zero_copy_only=False),
+        cand["p_size"].to_numpy(zero_copy_only=False))
+    return cand.filter(pa.array(keep)).sort_by("p_partkey")
+
+
+MINING_ORACLE_SQL["skyline_parts"] = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+    ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit census of order totals
+
+
+def q_benford_order_totals(sf_dir: str):
+    """First-significant-digit census of ``o_totalprice`` against the
+    Benford expectation log10(1 + 1/d) — the classic bulk data-quality
+    screen for fabricated or truncated monetary columns. The digit is
+    extracted from the integer CENTS value (scaling by 100 never moves
+    the leading significant digit), so the grouping key is
+    integer-exact; per-batch digit partials fold to ≤ 9 driver rows."""
+    from .queries import _read, _round, _t
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"], split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        cents = pc.filter(cents, pc.greater(cents, 0))
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1)
+        g = pa.table({"digit": digit}).group_by("digit") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "n"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("digit").aggregate([("n", "sum")])
+    tot = tot.rename_columns(["digit", "n"]).sort_by("digit")
+    n = tot["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    d = np.array([int(x) for x in tot["digit"].to_pylist()], np.int64)
+    obs = n * 1.0 / total
+    exp = np.log10(1.0 + 1.0 / d)
+    return pa.table({
+        "digit": tot["digit"],
+        "n": tot["n"],
+        "obs_frac": _round(pa.array(obs), 6),
+        "exp_frac": _round(pa.array(exp), 6)})
+
+
+MINING_ORACLE_SQL["benford_order_totals"] = """
+    WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+                                       AS BIGINT) AS VARCHAR),
+                             1, 1) AS digit
+               FROM orders
+               WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0)
+    SELECT digit, count(*) AS n,
+           round(count(*) * 1.0 / (SELECT count(*) FROM d), 6)
+               AS obs_frac,
+           round(log10(1.0 + 1.0 / CAST(digit AS INT)), 6) AS exp_frac
+    FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# mutual information of the event-type × ISO-weekday grid
+
+
+def q_mi_event_weekday(sf_dir: str):
+    """Mutual information (nats) between event type and ISO weekday —
+    the dependence screen companion to the chi-square census, from the
+    same per-batch (type, weekday) count partials (≤ types×7 rows per
+    batch). Only observed cells contribute (0·ln 0 = 0), matching the
+    SQL join over the observed grid; every term mirrors the oracle's
+    CAST-to-double expression tree."""
+    from .queries import _read, _round, _t
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"],
+               split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = _i64(t["ts"]) // _US_PER_DAY
+        dow = ((day + 3) % 7 + 1).astype(np.int64)    # ISO: Monday=1
+        g = pa.table({"t": t["event_type"], "w": pa.array(dow)}) \
+            .group_by(["t", "w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t", "w", "n"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    c = parts.group_by(["t", "w"]).aggregate([("n", "sum")])
+    ts = c["t"].to_pylist()
+    ws = c["w"].to_numpy(zero_copy_only=False)
+    ns = c["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rn: dict[str, float] = {}
+    cn: dict[int, float] = {}
+    for tt, ww, nn in zip(ts, ws.tolist(), ns.tolist()):
+        rn[tt] = rn.get(tt, 0.0) + nn
+        cn[ww] = cn.get(ww, 0.0) + nn
+    nn_tot = float(ns.sum())
+    r_arr = np.array([rn[t] for t in ts])
+    c_arr = np.array([cn[w] for w in ws.tolist()])
+    mi = float(((ns / nn_tot) * np.log((ns * nn_tot)
+                                       / (r_arr * c_arr))).sum())
+    return pa.table({
+        "mi_nats": _round(pa.array([mi], pa.float64()), 6),
+        "n": pa.array([int(nn_tot)], pa.int64())})
+
+
+MINING_ORACLE_SQL["mi_event_weekday"] = """
+    WITH c AS (SELECT event_type AS t, isodow(ts) AS w,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1, 2),
+         r AS (SELECT t, sum(n) AS rn FROM c GROUP BY t),
+         k AS (SELECT w, sum(n) AS cn FROM c GROUP BY w),
+         tot AS (SELECT sum(n) AS nn FROM c)
+    SELECT round(sum((c.n / tot.nn)
+                     * ln((c.n * tot.nn) / (r.rn * k.cn))), 6)
+               AS mi_nats,
+           CAST((SELECT sum(n) FROM c) AS BIGINT) AS n
+    FROM c JOIN r USING (t) JOIN k USING (w) CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring against a fixed query
+
+
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 score of every document containing ≥ 1 query term, for the
+    fixed query ``BM25_TERMS``. Two streaming passes: (1) per-batch
+    corpus-stat partials — doc count, Σ doc length, per-term document
+    frequency (documents never span batches, so batch DF is exact) —
+    fold to ONE driver row; (2) per-batch scoring with the broadcast
+    (N, avgdl, df) statistics, emitting only docs with a positive term
+    frequency (an integer selection). The score mirrors the oracle's
+    expression tree term-for-term."""
+    from .queries import _read, _round, _t
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_table(t: pa.Table):
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat = toks.flatten()
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(nonempty)), row_of[nonempty]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, row_of = tok_table(t)
+        dl = np.bincount(row_of, minlength=t.num_rows)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        dfs = []
+        for term in BM25_TERMS:
+            rows = row_of[flat_np == term]
+            dfs.append(int(len(np.unique(rows))))
+        return pa.table({
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+            **{f"df_{i}": pa.array([d], pa.int64())
+               for i, d in enumerate(dfs)}})
+
+    st = _t(ds.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    n_docs = int(pc.sum(st["n_docs"]).as_py() or 0)
+    sum_dl = int(pc.sum(st["sum_dl"]).as_py() or 0)
+    dfv = [int(pc.sum(st[f"df_{i}"]).as_py() or 0)
+           for i in range(len(BM25_TERMS))]
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bm25": pa.array([], pa.float64())})
+    # DuckDB avg(bigint) = exact sum / count in one double division
+    avgdl = sum_dl / n_docs
+    idf = [float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for df in dfv]
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, row_of = tok_table(t)
+        dl = np.bincount(row_of, minlength=t.num_rows).astype(np.float64)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        total = np.zeros(t.num_rows)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        for i, term in enumerate(BM25_TERMS):
+            tf = np.bincount(row_of[flat_np == term],
+                             minlength=t.num_rows).astype(np.float64)
+            m = tf > 0
+            hit |= m
+            contrib = idf[i] * ((tf * (BM25_K1 + 1.0))
+                                / (tf + BM25_K1 * (1.0 - BM25_B
+                                   + BM25_B * dl / avgdl)))
+            total[m] += contrib[m]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bm25": pa.array(total[hit], pa.float64())})
+
+    out = _t(ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    if out.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bm25": pa.array([], pa.float64())})
+    out = pa.table({"doc_id": out["doc_id"],
+                    "bm25": _round(out["bm25"], 6)})
+    return out.sort_by("doc_id")
+
+
+MINING_ORACLE_SQL["bm25_docs"] = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2)
+    SELECT tf.doc_id,
+           round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                     * ((tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (1.0 - 0.75
+                           + 0.75 * dl.dl / st.avgdl)))), 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN st
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI-scored bigram collocations
+
+
+PMI_MIN_SUPPORT = 25
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Pointwise mutual information of every adjacent-token bigram with
+    support ≥ ``PMI_MIN_SUPPORT`` — the collocation detector of the
+    n-gram LM toolchain. Bigram supports ride the same vectorized
+    adjacent-join + keyed-count shuffle as the n-gram census (the
+    integer support filter is the selection; PMI is reported, never
+    selected on); unigram counts fold to a vocabulary-sized driver
+    broadcast (same contract as ``distinctive_terms``'s DF table).
+    PMI = ln(P(ab) / (P(a)·P(b))) with P(ab) over bigram positions and
+    P(a) over token positions, mirroring the oracle's operation
+    order."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    B = coarse_buckets(_parquet_rows(sf_dir, "documents") * 30)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        flat = toks.flatten()
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        row_of = row_of[nonempty]
+        uni = pa.table({"tok": flat}).group_by("tok") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["tok", "n"])
+        uni = pa.table({"gram": uni["tok"], "n": uni["n"],
+                        "kind": pa.array([0] * uni.num_rows, pa.int8())})
+        m = len(flat)
+        if m >= 2:
+            same_row = row_of[1:] == row_of[:-1]
+            bigrams = pc.binary_join_element_wise(
+                flat.slice(0, m - 1), flat.slice(1), " ")
+            bigrams = bigrams.filter(pa.array(same_row))
+            bg = pa.table({"gram": bigrams}).group_by("gram") \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["gram", "n"])
+            bg = pa.table({"gram": bg["gram"], "n": bg["n"],
+                           "kind": pa.array([1] * bg.num_rows,
+                                            pa.int8())})
+            uni = pa.concat_tables([uni, bg])
+        return uni.append_column(
+            "hkey", pa.array(hash64(uni["gram"]).astype(np.int64)))
+
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "kind": pa.array([], pa.int8())})
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["gram", "kind"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["gram", "kind", "n"])
+
+    folded = _t(hash_shuffle_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, fold_part, empty))
+    if folded.num_rows == 0:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    kind = folded["kind"].to_numpy(zero_copy_only=False)
+    uni_t = folded.filter(pa.array(kind == 0))
+    bg_t = folded.filter(pa.array(kind == 1))
+    # vocabulary-sized driver broadcast (same contract as the DF table)
+    uni = dict(zip(uni_t["gram"].to_pylist(),
+                   uni_t["n"].to_numpy(zero_copy_only=False).tolist()))
+    n_tok = sum(uni.values())
+    n_pair = int(bg_t["n"].to_numpy(zero_copy_only=False).sum())
+    bg_t = bg_t.filter(pc.greater_equal(bg_t["n"],
+                                        pa.scalar(PMI_MIN_SUPPORT)))
+    grams = bg_t["gram"].to_pylist()
+    ns = bg_t["n"].to_numpy(zero_copy_only=False)
+    ca = np.array([uni[g.split(" ")[0]] for g in grams], np.int64)
+    cb = np.array([uni[g.split(" ")[1]] for g in grams], np.int64)
+    # mirrors the oracle: (n*1.0/np_) / ((ca*1.0/nt) * (cb*1.0/nt))
+    with np.errstate(divide="ignore"):
+        pmi = np.log((ns * 1.0 / n_pair)
+                     / ((ca * 1.0 / n_tok) * (cb * 1.0 / n_tok)))
+    out = pa.table({"ngram": bg_t["gram"],
+                    "n": bg_t["n"],
+                    "pmi": _round(pa.array(pmi, pa.float64()), 6)})
+    return out.sort_by("ngram")
+
+
+MINING_ORACLE_SQL["pmi_bigrams"] = f"""
+    WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS w
+                  FROM documents),
+         grams AS (SELECT unnest(list_transform(range(1, len(w)),
+                     i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                       AS ngram
+                   FROM toks WHERE len(w) >= 2),
+         bg AS (SELECT ngram, count(*) AS n FROM grams
+                GROUP BY 1 HAVING count(*) >= {PMI_MIN_SUPPORT}),
+         uni AS (SELECT tok, count(*) AS c
+                 FROM (SELECT unnest(w) AS tok FROM toks)
+                 GROUP BY 1),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM grams)
+                     AS np_,
+                 (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt)
+    SELECT ngram, n,
+           round(ln((n * 1.0 / np_)
+                    / ((ca.c * 1.0 / nt) * (cb.c * 1.0 / nt))), 6)
+               AS pmi
+    FROM bg CROSS JOIN tot
+            JOIN uni ca ON ca.tok = split_part(ngram, ' ', 1)
+            JOIN uni cb ON cb.tok = split_part(ngram, ' ', 2)
+    ORDER BY ngram
+"""
+
+
+# ---------------------------------------------------------------------------
+# hive-partitioned sink + structurally-pruned read
+
+
+PARTITION_MONTH = "1996-06"
+_PARTITION_CACHE = "/tmp/sjot_ray_cache/orders_by_month"
+
+
+def partitioned_orders_path(sf_dir: str) -> str:
+    """Write (once per source fingerprint) the orders table as
+    hive-partitioned parquet, one ``o_month=YYYY-MM`` directory per
+    order month. The write is shuffle-free: each task appends its
+    block's rows to the partition files it touches, so at 100 TB the
+    sink streams (many small files per partition beat one giant file —
+    the resumability rule). Cached by (mtime, size) of the source so
+    gate reruns skip the write."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
+    root = f"{_PARTITION_CACHE}_{key}"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    tmp = root + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    from .queries import _read
+
+    ds = _read(sf_dir, "orders", split=False)
+
+    def add_month(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "o_month", pc.strftime(t["o_orderdate"], format="%Y-%m"))
+
+    ds.map_batches(add_month, batch_format="pyarrow",
+                   zero_copy_batch=True) \
+        .write_parquet(tmp, partition_cols=["o_month"])
+    os.rename(tmp, root)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def q_monthly_revenue_partitioned(sf_dir: str):
+    """Revenue census of ONE month read from the hive-partitioned sink:
+    the read opens ONLY the probed ``o_month=…`` directory — partition
+    pruning is structural (a path selection), not a post-read filter,
+    which is the difference between touching 1/80th of the bytes and
+    touching all of them at 100 TB. Revenue sums integer cents, so the
+    aggregate is exact under any accumulation order."""
+    from .queries import _round, _t
+
+    root = partitioned_orders_path(sf_dir)
+    part_dir = os.path.join(root, f"o_month={PARTITION_MONTH}")
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64())})
+    if not os.path.isdir(part_dir):
+        return empty
+    ds = ray.data.read_parquet(
+        part_dir, columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "cents": cents}) \
+            .group_by("o_orderpriority") \
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["o_orderpriority", "n", "cents"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    if parts.num_rows == 0:
+        return empty
+    tot = parts.group_by("o_orderpriority").aggregate(
+        [("n", "sum"), ("cents", "sum")])
+    tot = tot.rename_columns(["o_orderpriority", "n_orders",
+                              "revenue_cents"])
+    return tot.sort_by("o_orderpriority")
+
+
+MINING_ORACLE_SQL["monthly_revenue_partitioned"] = f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '{PARTITION_MONTH}'
+    GROUP BY 1 ORDER BY 1
+"""
