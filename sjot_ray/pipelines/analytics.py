@@ -1099,6 +1099,34 @@ def _pair_indices(runs: np.ndarray):
     return lefts, rights
 
 
+#: materialized supported-pair skeletons keyed by source fingerprint —
+#: the skeleton is driver-trivial by construction (support-1 collision
+#: mass dies in the reduce tasks), so caching the Arrow table lets the
+#: pair census, the triangle census and the association-rule stage
+#: share ONE distributed pair-mining pass per corpus.
+_PAIRS_CACHE: dict[tuple, pa.Table] = {}
+
+
+def copurchase_pairs_table(sf_dir: str,
+                           min_orders: int = COP_MIN_ORDERS) -> pa.Table:
+    """Materialized supported co-purchase pair skeleton, memoized by
+    (path, mtime, size, min_orders) of the source lineitem file."""
+    import os
+
+    from .queries import _t
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = (os.path.realpath(src), st.st_mtime_ns, st.st_size, min_orders)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is None:
+        if len(_PAIRS_CACHE) > 8:      # a handful of small skeletons
+            _PAIRS_CACHE.clear()
+        hit = _t(copurchase_pairs_ds(sf_dir, min_orders))
+        _PAIRS_CACHE[key] = hit
+    return hit
+
+
 def copurchase_pairs_ds(sf_dir: str,
                         min_orders: int = COP_MIN_ORDERS):
     """Distributed co-purchase pair mining: shuffle lineitem by order
@@ -1165,9 +1193,7 @@ def copurchase_pairs_ds(sf_dir: str,
 
 
 def q_copurchase_pairs(sf_dir: str):
-    from .queries import _t
-
-    t = _t(copurchase_pairs_ds(sf_dir))
+    t = copurchase_pairs_table(sf_dir)
     if t.num_rows == 0:
         return pa.table({"part_a": pa.array([], pa.int64()),
                          "part_b": pa.array([], pa.int64()),
@@ -1193,9 +1219,7 @@ def q_copurchase_triangles(sf_dir: str):
     is collision-pruned to driver-trivial size by construction, so the
     final intersection-count runs locally over sorted adjacency
     arrays (oriented low→high, each triangle counted exactly once)."""
-    from .queries import _t
-
-    t = _t(copurchase_pairs_ds(sf_dir))
+    t = copurchase_pairs_table(sf_dir)
     a = t["part_a"].to_numpy(zero_copy_only=False) if t.num_rows else \
         np.empty(0, np.int64)
     b = t["part_b"].to_numpy(zero_copy_only=False) if t.num_rows else \

@@ -80,10 +80,10 @@ def q_association_rules(sf_dir: str):
     order-keyed exchange whose reduce emits per-part partial counts plus
     a single distinct-order marker row — dimension-sized driver state,
     never per-order rows."""
-    from .analytics import copurchase_pairs_ds
+    from .analytics import copurchase_pairs_table
     from .queries import _parquet_rows, _read, _round, _t
 
-    pairs = _t(copurchase_pairs_ds(sf_dir))
+    pairs = copurchase_pairs_table(sf_dir)
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_partkey"], split=False)
@@ -780,4 +780,100 @@ MINING_ORACLE_SQL["monthly_revenue_partitioned"] = f"""
     FROM orders
     WHERE strftime(o_orderdate, '%Y-%m') = '{PARTITION_MONTH}'
     GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS over the co-purchase graph (iterative frontier expansion)
+
+
+BFS_SEED_PART = 1
+BFS_MAX_HOPS = 3
+
+
+def q_copurchase_distance(sf_dir: str, seed: int = BFS_SEED_PART,
+                          max_hops: int = BFS_MAX_HOPS):
+    """Co-purchase distance from a seed part: BFS over the bipartite
+    order↔part graph where one hop is "shares an order with a frontier
+    part". The distributed shape of iterative graph traversal: the
+    distinct (order, part) edge set is materialized ONCE, partitioned
+    by order key so every order's parts co-locate; each hop is a single
+    streaming pass over those blocks with the (dimension-bounded)
+    frontier broadcast via ``ray.put`` — orders, the unbounded side,
+    never leave the workers and are never re-shuffled. The driver holds
+    only the per-part distance map (parts are a bounded catalog
+    dimension, same contract as the association-rule count broadcast).
+    Distances are exact BFS minima: a part first reached at hop h is
+    frozen there, matching the recursive-CTE oracle's min(dist)."""
+    from .queries import _parquet_rows, _read, _t
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        d = pa.table({
+            "ok": pc.cast(t["l_orderkey"], pa.int64()),
+            "pk": pc.cast(t["l_partkey"], pa.int64())}) \
+            .group_by(["ok", "pk"]).aggregate([])
+        return d.append_column("hkey", _hkey(_i64(d["ok"])))
+
+    edge_empty = pa.table({"ok": pa.array([], pa.int64()),
+                           "pk": pa.array([], pa.int64())})
+
+    def distinct_part(g: pa.Table) -> pa.Table:
+        return g.select(["ok", "pk"]).group_by(["ok", "pk"]).aggregate([])
+
+    edges = hash_shuffle_apply(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, distinct_part, edge_empty).materialize()
+
+    dist: dict[int, int] = {seed: 0}
+    frontier = np.array([seed], np.int64)
+    for h in range(1, max_hops + 1):
+        fr_ref = ray.put(frontier)
+
+        def hop(t: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)
+            ok = t["ok"].to_numpy(zero_copy_only=False)
+            pk = t["pk"].to_numpy(zero_copy_only=False)
+            hit = np.unique(ok[np.isin(pk, fr)])
+            reached = np.unique(pk[np.isin(ok, hit)])
+            return pa.table({"pk": pa.array(reached)})
+
+        # batch_size=None: one batch per block, so each order's parts
+        # arrive together (the materialized partition is the block)
+        got = _t(edges.map_batches(hop, batch_format="pyarrow",
+                                   batch_size=None,
+                                   zero_copy_batch=True))
+        if "pk" not in got.column_names:   # no batch produced any row
+            break
+        new = [p for p in set(got["pk"].to_pylist()) if p not in dist]
+        if not new:
+            break
+        for p in new:
+            dist[p] = h
+        frontier = np.array(sorted(new), np.int64)
+
+    parts = sorted(dist)
+    return pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "dist": pa.array([dist[p] for p in parts], pa.int64())})
+
+
+MINING_ORACLE_SQL["copurchase_distance"] = f"""
+    WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS ok,
+                                          l_partkey AS pk
+                          FROM lineitem),
+        reach(pk, dist) AS (
+            SELECT CAST({BFS_SEED_PART} AS BIGINT) AS pk, 0 AS dist
+            UNION
+            SELECT e2.pk, r.dist + 1
+            FROM reach r
+            JOIN lp e1 ON e1.pk = r.pk
+            JOIN lp e2 ON e2.ok = e1.ok
+            WHERE r.dist < {BFS_MAX_HOPS})
+    SELECT pk AS part, CAST(min(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY pk ORDER BY part
 """

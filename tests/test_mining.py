@@ -231,6 +231,40 @@ def test_pmi_planted(ray_session, tmp_path):
     assert out.to_pydict() == duck.to_pydict()
 
 
+def test_copurchase_distance_planted(ray_session, tmp_path):
+    """Chain 1—2 (order 10), 2—3 (order 11), isolated 4: distances
+    0/1/2, part 4 unreachable and absent; a reached part freezes at its
+    first hop (part 1 re-reached at hop 2 stays 0)."""
+    from sjot_ray.pipelines.mining import q_copurchase_distance
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [(10, 1), (10, 2), (11, 2), (11, 3), (12, 4)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        sf / "lineitem.parquet")
+
+    out = q_copurchase_distance(str(sf))
+    got = dict(zip(out["part"].to_pylist(), out["dist"].to_pylist()))
+    assert got == {1: 0, 2: 1, 3: 2}
+    duck = _duck(str(sf), MINING_ORACLE_SQL["copurchase_distance"])
+    assert out.to_pydict() == duck.to_pydict()
+
+    # seed absent from the graph → only the base row, like the CTE
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10], pa.int64()),
+        "l_partkey": pa.array([7, 8], pa.int64())}),
+        sf2 / "lineitem.parquet")
+    out2 = q_copurchase_distance(str(sf2))
+    assert dict(zip(out2["part"].to_pylist(),
+                    out2["dist"].to_pylist())) == {1: 0}
+    duck2 = _duck(str(sf2), MINING_ORACLE_SQL["copurchase_distance"])
+    assert out2.to_pydict() == duck2.to_pydict()
+
+
 def test_partitioned_sink_prunes_and_caches(ray_session, tmp_path):
     """The sink writes one hive dir per month; the probed read touches
     only the requested month; a rerun reuses the cached sink (same
