@@ -877,3 +877,124 @@ MINING_ORACLE_SQL["copurchase_distance"] = f"""
     SELECT pk AS part, CAST(min(dist) AS BIGINT) AS dist
     FROM reach GROUP BY pk ORDER BY part
 """
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostic: Gini coefficient of the per-order row distribution
+
+
+def q_lineitem_per_order_gini(sf_dir: str):
+    """Gini coefficient of rows-per-order — the partition-skew
+    diagnostic a shuffle planner wants before keying on l_orderkey
+    (0 = perfectly even keys, →1 = a few orders own the table). The
+    per-order counts come from an order-keyed exchange; each partition
+    emits its COUNT-OF-COUNTS census (c rows → m orders), a
+    max-rows-per-key-sized table, never per-key rows. The driver folds
+    the census and evaluates the rank formula G = 2·Σᵢ i·vᵢ/(n·Σv)
+    − (n+1)/n over the implied sorted multiset in EXACT integer
+    arithmetic (Python bignums — rank sums overflow int64 at 10^12
+    keys), dividing only at the very end, exactly like the SQL."""
+    from .queries import _parquet_rows, _read, _round, _t
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"], split=False)
+    B = coarse_buckets(_parquet_rows(sf_dir, "lineitem"))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        d = pa.table({"ok": pc.cast(t["l_orderkey"], pa.int64())})
+        return d.append_column("hkey", _hkey(_i64(d["ok"])))
+
+    cc_empty = pa.table({"c": pa.array([], pa.int64()),
+                         "m": pa.array([], pa.int64())})
+
+    def census_part(g: pa.Table) -> pa.Table:
+        per = g.group_by("ok").aggregate([([], "count_all")]) \
+            .rename_columns(["ok", "c"])
+        cc = per.select(["c"]).group_by("c") \
+            .aggregate([([], "count_all")])
+        return cc.rename_columns(["c", "m"])
+
+    folded = _t(hash_shuffle_apply(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "hkey", B, census_part, cc_empty))
+    if folded.num_rows == 0:
+        return pa.table({"gini": pa.array([], pa.float64()),
+                         "n_keys": pa.array([], pa.int64())})
+    tot = folded.group_by("c").aggregate([("m", "sum")]).sort_by("c")
+    cs = tot["c"].to_pylist()
+    ms = tot["m_sum"].to_pylist()
+    S, n, T, r = 0, 0, 0, 0            # exact bignum arithmetic
+    for c, m in zip(cs, ms):
+        S += c * (m * r + m * (m + 1) // 2)
+        r += m
+        n += m
+        T += c * m
+    gini = (2.0 * S) / (n * T) - (n + 1.0) / n
+    return pa.table({
+        "gini": _round(pa.array([gini], pa.float64()), 6),
+        "n_keys": pa.array([n], pa.int64())})
+
+
+MINING_ORACLE_SQL["lineitem_per_order_gini"] = """
+    WITH per AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+                 GROUP BY 1),
+         cc AS (SELECT c, count(*) AS m FROM per GROUP BY c),
+         ordered AS (SELECT c, m,
+                            sum(m) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - m AS r
+                     FROM cc),
+         agg AS (SELECT sum(c * (m * r + (m * (m + 1)) // 2)) AS s,
+                        sum(m) AS n, sum(c * m) AS t
+                 FROM ordered)
+    SELECT round((2.0 * s) / (n * t) - (n + 1.0) / n, 6) AS gini,
+           CAST(n AS BIGINT) AS n_keys
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# hourly volume anomaly screen (z-scores of the tumbling-window counts)
+
+
+def q_hourly_anomaly(sf_dir: str):
+    """Population z-score of every hourly event count against the
+    corpus-wide hourly mean — the volume-anomaly screen over the
+    tumbling-window census. Per-batch (hour, n) partials fold to the
+    bounded hour grid; the driver computes mean/σ over the grid (counts
+    are integers, so the mean is exact under any summation order) and
+    reports z rounded — never selected on."""
+    from .queries import _read, _round, _t
+
+    ds = _read(sf_dir, "events", columns=["ts"], split=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({"hour": hour}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "n"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("hour").aggregate([("n", "sum")])
+    tot = tot.rename_columns(["hour", "n"]).sort_by("hour")
+    n = tot["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mu = float(n.sum()) / len(n)
+    sd = float(np.sqrt(((n - mu) ** 2).sum() / len(n)))
+    if sd > 0:
+        z = _round(pa.array((n - mu) / sd, pa.float64()), 6)
+    else:
+        # DuckDB double division by zero yields NULL (probed)
+        z = pa.array([None] * len(n), pa.float64())
+    return pa.table({"hour": tot["hour"], "n": tot["n"], "z": z})
+
+
+MINING_ORACLE_SQL["hourly_anomaly"] = """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1),
+         s AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM h)
+    SELECT hour, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sd, 6) AS z
+    FROM h, s ORDER BY hour
+"""

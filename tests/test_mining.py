@@ -265,6 +265,56 @@ def test_copurchase_distance_planted(ray_session, tmp_path):
     assert out2.to_pydict() == duck2.to_pydict()
 
 
+def test_gini_planted(ray_session, tmp_path):
+    """Counts {1,1,2,4}: G = 2·25/(4·8) − 5/4 = 0.3125; perfectly even
+    keys give G = 0."""
+    from sjot_ray.pipelines.mining import q_lineitem_per_order_gini
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ok = [1, 2, 3, 3, 4, 4, 4, 4]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64())}),
+        sf / "lineitem.parquet")
+    out = q_lineitem_per_order_gini(str(sf))
+    assert out["gini"].to_pylist() == [0.3125]
+    assert out["n_keys"].to_pylist() == [4]
+    duck = _duck(str(sf), MINING_ORACLE_SQL["lineitem_per_order_gini"])
+    assert out.to_pydict() == duck.to_pydict()
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64())}),
+        sf / "lineitem.parquet")
+    out = q_lineitem_per_order_gini(str(sf))
+    assert out["gini"].to_pylist() == [0.0]
+
+
+def test_hourly_anomaly_planted(ray_session, tmp_path):
+    """Counts {3,1} per hour: mean 2, σ 1 → z = ±1; a constant grid
+    (σ = 0) yields NULL z like the SQL's division by zero."""
+    from sjot_ray.pipelines.mining import q_hourly_anomaly
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "ts": _ts("2024-01-01T05:01", "2024-01-01T05:02",
+                  "2024-01-01T05:59", "2024-01-01T06:30")}),
+        sf / "events.parquet")
+    out = q_hourly_anomaly(str(sf))
+    assert out["n"].to_pylist() == [3, 1]
+    assert out["z"].to_pylist() == [1.0, -1.0]
+    duck = _duck(str(sf), MINING_ORACLE_SQL["hourly_anomaly"])
+    assert out.to_pydict() == duck.to_pydict()
+
+    pq.write_table(pa.table({
+        "ts": _ts("2024-01-01T05:01", "2024-01-01T06:30")}),
+        sf / "events.parquet")
+    out = q_hourly_anomaly(str(sf))
+    assert out["z"].to_pylist() == [None, None]
+    duck = _duck(str(sf), MINING_ORACLE_SQL["hourly_anomaly"])
+    assert out.to_pydict() == duck.to_pydict()
+
+
 def test_partitioned_sink_prunes_and_caches(ray_session, tmp_path):
     """The sink writes one hive dir per month; the probed read touches
     only the requested month; a rerun reuses the cached sink (same
