@@ -365,6 +365,11 @@ def q_benford_order_totals(sf_dir: str):
 
     parts = _t(ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True))
+    if "digit" not in parts.column_names or parts.num_rows == 0:
+        return pa.table({"digit": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "obs_frac": pa.array([], pa.float64()),
+                         "exp_frac": pa.array([], pa.float64())})
     tot = parts.group_by("digit").aggregate([("n", "sum")])
     tot = tot.rename_columns(["digit", "n"]).sort_by("digit")
     n = tot["n"].to_numpy(zero_copy_only=False)
@@ -418,6 +423,10 @@ def q_mi_event_weekday(sf_dir: str):
 
     parts = _t(ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True))
+    if "t" not in parts.column_names or parts.num_rows == 0:
+        # the SQL's global aggregate still emits one all-NULL row
+        return pa.table({"mi_nats": pa.array([None], pa.float64()),
+                         "n": pa.array([None], pa.int64())})
     c = parts.group_by(["t", "w"]).aggregate([("n", "sum")])
     ts = c["t"].to_pylist()
     ws = c["w"].to_numpy(zero_copy_only=False)
@@ -727,7 +736,15 @@ def partitioned_orders_path(sf_dir: str) -> str:
     ds.map_batches(add_month, batch_format="pyarrow",
                    zero_copy_batch=True) \
         .write_parquet(tmp, partition_cols=["o_month"])
-    os.rename(tmp, root)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # concurrent driver won the rename; its cache is equivalent
+        # (same fingerprint) — fall through if it finished
+        if os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root
+        raise
     with open(done, "w") as f:
         f.write("ok")
     return root
@@ -976,6 +993,10 @@ def q_hourly_anomaly(sf_dir: str):
 
     parts = _t(ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True))
+    if "hour" not in parts.column_names or parts.num_rows == 0:
+        return pa.table({"hour": pa.array([], pa.timestamp("us")),
+                         "n": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
     tot = parts.group_by("hour").aggregate([("n", "sum")])
     tot = tot.rename_columns(["hour", "n"]).sort_by("hour")
     n = tot["n"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -29,7 +29,10 @@ ADJS = ["red", "blue", "hot", "small", "big"]
 NOUNS = ["widget", "bolt", "gear", "ring", "gizmo"]
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 WORDS = ["the", "table", "row", "scan", "fast", "slow", "key", "agg",
-         "batch", "part", "value", "merge", "data", "a", "big"]
+         "batch", "part", "value", "merge", "data", "a", "big",
+         # the BM25 fixed-query vocabulary, so q_bm25_docs is
+         # non-vacuous on random corpora
+         "hash", "join", "stream"]
 
 
 def _money(rng, n, lo=1.0, hi=100_000.0):
