@@ -1019,3 +1019,69 @@ MINING_ORACLE_SQL["hourly_anomaly"] = """
            round((n - mu) / sd, 6) AS z
     FROM h, s ORDER BY hour
 """
+
+
+# ---------------------------------------------------------------------------
+# adaptive sessionization: skew census chooses the physical plan
+
+
+#: a single reduce task holding more rows of ONE key than this is a
+#: straggler — salt past it. The gate corpora sit far below (max
+#: ~700 rows/user at sf0.1), so the planner correctly picks the plain
+#: per-key plan there; the planted hot-key test drives the salted arm.
+SESSION_SALT_ROWS = 100_000
+_CENSUS_TOPK = 64
+
+#: telemetry of the last q_user_sessions_auto run (tests assert the
+#: chosen plan): {"plan": "plain"|"salted", "est_max_key_rows": int}
+SESSION_AUTO_STATS: dict = {}
+
+
+def q_user_sessions_auto(sf_dir: str,
+                         salt_rows: int = SESSION_SALT_ROWS):
+    """Adaptive physical planning for sessionization: a one-column
+    heavy-hitter census over ``user_id`` (per-batch top-``_CENSUS_TOPK``
+    partial counts, merged by key on the driver — the exact-heavy-hitter
+    bound: a key's global count is at most the sum of its surviving
+    partials, and the true maximum key always surfaces in some batch's
+    top list unless it is not a heavy hitter at all) estimates the
+    hottest key's row count. Above ``salt_rows`` the salted two-phase
+    plan runs (a straggler task would otherwise hold every hot-key row);
+    below it the plain per-key plan runs (no merge overhead). Both arms
+    are exact and share one oracle, so a wrong estimate can only cost
+    time, never correctness — the planner heuristic is therefore safe
+    by construction."""
+    from .queries import (_read, _t, q_user_sessions,
+                          q_user_sessions_salted)
+
+    ds = _read(sf_dir, "events", columns=["user_id"], split=False)
+
+    def census(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": pc.cast(t["user_id"], pa.int64())}) \
+            .group_by("u").aggregate([([], "count_all")]) \
+            .rename_columns(["u", "n"])
+        idx = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                            ("u", "ascending")])
+        return g.take(idx.slice(0, _CENSUS_TOPK))
+
+    parts = _t(ds.map_batches(census, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    est = 0
+    if "u" in parts.column_names and parts.num_rows:
+        tot = parts.group_by("u").aggregate([("n", "sum")])
+        est = int(pc.max(tot["n_sum"]).as_py() or 0)
+    plan = "salted" if est > salt_rows else "plain"
+    SESSION_AUTO_STATS.clear()
+    SESSION_AUTO_STATS.update({"plan": plan, "est_max_key_rows": est})
+    if plan == "salted":
+        return q_user_sessions_salted(sf_dir)
+    return q_user_sessions(sf_dir)
+
+
+def _user_sessions_oracle() -> str:
+    from .queries import ORACLE_SQL
+
+    return ORACLE_SQL["user_sessions"]
+
+
+MINING_ORACLE_SQL["user_sessions_auto"] = _user_sessions_oracle()

@@ -315,6 +315,46 @@ def test_hourly_anomaly_planted(ray_session, tmp_path):
     assert out.to_pydict() == duck.to_pydict()
 
 
+def test_sessionize_auto_plans(ray_session, tmp_path):
+    """The skew census picks the salted arm for a planted hot key and
+    the plain arm for a uniform corpus; both arms match the oracle."""
+    from sjot_ray.pipelines.mining import (SESSION_AUTO_STATS,
+                                           q_user_sessions_auto)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # hot user 7: 3,000 events 10 min apart (spans days); user 8: 2
+    hot = np.datetime64("2024-01-01T00:00:00", "us") \
+        + np.arange(3000) * np.timedelta64(10 * 60 * 1_000_000, "us")
+    cold = np.array(["2024-01-05T00:00:00", "2024-01-05T02:00:00"],
+                    dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "user_id": pa.array([7] * 3000 + [8, 8], pa.int64()),
+        "ts": pa.array(np.concatenate([hot, cold]))}),
+        sf / "events.parquet")
+
+    out = q_user_sessions_auto(str(sf), salt_rows=1_000)
+    assert SESSION_AUTO_STATS["plan"] == "salted"
+    assert SESSION_AUTO_STATS["est_max_key_rows"] == 3000
+    got = {u: (e, s) for u, e, s in zip(
+        out["user_id"].to_pylist(), out["n_events"].to_pylist(),
+        out["n_sessions"].to_pylist())}
+    # 10-min gaps never split; the cold user's 2h gap does
+    assert got == {7: (3000, 1), 8: (2, 2)}
+    duck = _duck(str(sf), MINING_ORACLE_SQL["user_sessions_auto"])
+    want = {u: (e, s) for u, e, s in zip(
+        duck["user_id"].to_pylist(), duck["n_events"].to_pylist(),
+        duck["n_sessions"].to_pylist())}
+    assert got == want
+
+    out2 = q_user_sessions_auto(str(sf))      # default threshold
+    assert SESSION_AUTO_STATS["plan"] == "plain"
+    got2 = {u: (e, s) for u, e, s in zip(
+        out2["user_id"].to_pylist(), out2["n_events"].to_pylist(),
+        out2["n_sessions"].to_pylist())}
+    assert got2 == want
+
+
 def test_partitioned_sink_prunes_and_caches(ray_session, tmp_path):
     """The sink writes one hive dir per month; the probed read touches
     only the requested month; a rerun reuses the cached sink (same
