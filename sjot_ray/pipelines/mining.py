@@ -1085,3 +1085,122 @@ def _user_sessions_oracle() -> str:
 
 
 MINING_ORACLE_SQL["user_sessions_auto"] = _user_sessions_oracle()
+
+
+# ---------------------------------------------------------------------------
+# alternate source formats: CSV and JSON-lines read paths
+
+
+_FORMATS_CACHE = "/tmp/sjot_ray_cache/formats"
+
+
+def _export_once(sf_dir: str, table: str, ext: str, writer) -> str:
+    """Export ``table`` to an alternate format once per source
+    fingerprint (driver-side, small sidecar files for the format-parity
+    checks; production corpora would arrive in the format natively)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{ext}".encode()
+    ).hexdigest()[:16]
+    os.makedirs(_FORMATS_CACHE, exist_ok=True)
+    path = os.path.join(_FORMATS_CACHE, f"{table}_{key}.{ext}")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        writer(src, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_events_csv_census(sf_dir: str):
+    """Per-type census read through ``ray.data.read_csv``: the events
+    table exported once to CSV (full-precision floats — Python repr
+    round-trips every double exactly, and the Arrow CSV parser returns
+    the nearest double, so the values are bit-identical to the parquet
+    original). The aggregate reports count / min / max — order-
+    independent and exact, so the CSV read path must reproduce the
+    parquet oracle bit-for-bit."""
+    import csv
+
+    import pyarrow.parquet as pq
+
+    from .queries import _round, _t
+
+    def write_csv(src: str, dst: str) -> None:
+        t = pq.read_table(src, columns=["event_type", "value"])
+        with open(dst, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["event_type", "value"])
+            for et, v in zip(t["event_type"].to_pylist(),
+                             t["value"].to_pylist()):
+                w.writerow([et, repr(v)])
+
+    path = _export_once(sf_dir, "events", "csv", write_csv)
+    ds = ray.data.read_csv(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("value", "min"), ("value", "max")])
+        return g.rename_columns(["event_type", "n", "vmin", "vmax"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("event_type").aggregate(
+        [("n", "sum"), ("vmin", "min"), ("vmax", "max")])
+    tot = tot.rename_columns(["event_type", "n", "vmin", "vmax"])
+    out = pa.table({
+        "event_type": tot["event_type"], "n": tot["n"],
+        "vmin": _round(tot["vmin"], 6),
+        "vmax": _round(tot["vmax"], 6)})
+    return out.sort_by("event_type")
+
+
+MINING_ORACLE_SQL["events_csv_census"] = """
+    SELECT event_type, count(*) AS n,
+           round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_documents_jsonl_census(sf_dir: str):
+    """Language census read through ``ray.data.read_json`` over a
+    JSON-lines export of the documents table — the ingestion path a
+    crawl corpus actually arrives on. Strings and integers round-trip
+    JSON exactly, so the JSONL read must reproduce the parquet
+    oracle."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from .queries import _t
+
+    def write_jsonl(src: str, dst: str) -> None:
+        t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
+        with open(dst, "w") as f:
+            for d, lg, nc in zip(t["doc_id"].to_pylist(),
+                                 t["lang"].to_pylist(),
+                                 t["n_chars"].to_pylist()):
+                f.write(_json.dumps({"doc_id": d, "lang": lg,
+                                     "n_chars": nc}) + "\n")
+
+    path = _export_once(sf_dir, "documents", "jsonl", write_jsonl)
+    ds = ray.data.read_json(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    parts = _t(ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    tot = parts.group_by("lang").aggregate(
+        [("n_docs", "sum"), ("sum_chars", "sum")])
+    tot = tot.rename_columns(["lang", "n_docs", "sum_chars"])
+    return tot.sort_by("lang")
+
+
+MINING_ORACLE_SQL["documents_jsonl_census"] = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+"""

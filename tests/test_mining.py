@@ -355,6 +355,38 @@ def test_sessionize_auto_plans(ray_session, tmp_path):
     assert got2 == want
 
 
+def test_csv_jsonl_sources_planted(ray_session, tmp_path):
+    """The CSV path round-trips awkward doubles bit-exactly (repr →
+    Arrow CSV parser); the JSONL path round-trips non-ASCII strings;
+    both match the parquet-side oracle."""
+    from sjot_ray.pipelines.mining import (q_documents_jsonl_census,
+                                           q_events_csv_census)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = [0.1 + 0.2, -1e-17, 1234567.8912345678, 2.0, float(2**53)]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "b", "b", "b"]),
+        "value": pa.array(vals, pa.float64())}),
+        sf / "events.parquet")
+    out = q_events_csv_census(str(sf))
+    duck = _duck(str(sf), MINING_ORACLE_SQL["events_csv_census"])
+    assert out.to_pydict() == duck.to_pydict()
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["fr-ça", "中文", "fr-ça"]),
+        "n_chars": pa.array([10, 20, 30], pa.int64())}),
+        sf / "documents.parquet")
+    out = q_documents_jsonl_census(str(sf))
+    got = {lg: (n, s) for lg, n, s in zip(
+        out["lang"].to_pylist(), out["n_docs"].to_pylist(),
+        out["sum_chars"].to_pylist())}
+    assert got == {"fr-ça": (2, 40), "中文": (1, 20)}
+    duck = _duck(str(sf), MINING_ORACLE_SQL["documents_jsonl_census"])
+    assert out.to_pydict() == duck.to_pydict()
+
+
 def test_partitioned_sink_prunes_and_caches(ray_session, tmp_path):
     """The sink writes one hive dir per month; the probed read touches
     only the requested month; a rerun reuses the cached sink (same
