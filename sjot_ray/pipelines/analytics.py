@@ -470,8 +470,13 @@ def q_quality_filter_docs(sf_dir: str):
 
     from .queries import _t
 
-    return _t(ds.map_batches(fn, batch_format="pyarrow",
-                             zero_copy_batch=True)).sort_by("doc_id")
+    t = _t(ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    if "doc_id" not in t.column_names:   # no doc passed in any batch
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "n_words": pa.array([], pa.int64())})
+    return t.sort_by("doc_id")
 
 
 ANALYTICS_ORACLE_SQL["quality_filter_docs"] = """

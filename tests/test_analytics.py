@@ -159,6 +159,17 @@ def test_quality_filter_planted(ray_session, tmp_path):
     assert out["doc_id"].to_pylist() == [1]
     assert out["n_words"].to_pylist() == [good.count(" ") + 1]
 
+    # zero survivors: every doc fails → typed empty table, not a crash
+    # (random-sweep seed 3027 regression)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([too_short, no_stop]),
+        "lang": pa.array(["en", "en"])}),
+        sf / "documents.parquet")
+    out = q_quality_filter_docs(str(sf))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "lang", "n_words"]
+
 
 def test_skew_kurt_regr_match_duckdb_planted(ray_session, tmp_path):
     """DuckDB computes its own skewness/kurtosis/regr_* on a planted
