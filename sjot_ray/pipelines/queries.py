@@ -90,6 +90,14 @@ def _t(ds) -> pa.Table:
     return pa.concat_tables(batches, promote_options="default")
 
 
+def _t_or(ds, empty: pa.Table) -> pa.Table:
+    """`_t`, but a schema-less collect (every batch filtered empty, so
+    iter_batches yields nothing) returns the op's TYPED empty table —
+    row-filtering operators must survive the all-rows-filtered corpus."""
+    t = _t(ds)
+    return empty if not t.column_names else t
+
+
 # ---------------------------------------------------------------------------
 # validation queries (SURVEY §2.2 as table predicates)
 
@@ -258,9 +266,11 @@ def q_segment_revenue(sf_dir: str):
         # stateless task + broadcast: ray.get on a warm worker is a local
         # object-store lookup (no actor cold-start per query)
         keys, vals = ray.get(lookup_ref)
-        # vectorized broadcast probe: index_in + take (null on miss)
+        # vectorized broadcast probe: index_in + take; a null probe is a
+        # non-matching (dangling) order — dropped, INNER-join semantics
         idx = pc.index_in(t["o_custkey"], value_set=keys)
         t = t.append_column("segment", pc.take(vals, idx))
+        t = t.filter(pc.is_valid(idx))
         g = t.group_by("segment").aggregate(
             [("o_totalprice", "sum"), ([], "count_all")])
         return g.rename_columns(["segment", "revenue", "n_orders"])
@@ -880,8 +890,10 @@ def q_nation_revenue(sf_dir: str):
 
     def add_nation(t: pa.Table) -> pa.Table:
         keys, vals = ray.get(lookup_ref)
+        # null probe = dangling custkey — dropped (INNER-join semantics)
         idx = pc.index_in(t["o_custkey"], value_set=keys)
         g = t.append_column("n_name", pc.take(vals, idx)) \
+            .filter(pc.is_valid(idx)) \
             .group_by("n_name").aggregate([("o_totalprice", "sum"),
                                            ([], "count_all")])
         return g.rename_columns(["n_name", "revenue", "n_orders"])
@@ -1277,8 +1289,10 @@ def q_sample_documents(sf_dir: str):
             < np.uint64(858993459)  # floor(0.2 * 2^32)
         return t.filter(pa.array(m))
 
-    return _t(ds.map_batches(keep, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    return _t_or(ds.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                 pa.table({"doc_id": pa.array([], pa.int64()),
+                           "lang": pa.array([], pa.string())}))
 
 
 ORACLE_SQL.update({
@@ -2038,8 +2052,10 @@ def q_stratified_sample(sf_dir: str):
             thr[m] = _rate_threshold(rate)
         return t.filter(pa.array(h < thr))
 
-    return _t(ds.map_batches(keep, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    return _t_or(ds.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                 pa.table({"doc_id": pa.array([], pa.int64()),
+                           "lang": pa.array([], pa.string())}))
 
 
 def q_contamination_check(sf_dir: str):
@@ -2076,8 +2092,10 @@ def q_contamination_check(sf_dir: str):
                         "n_hits": pa.array(hits, pa.int64())})
         return out.filter(pa.array(keep))
 
-    return _t(ds.map_batches(scan, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    return _t_or(ds.map_batches(scan, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                 pa.table({"doc_id": pa.array([], pa.int64()),
+                           "n_hits": pa.array([], pa.int64())}))
 
 
 #: Blocklist for the scrub op (word-boundary alternation, RE2 in both
@@ -2965,6 +2983,8 @@ def q_q3_top_unshipped(sf_dir: str):
                       "o_orderpriority": pa.array([], pa.string())})
 
     def topk(t: pa.Table, k: int = 10) -> pa.Table:
+        if t.num_rows == 0:    # select_k chokes on zero-chunk columns
+            return empty
         idx = pc.select_k_unstable(
             t, k=k, sort_keys=[("revenue", "descending"),
                                ("o_orderdate", "ascending"),

@@ -282,17 +282,21 @@ def range_join_count(build: "ray.data.Dataset", build_ts: str,
                      probe: "ray.data.Dataset", probe_id: str,
                      probe_ts: str, window_days: int,
                      n_rows: int | None = None) -> "ray.data.Dataset":
-    """Count, for every probe row, the build rows whose day-granular
-    timestamp falls in ``[probe_ts, probe_ts + window_days)`` — a
-    big-big interval join with NO equi key, distributed by
-    time-bucketing both sides (bucket = day // BUCKET_DAYS):
+    """Count, for every probe row, the build rows whose timestamp falls
+    in ``[probe_ts, probe_ts + window_days)`` — a big-big interval join
+    with NO equi key, distributed by time-bucketing both sides (bucket
+    = µs // (BUCKET_DAYS·day)). The comparison runs at FULL microsecond
+    granularity — exactly the SQL `l.ts >= o.ts AND l.ts < o.ts +
+    INTERVAL` predicate — so intra-day timestamps count correctly (a
+    day-truncating variant diverged on random non-midnight-aligned
+    corpora; caught by the seed-9002 differential):
 
     * build rows go to their bucket;
     * each probe row fans out to the ≤ 2 buckets its window overlaps
       (requires ``window_days ≤ BUCKET_DAYS``), its window clamped to
-      that bucket's day range so buckets count disjointly;
-    * per partition: sort the build days once, answer every probe with
-      two ``np.searchsorted`` calls;
+      that bucket's µs range so buckets count disjointly;
+    * per partition: sort the build timestamps once, answer every probe
+      with two ``np.searchsorted`` calls;
     * per-bucket partial counts groupby-sum back to one row per probe
       id (zero-count probes drop out — inner-join semantics).
 
@@ -304,35 +308,35 @@ def range_join_count(build: "ray.data.Dataset", build_ts: str,
     if n_rows is None:
         n_rows = build.count()
     B = min(256, coarse_buckets(n_rows, rows_per_part=200_000, cap=256))
-    W = np.int64(window_days)
-    BD = np.int64(BUCKET_DAYS)
+    WUS = np.int64(window_days) * _US_PER_DAY
+    BDUS = np.int64(BUCKET_DAYS) * _US_PER_DAY
 
     def tag_build(t: pa.Table) -> pa.Table:
-        day = _i64(t[build_ts]) // _US_PER_DAY
-        b = day // BD
-        n = len(day)
+        us = _i64(t[build_ts])
+        b = us // BDUS
+        n = len(us)
         return pa.table({
             "hkey": _hkey(b), "side": pa.array(np.zeros(n, np.int8)),
-            "day": pa.array(day), "pid": pa.nulls(n, pa.int64()),
+            "day": pa.array(us), "pid": pa.nulls(n, pa.int64()),
             "lo": pa.nulls(n, pa.int64()), "hi": pa.nulls(n, pa.int64())})
 
     def tag_probe(t: pa.Table) -> pa.Table:
-        lo = _i64(t[probe_ts]) // _US_PER_DAY
-        hi = lo + W                       # exclusive
+        lo = _i64(t[probe_ts])
+        hi = lo + WUS                     # exclusive
         pid = _i64(t[probe_id])
-        b0 = lo // BD
-        b1 = (hi - 1) // BD
+        b0 = lo // BDUS
+        b1 = (hi - 1) // BDUS
         parts = []
         for b in (b0, np.where(b1 != b0, b1, np.int64(-1))):
             keep = b >= 0
             bb, pl, ph, pp = b[keep], lo[keep], hi[keep], pid[keep]
             parts.append(pa.table({
                 "hkey": _hkey(bb),
-                "side": pa.array(np.ones(keep.sum(), np.int8)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int8)),
                 "day": pa.array(bb),  # bucket id rides in `day` for probes
                 "pid": pa.array(pp),
-                "lo": pa.array(np.maximum(pl, bb * BD)),
-                "hi": pa.array(np.minimum(ph, (bb + 1) * BD))}))
+                "lo": pa.array(np.maximum(pl, bb * BDUS)),
+                "hi": pa.array(np.minimum(ph, (bb + 1) * BDUS))}))
         return pa.concat_tables(parts)
 
     tagged = build.map_batches(tag_build, batch_format="pyarrow",

@@ -141,6 +141,30 @@ def test_range_join_count_planted(ray_session):
     assert len(probe_days) - 1 not in got  # the beyond-range probe
 
 
+def test_range_join_intraday_exact(ray_session):
+    """Microsecond-granular semantics (seed-9002 differential
+    regression): a build row 1 µs BEFORE the probe timestamp is
+    excluded, one exactly AT it counts, one 1 µs before the exclusive
+    end counts, one exactly at probe+window is excluded — day
+    truncation would get all four wrong on non-midnight timestamps."""
+    import ray.data
+
+    W = 7
+    probe_us = np.int64(3 * US_DAY + 12 * 3_600_000_000 + 123)
+    build_us = np.array([
+        probe_us - 1,                     # just before → out
+        probe_us,                         # inclusive start → in
+        probe_us + W * US_DAY - 1,        # just inside end → in
+        probe_us + W * US_DAY,            # exclusive end → out
+    ], np.int64)
+    build = ray.data.from_arrow(pa.table({"t": _ts(build_us)}))
+    probe = ray.data.from_arrow(pa.table({
+        "pid": pa.array([0], pa.int64()), "t": _ts([probe_us])}))
+    out = range_join_count(build, "t", probe, "pid", "t",
+                           window_days=W, n_rows=4).to_pandas()
+    assert dict(zip(out.pid, out.n)) == {0: 2}
+
+
 def test_range_join_window_cap():
     import ray.data
 
