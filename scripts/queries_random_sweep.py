@@ -85,7 +85,16 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=8)
     ap.add_argument("--families",
                     default="core,temporal,quantiles,textsim")
+    ap.add_argument("--reinit", type=int, default=8,
+                    help="restart the Ray session every N seeds: a "
+                    "long session accumulating hundreds of shuffle "
+                    "plans can trip a Ray-core reference-count fatal "
+                    "(reference_count.cc:581, observed twice around "
+                    "~650 datasets in one session); bounded sessions "
+                    "sidestep it")
     args = ap.parse_args()
+
+    import time
 
     import ray
 
@@ -97,7 +106,13 @@ def main() -> None:
 
     pairs = family_pairs(set(args.families.split(",")))
     bad = {}
-    for seed in range(args.start, args.start + args.seeds):
+    for i, seed in enumerate(range(args.start,
+                                   args.start + args.seeds)):
+        if args.reinit and i and i % args.reinit == 0:
+            ray.shutdown()
+            time.sleep(1.5)       # avoid the same-second init race
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False)
         with tempfile.TemporaryDirectory() as td:
             sf = gen_random_sf(os.path.join(td, "sf"), seed)
             failures = run_differential(sf, pairs)

@@ -3779,8 +3779,11 @@ def q_ann_range_search(sf_dir: str):
             "neighbor_id": pa.array(vid[rows]),
             "score_r": pa.array(sims[rows, cols])})
 
-    out = _t(emb.map_batches(scan, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    out = _t_or(emb.map_batches(scan, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "score_r": pa.array([], pa.float64())}))
     return out.sort_by([("query_id", "ascending"),
                         ("neighbor_id", "ascending")])
 

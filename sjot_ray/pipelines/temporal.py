@@ -399,7 +399,11 @@ def q_order_shipments_window(sf_dir: str):
     out = range_join_count(li, "l_shipdate", orders, "o_orderkey",
                            "o_orderdate", window_days=7,
                            n_rows=_parquet_rows(sf_dir, "lineitem"))
-    t = _t(out).rename_columns(["o_orderkey", "n_shipped_7d"])
+    t = _t(out)
+    if not t.column_names:        # zero matching windows anywhere
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "n_shipped_7d": pa.array([], pa.int64())})
+    t = t.rename_columns(["o_orderkey", "n_shipped_7d"])
     return t.sort_by("o_orderkey")
 
 
