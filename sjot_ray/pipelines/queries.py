@@ -301,8 +301,12 @@ def q_top_docs_by_chars(sf_dir: str):
                                 ("doc_id", "ascending")])
         return t.take(idx)
 
-    top = _t(ds.map_batches(partial_topk, batch_format="pyarrow",
-                            zero_copy_batch=True))
+    top = _t_or(ds.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64())}))
+    if top.num_rows == 0:
+        return top
     idx = pc.select_k_unstable(
         top, k=20, sort_keys=[("n_chars", "descending"),
                               ("doc_id", "ascending")])
@@ -3553,6 +3557,8 @@ def q_q10_returned_revenue(sf_dir: str):
             "c_name": pc.take(cnames, idx),
             "revenue": pc.cast(agg["rev_sum"], pa.float64()),
             "c_acctbal": pc.take(cbal, idx)})
+        if t.num_rows == 0:   # all-dangling partition: select_k chokes
+            return empty2     # on zero-chunk columns
         take = pc.select_k_unstable(
             t, k=20, sort_keys=[("revenue", "descending"),
                                 ("c_custkey", "ascending")])
