@@ -823,11 +823,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM keyed GROUP BY key
     """,
     "ann_cosine_topk": """
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qe
                    FROM embeddings WHERE vec_id < 5),
              scored AS (
                SELECT q.query_id, e.vec_id AS neighbor_id,
-                      ROUND(list_cosine_similarity(q.qe, e.embedding), 5)
+                      ROUND(list_cosine_similarity(
+                          q.qe, CAST(e.embedding AS DOUBLE[])), 5)
                         AS score_r
                FROM q CROSS JOIN embeddings e
                WHERE e.vec_id != q.query_id),
@@ -1112,11 +1114,18 @@ def q_dedup_embedding_exact(sf_dir: str, threshold: float = 0.4):
 
 ORACLE_SQL.update({
     "dedup_embedding_exact": """
+        -- DOUBLE[] cast: the FLOAT[] overload computes in float32,
+        -- which agrees with the engine's float64 kernel only to ~1e-7
+        -- and flipped a 4-dp rounding boundary on a random corpus
+        -- (sweep seed 9076); in float64 both sides agree to ~1e-15
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
-                 AS cosine
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.4
     """,
 })
 
